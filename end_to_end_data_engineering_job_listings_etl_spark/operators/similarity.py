@@ -1,0 +1,103 @@
+"""Similarity search over embedding columns: brute-force cosine top-k
+and LSH-bucketed ANN.
+
+Beyond-reference layer (BASELINE.json). Shapes:
+
+- ``cosine_topk``: query vector broadcast as a literal; one narrow
+  map stage computes cosine per row; TakeOrderedAndProject returns k.
+  At 100 TB this is a full scan but NO shuffle — the right baseline.
+- ``knn_join``: k neighbors for each of a (small) probe set — probe
+  side crossed via broadcast, so the big side is scanned once.
+- ``lsh_ann``: random-hyperplane signatures bucket the corpus; probes
+  only compare within matching buckets (sub-linear candidate set).
+  Hyperplanes are generated from a fixed seed → deterministic.
+"""
+
+from __future__ import annotations
+
+import random
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine, dot, lit_vector
+
+
+def cosine_topk(
+    df: DataFrame, vec_col: str, id_col: str, query: Sequence[float], k: int = 10
+) -> DataFrame:
+    """Top-k rows by cosine similarity to a literal query vector."""
+    q = lit_vector(query)
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6).alias("cos_sim"),
+    )
+    # orderBy+limit compiles to TakeOrderedAndProject: no global sort.
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+def knn_join(
+    corpus: DataFrame,
+    probes: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """For every probe row, its k nearest corpus rows by cosine.
+    Probe side must be small (broadcast); corpus scanned once."""
+    from pyspark.sql import Window
+
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).cast("array<double>").alias("probe_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).cast("array<double>").alias("corpus_vec")
+    )
+    crossed = c.crossJoin(F.broadcast(p)).filter(F.col("corpus_id") != F.col("probe_id"))
+    scored = crossed.select(
+        "probe_id",
+        "corpus_id",
+        F.round(cosine(F.col("corpus_vec"), F.col("probe_vec")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("corpus_id"))
+    return scored.select("*", F.row_number().over(w).alias("rank")).filter(
+        F.col("rank") <= k
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes for sign-LSH."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_signature(df: DataFrame, vec_col: str, planes: Sequence[Sequence[float]]):
+    """Sign-bit signature column: one bit per hyperplane."""
+    v = F.col(vec_col).cast("array<double>")
+    bits = [
+        F.when(dot(v, lit_vector(p)) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_ann(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN via sign-LSH: compare only corpus rows whose signature
+    matches the query's signature (1 bucket ≈ corpus/2^planes rows)."""
+    planes = random_hyperplanes(len(query), n_planes, seed)
+    sig = lsh_signature(corpus, vec_col, planes)
+    qbits = "".join(
+        "1" if sum(p[i] * query[i] for i in range(len(query))) >= 0 else "0"
+        for p in planes
+    )
+    bucket = corpus.filter(sig == F.lit(qbits))
+    return cosine_topk(bucket, vec_col, id_col, query, k)

@@ -1,0 +1,43 @@
+"""SparkSession factory.
+
+Reference analog: the spark-submit session setup in
+``dags/spark_etl_script.py:41-63`` (master URL + Snowflake jars via env
+vars). Here: local[N] for tests/bench, AQE + UTC + Arrow defaults that
+hold on a real cluster unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "end_to_end_data_engineering_job_listings_etl_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    Settings are scale-posture defaults, not local hacks:
+    - AQE on (runtime shuffle-partition coalescing, skew-join splitting,
+      join-strategy switching) — what carries plans from sf0.01 to 100 TB.
+    - UTC session timezone — the reference stores TIMESTAMP_NTZ/UTC.
+    - Arrow enabled — pandas-interop (mapInPandas/applyInPandas) is
+      columnar, not pickled rows.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
