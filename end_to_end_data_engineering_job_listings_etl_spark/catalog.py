@@ -29,8 +29,24 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one synthetic table (single parquet file per table)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Read one synthetic table (single parquet file per table).
+
+    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; read it as long (legacy conf) and
+    rebuild a micros timestamp (truncation — matching how micros
+    engines like DuckDB ingest nanos)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+            )
+        return df
+    return spark.read.parquet(path)
 
 
 def load_tables(

@@ -1,0 +1,274 @@
+"""Scalar-function, set-op, window and incremental operator coverage —
+one oracle-backed query per SURVEY.md §2 operator family not already
+exercised by the star pipeline.
+
+- fn_normalize_strings   : F1-F3 trim/upper/initcap + P4 distinct
+- fn_parse_string_array  : F4 translate + F5 split (serialized-list parse)
+- fn_relative_time       : F11 relative-time grammar vs injected now
+- fn_json_extract        : F12/F13 JSON text → typed column + A6-style agg
+- fn_union_by_country    : §2.10 unionByName (the per-country append)
+- fn_boolean_sum         : A10 sum(bool-cast)
+- w_latest_per_customer  : partitioned window (engine extra beyond W1)
+- inc_watermark_agg      : S6 watermark filter + A2 max(ts) high-watermark
+- inc_upsert_dim         : J8 anti-join incremental dimension upsert
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.keywords import extract_keywords
+from ..functions.normalize import norm_initcap, norm_upper, parse_string_array
+from ..functions.relative_time import parse_relative_time
+from ..operators.incremental import filter_after, upsert_dim
+from .star import STAR_PREFIX, _initcap
+
+_NOW = "2024-02-01 00:00:00"
+_WM = "2024-01-25 00:00:00"
+
+
+def fn_normalize_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        norm_upper("p_brand").alias("brand_u"),
+        norm_initcap("p_type").alias("type_ic"),
+        F.trim("p_name").alias("name_t"),
+    ).distinct()
+
+
+def fn_parse_string_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip the reference's serialized-skills format: build
+    "['<brand>', '<type>']" then parse with translate+split
+    (``dags/spark_etl_script.py:132-135`` semantics)."""
+    part = load_table(spark, sf_dir, "part")
+    ser = F.concat(F.lit("['"), F.col("p_brand"), F.lit("', '"), F.col("p_type"), F.lit("']"))
+    arr = parse_string_array(ser)
+    return part.select(
+        "p_partkey",
+        F.size(arr).cast("int").alias("n_items"),
+        F.array_join(arr, "|").alias("items_joined"),
+    )
+
+
+def fn_relative_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11: synthesize the reference's relative-time strings from event
+    ids, parse against an injected now; weeks/junk → null (faithful)."""
+    ev = load_table(spark, sf_dir, "events")
+    rel = (
+        F.when(F.pmod("event_id", F.lit(5)) == 0,
+               F.concat((F.pmod("event_id", F.lit(23)) + 1).cast("string"), F.lit(" hours ago")))
+        .when(F.pmod("event_id", F.lit(5)) == 1,
+              F.concat((F.pmod("event_id", F.lit(6)) + 1).cast("string"), F.lit(" days ago")))
+        .when(F.pmod("event_id", F.lit(5)) == 2, F.lit("yesterday"))
+        .when(F.pmod("event_id", F.lit(5)) == 3,
+              F.concat((F.pmod("event_id", F.lit(3)) + 2).cast("string"), F.lit(" weeks ago")))
+        .otherwise(F.lit("just now"))
+    )
+    now = F.lit(_NOW).cast("timestamp")
+    parsed = parse_relative_time(rel, now)
+    return ev.select(
+        "event_id",
+        rel.alias("rel_str"),
+        F.unix_micros(parsed).alias("parsed_epoch_us"),
+    )
+
+
+def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12/F13: JSON string column → typed value, aggregated."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+def fn_union_by_country(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10: the multi-country extract appends page batches into one
+    relation — expressed as unionByName with a lineage tag (F18)."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", F.lit("US").alias("src_country")
+    )
+    b = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", F.lit("IN").alias("src_country")
+    )
+    return a.unionByName(b).groupBy("src_country").agg(F.count("*").alias("n"))
+
+
+def fn_boolean_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: how many docs matched ≥1 dictionary keyword."""
+    docs = load_table(spark, sf_dir, "documents")
+    has_kw = (F.size(extract_keywords("text")) > 0).cast("int")
+    return docs.agg(F.sum(has_kw).alias("n_docs_with_keywords"))
+
+
+def w_latest_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned ranking window: each customer's latest order."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("order_date"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def inc_watermark_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 + A2: rows after the stored watermark, plus the new
+    high-watermark the run would persist."""
+    ev = load_table(spark, sf_dir, "events")
+    fresh = filter_after(ev, "ts", _WM)
+    return fresh.agg(
+        F.count("*").alias("n_new"),
+        F.unix_micros(F.max("ts")).alias("new_wm_epoch_us"),
+    )
+
+
+def inc_upsert_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: incremental dimension upsert — types seen before the
+    watermark keep their SKs; genuinely-new post-watermark keys get
+    appended SKs (anti-join + offset row_number)."""
+    ev = load_table(spark, sf_dir, "events")
+    before = ev.filter(F.col("ts") <= F.lit(_WM))
+    existing = (
+        before.select(norm_upper("event_type").alias("event_type_name"))
+        .filter(F.col("event_type_name").isNotNull())
+        .distinct()
+    )
+    existing_dim = existing.select(
+        F.row_number().over(Window.orderBy("event_type_name")).alias("event_type_sk"),
+        "event_type_name",
+    )
+    incoming = filter_after(ev, "ts", _WM).select(
+        norm_upper("event_type").alias("event_type_name")
+    )
+    return upsert_dim(incoming, existing_dim, ["event_type_name"], "event_type_sk")
+
+
+QUERIES = {
+    "fn_normalize_strings": fn_normalize_strings,
+    "fn_parse_string_array": fn_parse_string_array,
+    "fn_relative_time": fn_relative_time,
+    "fn_json_extract": fn_json_extract,
+    "fn_union_by_country": fn_union_by_country,
+    "fn_boolean_sum": fn_boolean_sum,
+    "w_latest_per_customer": w_latest_per_customer,
+    "inc_watermark_agg": inc_watermark_agg,
+    "inc_upsert_dim": inc_upsert_dim,
+}
+
+ORACLES = {
+    "fn_normalize_strings": f"""
+        SELECT DISTINCT
+          trim(upper(p_brand)) AS brand_u,
+          trim({_initcap('p_type')}) AS type_ic,
+          trim(p_name) AS name_t
+        FROM part
+    """,
+    "fn_parse_string_array": """
+        WITH ser AS (
+          SELECT p_partkey,
+                 '[''' || p_brand || ''', ''' || p_type || ''']' AS s
+          FROM part
+        ), parsed AS (
+          SELECT p_partkey,
+                 string_split(replace(replace(replace(replace(s, '[', ''), ']', ''),
+                                              '''', ''), '"', ''), ', ') AS arr
+          FROM ser
+        )
+        SELECT p_partkey, CAST(len(arr) AS INTEGER) AS n_items,
+               array_to_string(arr, '|') AS items_joined
+        FROM parsed
+    """,
+    "fn_relative_time": f"""
+        WITH rel AS (
+          SELECT event_id,
+            CASE event_id % 5
+              WHEN 0 THEN CAST(event_id % 23 + 1 AS VARCHAR) || ' hours ago'
+              WHEN 1 THEN CAST(event_id % 6 + 1 AS VARCHAR) || ' days ago'
+              WHEN 2 THEN 'yesterday'
+              WHEN 3 THEN CAST(event_id % 3 + 2 AS VARCHAR) || ' weeks ago'
+              ELSE 'just now'
+            END AS rel_str
+          FROM events
+        )
+        SELECT event_id, rel_str,
+          CAST(epoch_us(
+            CASE
+              WHEN regexp_matches(rel_str, '^\\d+ hours? ago$')
+                THEN TIMESTAMP '{_NOW}' - CAST(regexp_extract(rel_str, '(\\d+)', 1) AS BIGINT) * INTERVAL 1 HOUR
+              WHEN regexp_matches(rel_str, '^\\d+ days? ago$')
+                THEN TIMESTAMP '{_NOW}' - CAST(regexp_extract(rel_str, '(\\d+)', 1) AS BIGINT) * INTERVAL 1 DAY
+              WHEN rel_str = 'yesterday' THEN TIMESTAMP '{_NOW}' - INTERVAL 1 DAY
+              ELSE NULL
+            END) AS BIGINT) AS parsed_epoch_us
+        FROM rel
+    """,
+    "fn_json_extract": """
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+               CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+        FROM events GROUP BY event_type
+    """,
+    "fn_union_by_country": """
+        SELECT src_country, count(*) AS n FROM (
+          SELECT o_orderkey, 'US' AS src_country FROM orders WHERE o_orderstatus = 'O'
+          UNION ALL
+          SELECT o_orderkey, 'IN' AS src_country FROM orders WHERE o_orderstatus = 'F'
+        ) GROUP BY src_country
+    """,
+    "fn_boolean_sum": f"""
+        {STAR_PREFIX}
+        SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_with_keywords
+        FROM doc_keywords
+    """,
+    "w_latest_per_customer": """
+        SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date
+        FROM (
+          SELECT o_custkey, o_orderkey, o_orderdate,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+          FROM orders
+        ) WHERE rn = 1
+    """,
+    "inc_watermark_agg": f"""
+        SELECT count(*) AS n_new,
+               CAST(epoch_us(max(ts)) AS BIGINT) AS new_wm_epoch_us
+        FROM events WHERE ts > TIMESTAMP '{_WM}'
+    """,
+    "inc_upsert_dim": f"""
+        WITH existing AS (
+          SELECT CAST(row_number() OVER (ORDER BY event_type_name) AS INTEGER) AS event_type_sk,
+                 event_type_name
+          FROM (SELECT DISTINCT trim(upper(event_type)) AS event_type_name
+                FROM events WHERE ts <= TIMESTAMP '{_WM}')
+          WHERE event_type_name IS NOT NULL
+        ), incoming AS (
+          SELECT DISTINCT trim(upper(event_type)) AS event_type_name
+          FROM events WHERE ts > TIMESTAMP '{_WM}'
+        ), fresh AS (
+          SELECT i.event_type_name FROM incoming i
+          WHERE NOT EXISTS (SELECT 1 FROM existing e
+                            WHERE e.event_type_name = i.event_type_name)
+        ), numbered AS (
+          SELECT CAST(row_number() OVER (ORDER BY event_type_name)
+                      + (SELECT coalesce(max(event_type_sk), 0) FROM existing)
+                 AS INTEGER) AS event_type_sk,
+                 event_type_name
+          FROM fresh
+        )
+        SELECT * FROM existing UNION ALL SELECT * FROM numbered
+    """,
+}

@@ -15,9 +15,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .plans import star
+from .plans import bi, functional, star
 
-_MODULES = [star]
+_MODULES = [star, bi, functional]
 
 
 def _pinned(fn: Callable[[SparkSession, str], DataFrame]):
