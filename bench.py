@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (computes every
+column, writes nothing) — .count() would let Catalyst prune the
+projection and under-measure.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from end_to_end_data_engineering_job_listings_etl_spark import registry  # noqa: E402
+from end_to_end_data_engineering_job_listings_etl_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "fact_orders",
+    "star_wide",
+    "bi_top15_employers",
+    "bi_monthly_trend",
+    "bi_revenue_by_segment",
+    "bi_top_keywords",
+    "w_latest_per_customer",
+    "inc_watermark_agg",
+    "fn_json_extract",
+    "text_stats",
+    "dd_lsh_candidates",
+    "dd_simhash",
+    "sim_cosine_topk",
+    "sim_knn_join",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark(app_name="end_to_end_data_engineering_job_listings_etl_spark-bench")
+
+    queries = registry.all_queries()
+    # JVM/codegen warmup on the smallest SF so per-query timings measure
+    # the plan, not classloading.
+    queries["bi_total_postings"](spark, "/root/testdata/sf0.001").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -38,12 +38,11 @@ def token_count(col: Column | str) -> Column:
 
 
 def bpe_ish_token_count(col: Column | str) -> Column:
-    """Sub-word-ish token count: splits on word/non-word boundaries the
-    way BPE pre-tokenizers do (GPT-2-style contraction/word/number/
-    punct classes approximated with one regex)."""
+    """Sub-word-ish token count: word / number runs and individual
+    punctuation marks, the way BPE pre-tokenizers segment (RE2-safe
+    pattern — no lookarounds — so SQL oracles can share it)."""
     c = F.col(col) if isinstance(col, str) else col
-    pieces = F.split(c, r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])")
-    return F.size(F.filter(pieces, lambda t: F.trim(t) != ""))
+    return F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"), 0))
 
 
 def char_count(col: Column | str) -> Column:
@@ -85,7 +84,7 @@ def quality_score(col: Column | str) -> Column:
     punct_ok = F.lit(1.0) - F.least(punct_ratio(c) * 4, F.lit(1.0))
     mwl = mean_word_length(c)
     mwl_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.3))
-    return F.round((len_ok + punct_ok + mwl_ok) / 3.0, 4)
+    return (len_ok + punct_ok + mwl_ok) / 3.0
 
 
 def lang_scores(col: Column | str) -> list[Column]:

@@ -160,25 +160,31 @@ def jaccard_pairs(
     )
 
 
-def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """64-bit SimHash over whitespace tokens: per token take 64 bits of
+SIMHASH_BITS = 60  # 15 hex chars — fits signed int64 in every engine
+
+
+def simhash60(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """60-bit SimHash over whitespace tokens: per token take 60 bits of
     md5, sum (+1/-1) per bit position across tokens, sign → bit.
 
-    Expression-only (explode + conv + bit ops + one agg)."""
+    Expression-only (explode + conv + bit ops + one agg). 60 bits (not
+    64) so the signature is portable to engines without unsigned int64.
+    Duplicate tokens intentionally count once per occurrence? No —
+    SimHash weights by frequency; we keep every occurrence."""
     from ..functions.text import tokens
 
     toks = df.select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
-    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 16), 16, 10).cast("decimal(20,0)").cast("long")
-    toks = toks.select(F.col(id_col), h.alias("h64"))
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    toks = toks.select(F.col(id_col), h.alias("h60"))
     bit_sums = [
         F.sum(
-            F.when(F.shiftright(F.col("h64"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(F.shiftright(F.col("h60"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b_{i}")
-        for i in range(64)
+        for i in range(SIMHASH_BITS)
     ]
     agg = toks.groupBy(id_col).agg(*bit_sums)
     sim = None
-    for i in range(64):
+    for i in range(SIMHASH_BITS):
         bit = F.when(F.col(f"b_{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, i)
         sim = term if sim is None else sim + term

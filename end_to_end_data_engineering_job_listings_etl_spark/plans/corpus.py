@@ -1,0 +1,325 @@
+"""Corpus operators over documents/embeddings: text analysis, dedup
+(exact / MinHash-LSH / Jaccard / SimHash) and similarity search.
+
+Beyond-reference training-data-pipeline layer (BASELINE.json north
+star) — the reference stops at `.distinct()`; a 100 TB corpus engine
+needs near-dup detection, quality scoring and ANN as first-class
+operators. All Spark-side logic is pure column expressions / joins —
+no Python in the row path.
+
+Oracle notes (determinism across engines):
+- every hash is md5 (bit-stable everywhere);
+- ratio outputs are floor(x * 1e6) integers — floor of an identical
+  IEEE double is engine-independent, while round-half ties are not;
+- cosine oracles compute the dot product with an explicit
+  index-ordered sum (list_transform(range ...)), matching Spark's
+  left-to-right aggregate fold bit for bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions import text as T
+from ..operators import dedup as D
+from ..operators import similarity as S
+
+# ---------------------------------------------------------------------------
+# Spark queries
+# ---------------------------------------------------------------------------
+
+_JACCARD_MAX_ID = 100  # bound the exact-pairs demo; the scale path is LSH
+_MINHASH_K = 8
+_LSH_BANDS = 4
+_SHINGLE_K = 3
+
+
+def _e6(col) -> F.Column:
+    return F.floor(col * 1_000_000).cast("long")
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.char_count("text").alias("n_chars"),
+        T.token_count("text").alias("n_tokens"),
+        T.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        _e6(T.punct_ratio("text")).alias("punct_e6"),
+        _e6(T.mean_word_length("text")).alias("mwl_e6"),
+        _e6(T.quality_score("text")).alias("quality_e6"),
+        T.fingerprint("text").alias("fp"),
+    )
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "lang", *T.lang_scores("text"))
+    langs = list(T.LANG_MARKERS)
+    pred = None
+    for lang in langs:  # first max wins, in declared language order
+        cond = None
+        for other in langs:
+            c = F.col(f"score_{lang}") >= F.col(f"score_{other}")
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    return scored.select("doc_id", "lang", *[f"score_{l}" for l in langs], pred.alias("predicted"))
+
+
+def dd_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(T.fingerprint("text").alias("fp")).agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fp").alias("n_unique"),
+    )
+
+
+def dd_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _JACCARD_MAX_ID
+    )
+    return D.jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
+
+
+def dd_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_signature(docs, "text", "doc_id", _MINHASH_K, _SHINGLE_K)
+
+
+def dd_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, "text", "doc_id", _MINHASH_K, _LSH_BANDS, _SHINGLE_K)
+
+
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash60(docs, "text", "doc_id")
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = emb.filter(F.col("vec_id") == vec_id).select("embedding").collect()[0]
+    return [float(v) for v in row["embedding"]]
+
+
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = _query_vec(spark, sf_dir, 0)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk(emb, "embedding", "vec_id", q, k=20)
+
+
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    return S.knn_join(emb, probes, "embedding", "vec_id", k=5)
+
+
+def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN (rows-only check: the hyperplane literals
+    are generated Python-side; re-stating them in SQL adds no oracle
+    value — cosine parity is already proven by sim_cosine_topk)."""
+    q = _query_vec(spark, sf_dir, 0)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_ann(emb, "embedding", "vec_id", q, k=10, n_planes=6)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_TOKS = "list_filter(string_split_regex(trim({e}), '\\s+'), x -> x != '')"
+_TOKS_LOWER = "list_filter(string_split_regex(trim(lower({e})), '\\s+'), x -> x != '')"
+_PUNCT_CLASS = "[!-/:-@\\[-`{-~]"
+_FP = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+
+_SHINGLES = f"""
+CASE WHEN len({_TOKS_LOWER.format(e='text')}) >= {_SHINGLE_K}
+     THEN list_distinct(list_transform(
+            range(1, len({_TOKS_LOWER.format(e='text')}) - {_SHINGLE_K} + 2),
+            i -> array_to_string({_TOKS_LOWER.format(e='text')}[i:i+{_SHINGLE_K - 1}], ' ')))
+     ELSE [] END
+"""
+
+_SHINGLED_CTE = f"""
+shingled AS (
+  SELECT doc_id, unnest({_SHINGLES}) AS sh FROM documents
+)"""
+
+_MINHASH_CTE = (
+    "signatures AS (SELECT doc_id, "
+    + ", ".join(
+        f"min(md5(concat('{i}|', sh))) AS mh_{i}" for i in range(_MINHASH_K)
+    )
+    + " FROM shingled GROUP BY doc_id)"
+)
+
+_ROWS_PER_BAND = _MINHASH_K // _LSH_BANDS
+_BAND_EXPRS = ", ".join(
+    "md5(concat_ws('|', '%d', %s)) AS band_%d"
+    % (b, ", ".join(f"mh_{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)), b)
+    for b in range(_LSH_BANDS)
+)
+
+_QUALITY = f"""
+( (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.5 END)
++ (1.0 - least(((length(text) - length(regexp_replace(text, '{_PUNCT_CLASS}', '', 'g')))
+                / greatest(length(text), 1)) * 4, 1.0))
++ (CASE WHEN (list_aggregate(list_transform({_TOKS.format(e='text')}, t -> length(t)), 'sum')
+              / greatest(len({_TOKS.format(e='text')}), 1)) BETWEEN 2.0 AND 12.0
+        THEN 1.0 ELSE 0.3 END) ) / 3.0
+"""
+
+_LANGS = list(T.LANG_MARKERS)
+_SCORE_EXPRS = ", ".join(
+    "CAST(len(list_filter({toks}, t -> lower(t) IN ({mk}))) AS INTEGER) AS score_{lang}".format(
+        toks=_TOKS.format(e="text"),
+        mk=", ".join(f"'{m}'" for m in T.LANG_MARKERS[lang]),
+        lang=lang,
+    )
+    for lang in _LANGS
+)
+_PRED_CASE = (
+    "CASE "
+    + " ".join(
+        "WHEN "
+        + " AND ".join(f"score_{lang} >= score_{o}" for o in _LANGS)
+        + f" THEN '{lang}'"
+        for lang in _LANGS
+    )
+    + " END"
+)
+
+# cosine: explicit index-ordered sums, bit-identical to Spark's fold
+_DOT = (
+    "list_aggregate(list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i]), 'sum')"
+)
+
+
+def _cos(a: str, b: str) -> str:
+    return (
+        f"(CASE WHEN sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)}) != 0 "
+        f"THEN {_DOT.format(a=a, b=b)} / "
+        f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)})) END)"
+    )
+
+
+_SIMHASH_TOKS_CTE = f"""
+toks AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(unnest({_TOKS_LOWER.format(e='text')})), 1, 15)) AS BIGINT) AS h60
+  FROM documents
+)"""
+_SIMHASH_BITSUMS = ", ".join(
+    f"sum(CASE WHEN (h60 >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b_{i}"
+    for i in range(D.SIMHASH_BITS)
+)
+_SIMHASH_RECON = " + ".join(
+    f"(CASE WHEN b_{i} > 0 THEN CAST(1 AS BIGINT) ELSE 0 END << {i})"
+    for i in range(D.SIMHASH_BITS)
+)
+
+QUERIES = {
+    "text_stats": text_stats,
+    "text_langid": text_langid,
+    "dd_dedup_stats": dd_dedup_stats,
+    "dd_jaccard_pairs": dd_jaccard_pairs,
+    "dd_minhash_signatures": dd_minhash_signatures,
+    "dd_lsh_candidates": dd_lsh_candidates,
+    "dd_simhash": dd_simhash,
+    "sim_cosine_topk": sim_cosine_topk,
+    "sim_knn_join": sim_knn_join,
+    "sim_lsh_ann": sim_lsh_ann,
+}
+
+ORACLES = {
+    "text_stats": f"""
+        SELECT doc_id,
+          CAST(length(text) AS INTEGER) AS n_chars,
+          CAST(len({_TOKS.format(e='text')}) AS INTEGER) AS n_tokens,
+          CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens,
+          CAST(floor(((length(text) - length(regexp_replace(text, '{_PUNCT_CLASS}', '', 'g')))
+               / greatest(length(text), 1)) * 1000000) AS BIGINT) AS punct_e6,
+          CAST(floor((list_aggregate(list_transform({_TOKS.format(e='text')}, t -> length(t)), 'sum')
+               / greatest(len({_TOKS.format(e='text')}), 1)) * 1000000) AS BIGINT) AS mwl_e6,
+          CAST(floor(({_QUALITY}) * 1000000) AS BIGINT) AS quality_e6,
+          {_FP} AS fp
+        FROM documents
+    """,
+    "text_langid": f"""
+        SELECT doc_id, lang, {", ".join(f"score_{l}" for l in _LANGS)},
+               {_PRED_CASE} AS predicted
+        FROM (SELECT doc_id, lang, {_SCORE_EXPRS} FROM documents)
+    """,
+    "dd_dedup_stats": f"""
+        SELECT count(*) AS n_docs,
+               count(DISTINCT {_FP}) AS n_unique
+        FROM documents
+    """,
+    "dd_jaccard_pairs": f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_distinct({_TOKS_LOWER.format(e='text')})) AS tok
+          FROM documents WHERE doc_id < {_JACCARD_MAX_ID}
+        ), sizes AS (
+          SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+          FROM toks a JOIN toks b USING (tok)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(n_inter / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE round(n_inter / (sa.sz + sb.sz - n_inter), 6) >= 0.5
+    """,
+    "dd_minhash_signatures": f"WITH {_SHINGLED_CTE}, {_MINHASH_CTE} SELECT * FROM signatures",
+    "dd_lsh_candidates": f"""
+        WITH {_SHINGLED_CTE}, {_MINHASH_CTE},
+        banded AS (SELECT doc_id, {_BAND_EXPRS} FROM signatures),
+        stacked AS (
+          SELECT doc_id, unnest([{", ".join(f"band_{b}" for b in range(_LSH_BANDS))}]) AS bucket
+          FROM banded
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands_shared
+        FROM stacked a JOIN stacked b USING (bucket)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    """,
+    "dd_simhash": f"""
+        WITH {_SIMHASH_TOKS_CTE},
+        bitsums AS (SELECT doc_id, {_SIMHASH_BITSUMS} FROM toks GROUP BY doc_id)
+        SELECT doc_id, CAST({_SIMHASH_RECON} AS BIGINT) AS simhash FROM bitsums
+    """,
+    "sim_cosine_topk": f"""
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        scored AS (
+          SELECT e.vec_id,
+                 round({_cos('CAST(e.embedding AS DOUBLE[])', 'q.qv')}, 6) AS cos_sim
+          FROM embeddings e, q
+        )
+        SELECT vec_id, cos_sim FROM scored
+        ORDER BY cos_sim DESC, vec_id LIMIT 20
+    """,
+    "sim_knn_join": f"""
+        WITH probes AS (
+          SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+          FROM embeddings WHERE vec_id < 5
+        ), scored AS (
+          SELECT p.probe_id, e.vec_id AS corpus_id,
+                 round({_cos('CAST(e.embedding AS DOUBLE[])', 'p.pv')}, 6) AS cos_sim
+          FROM embeddings e, probes p
+          WHERE e.vec_id != p.probe_id
+        ), ranked AS (
+          SELECT probe_id, corpus_id, cos_sim,
+                 CAST(row_number() OVER (PARTITION BY probe_id
+                                         ORDER BY cos_sim DESC, corpus_id) AS INTEGER) AS rank
+          FROM scored
+        )
+        SELECT * FROM ranked WHERE rank <= 5
+    """,
+    # sim_lsh_ann: intentionally no oracle (rows-only) — see docstring.
+}

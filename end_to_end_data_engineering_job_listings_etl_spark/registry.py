@@ -15,9 +15,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .plans import bi, functional, star
+from .plans import bi, corpus, functional, star
 
-_MODULES = [star, bi, functional]
+_MODULES = [star, bi, functional, corpus]
 
 
 def _pinned(fn: Callable[[SparkSession, str], DataFrame]):

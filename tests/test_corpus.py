@@ -1,0 +1,39 @@
+"""Text-analysis / dedup / similarity operators vs DuckDB oracle."""
+
+from __future__ import annotations
+
+import pytest
+
+from end_to_end_data_engineering_job_listings_etl_spark.plans import corpus
+from tests.conftest import SF_DIR
+from tests.oracle_check import compare
+
+
+@pytest.mark.parametrize("name", sorted(corpus.ORACLES))
+def test_corpus_query_matches_oracle(spark, duck, name):
+    compare(corpus.QUERIES[name](spark, SF_DIR), duck, corpus.ORACLES[name], name)
+
+
+def test_lsh_ann_subset_of_bruteforce_ordering(spark):
+    """sim_lsh_ann has no SQL oracle; invariant-check it instead: every
+    LSH hit must appear in the brute-force ranking with the same score."""
+    brute = {
+        r["vec_id"]: r["cos_sim"]
+        for r in corpus.sim_cosine_topk(spark, SF_DIR).collect()
+    }
+    ann = corpus.sim_lsh_ann(spark, SF_DIR).collect()
+    assert len(ann) > 0
+    # query vector's own bucket always contains the query itself (cos=1)
+    assert any(r["cos_sim"] == 1.0 for r in ann)
+    for r in ann:
+        if r["vec_id"] in brute:
+            assert brute[r["vec_id"]] == r["cos_sim"]
+
+
+def test_dedup_exact_idempotent(spark):
+    from end_to_end_data_engineering_job_listings_etl_spark.catalog import load_table
+    from end_to_end_data_engineering_job_listings_etl_spark.operators.dedup import dedup_exact
+
+    docs = load_table(spark, SF_DIR, "documents")
+    once = dedup_exact(docs, "text", "doc_id")
+    assert once.count() == dedup_exact(once, "text", "doc_id").count()
