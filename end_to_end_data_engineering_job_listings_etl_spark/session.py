@@ -41,3 +41,27 @@ def get_spark(app_name: str = "end_to_end_data_engineering_job_listings_etl_spar
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    Any operator that runs Python on executors (mapInPandas,
+    applyInPandasWithState) pickles functions BY MODULE REFERENCE, so
+    workers must be able to ``import end_to_end_data_engineering_job_listings_etl_spark`` — true neither
+    for an arbitrary driver cwd in local mode nor for a real cluster.
+    Zip the package once per session and ``addPyFile`` it (the same
+    mechanism that ships it to 1000 executors)."""
+    sc = spark.sparkContext
+    if getattr(sc, "_end_to_end_data_engineering_job_listings_etl_spark_shipped", False):
+        return
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    pkg_dir = Path(__file__).resolve().parent
+    staging = Path(tempfile.mkdtemp(prefix="end_to_end_data_engineering_job_listings_etl_spark_pkg_"))
+    shutil.copytree(pkg_dir, staging / pkg_dir.name)
+    zip_path = shutil.make_archive(str(staging / "end_to_end_data_engineering_job_listings_etl_spark_pkg"), "zip", staging)
+    sc.addPyFile(zip_path)
+    sc._end_to_end_data_engineering_job_listings_etl_spark_shipped = True

@@ -1,0 +1,94 @@
+"""Streaming ingest + watermarked windowed aggregation.
+
+Reference analog: the batch high-watermark incremental extract
+(``scripts/pyspark/extract_postgres_table.py:28-34,72-76``) is the
+reference's only "streaming" — a poll-filter-persist loop. Here it is
+also expressed natively as Structured Streaming: file source →
+event-time watermark → windowed aggregation → sink, with the
+checkpoint carrying the watermark state the reference kept in an
+Airflow Variable.
+
+Batch parity is what correctness requires (SURVEY.md §2.10); the
+streaming path must produce the same per-window counts as the batch
+groupBy under complete processing (tested in tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) physical → long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream_dir(sf_dir: str) -> str:
+    """The file-stream source requires a *directory* it can monitor.
+    The test fixture is a single read-only parquet file; stage a temp
+    directory of symlinks to it (zero-copy). Production callers point
+    stream_events at their real landing directory instead."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet")
+    )
+    return d
+
+
+def stream_events(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream over an events landing directory. The nanos
+    `ts` arrives as long; rebuild micros timestamps exactly like the
+    batch catalog."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(source_dir)
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time tumbling-window counts per event_type with a late-data
+    watermark — the canonical streaming rollup (Q12/Q13's daily/monthly
+    counts, continuous)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def run_to_memory_sink(
+    agg: DataFrame, table_name: str, checkpoint_dir: str
+) -> None:
+    """Drain the stream with availableNow (process-everything-then-stop
+    — the batch-parity trigger) into an in-memory sink."""
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
