@@ -42,8 +42,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+            # Keep the raw nanos column: predicates on the derived
+            # timestamp cannot push into the scan, but their exact
+            # nanos translation can (see incremental.filter_after).
+            df = df.withColumn("ts_nanos", F.col("ts")).withColumn(
+                "ts", F.timestamp_micros(F.floor(F.col("ts_nanos") / 1000).cast("long"))
             )
         return df
     return spark.read.parquet(path)

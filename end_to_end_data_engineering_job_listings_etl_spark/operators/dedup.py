@@ -23,7 +23,22 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint, word_shingles
+import random
+
+from ..functions.text import fingerprint
+
+# Affine MinHash family h_i(x) = (a_i*x + b_i) mod p over a 32-bit base
+# hash: one md5 per shingle (not one per seed), then cheap integer
+# arithmetic per hash function. p = 2^31-1 keeps a*x + b inside int64.
+MINHASH_PRIME = 2_147_483_647
+
+
+def minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, MINHASH_PRIME), rng.randrange(0, MINHASH_PRIME))
+        for _ in range(num_hashes)
+    ]
 
 
 def exact_duplicate_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -59,17 +74,25 @@ def minhash_signature(
     num_hashes: int = 16,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """Per-doc MinHash signature: for seed i, min over shingles of
-    md5(i || shingle). One explode + one aggregate — the signature
-    build is a single shuffle on id."""
+    """Per-doc MinHash signature: one 32-bit md5-derived base hash per
+    shingle, then the affine family (a_i*h + b_i) mod p per seed. One
+    explode + one aggregate — a single shuffle on id, and ONE md5 per
+    shingle regardless of signature width."""
+    from ..functions.text import shingles_from_tokens, tokens
+
     shingled = df.select(
-        F.col(id_col), F.explode(word_shingles(text_col, shingle_k)).alias("sh")
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__toks")
+    ).select(
+        F.col(id_col),
+        F.explode(shingles_from_tokens(F.col("__toks"), shingle_k)).alias("sh"),
     )
+    h0 = F.conv(F.substring(F.md5(F.col("sh")), 1, 8), 16, 10).cast("long")
+    based = shingled.select(F.col(id_col), h0.alias("h0"))
     mins = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"mh_{i}")
-        for i in range(num_hashes)
+        F.min((F.lit(a) * F.col("h0") + F.lit(b)) % MINHASH_PRIME).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(minhash_params(num_hashes))
     ]
-    return shingled.groupBy(id_col).agg(*mins)
+    return based.groupBy(id_col).agg(*mins)
 
 
 def minhash_lsh_pairs(

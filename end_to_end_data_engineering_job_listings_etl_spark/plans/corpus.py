@@ -147,12 +147,16 @@ shingled AS (
   SELECT doc_id, unnest({_SHINGLES}) AS sh FROM documents
 )"""
 
+_MH_PARAMS = D.minhash_params(_MINHASH_K)
 _MINHASH_CTE = (
-    "signatures AS (SELECT doc_id, "
+    "based AS (SELECT doc_id,"
+    " CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) AS h0 FROM shingled),"
+    " signatures AS (SELECT doc_id, "
     + ", ".join(
-        f"min(md5(concat('{i}|', sh))) AS mh_{i}" for i in range(_MINHASH_K)
+        f"min(({a} * h0 + {b}) % {D.MINHASH_PRIME}) AS mh_{i}"
+        for i, (a, b) in enumerate(_MH_PARAMS)
     )
-    + " FROM shingled GROUP BY doc_id)"
+    + " FROM based GROUP BY doc_id)"
 )
 
 _ROWS_PER_BAND = _MINHASH_K // _LSH_BANDS

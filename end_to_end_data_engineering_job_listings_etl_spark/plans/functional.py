@@ -22,7 +22,7 @@ from ..catalog import load_table
 from ..functions.keywords import extract_keywords
 from ..functions.normalize import norm_initcap, norm_upper, parse_string_array
 from ..functions.relative_time import parse_relative_time
-from ..operators.incremental import filter_after, upsert_dim
+from ..operators.incremental import filter_after, filter_upto, upsert_dim
 from .star import STAR_PREFIX, _initcap
 
 _NOW = "2024-02-01 00:00:00"
@@ -140,7 +140,7 @@ def inc_upsert_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark keep their SKs; genuinely-new post-watermark keys get
     appended SKs (anti-join + offset row_number)."""
     ev = load_table(spark, sf_dir, "events")
-    before = ev.filter(F.col("ts") <= F.lit(_WM))
+    before = filter_upto(ev, "ts", _WM)
     existing = (
         before.select(norm_upper("event_type").alias("event_type_name"))
         .filter(F.col("event_type_name").isNotNull())
