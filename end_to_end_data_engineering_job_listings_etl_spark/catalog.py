@@ -45,8 +45,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # Keep the raw nanos column: predicates on the derived
             # timestamp cannot push into the scan, but their exact
             # nanos translation can (see incremental.filter_after).
+            # `div` = integral long division. floor(ts/1000.0) would
+            # detour through double and mis-round by 1 µs at int64
+            # nanos magnitudes (> 2^53).
             df = df.withColumn("ts_nanos", F.col("ts")).withColumn(
-                "ts", F.timestamp_micros(F.floor(F.col("ts_nanos") / 1000).cast("long"))
+                "ts", F.timestamp_micros(F.expr("ts_nanos div 1000"))
             )
         return df
     return spark.read.parquet(path)

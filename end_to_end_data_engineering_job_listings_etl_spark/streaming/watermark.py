@@ -52,9 +52,7 @@ def stream_events(spark: SparkSession, source_dir: str) -> DataFrame:
     batch catalog."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(source_dir)
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def windowed_event_counts(

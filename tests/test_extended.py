@@ -1,0 +1,56 @@
+"""Extended operator surface vs DuckDB oracle."""
+
+from __future__ import annotations
+
+import pytest
+
+from end_to_end_data_engineering_job_listings_etl_spark.plans import extended
+from tests.conftest import SF_DIR
+from tests.oracle_check import compare
+
+
+@pytest.mark.parametrize("name", sorted(extended.ORACLES))
+def test_extended_query_matches_oracle(spark, duck, name):
+    compare(extended.QUERIES[name](spark, SF_DIR), duck, extended.ORACLES[name], name)
+
+
+def test_approx_distinct_within_tolerance(spark):
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_job_listings_etl_spark.catalog import load_table
+
+    got = extended.agg_approx_distinct(spark, SF_DIR).collect()[0]
+    exact = (
+        load_table(spark, SF_DIR, "lineitem")
+        .agg(
+            F.countDistinct("l_partkey").alias("p"),
+            F.countDistinct("l_orderkey").alias("o"),
+        )
+        .collect()[0]
+    )
+    assert abs(got["approx_parts"] - exact["p"]) / exact["p"] < 0.05
+    assert abs(got["approx_orders"] - exact["o"]) / exact["o"] < 0.05
+
+
+def test_asof_join_backward_semantics(spark):
+    """Every reported last_view is ≤ the purchase ts, and no later view
+    exists between them (spot-check a few users)."""
+    rows = extended.op_asof_last_view(spark, SF_DIR).collect()
+    assert rows
+    from end_to_end_data_engineering_job_listings_etl_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    views = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("event_type") == "view")
+        .select("user_id", F.unix_micros("ts").alias("v_us"))
+        .collect()
+    )
+    by_user = {}
+    for v in views:
+        by_user.setdefault(v["user_id"], []).append(v["v_us"])
+    for r in rows[:50]:
+        expect = max(
+            (v for v in by_user.get(r["user_id"], []) if v <= r["ts_us"]), default=None
+        )
+        assert r["last_view_us"] == expect
