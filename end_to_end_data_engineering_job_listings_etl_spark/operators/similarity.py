@@ -82,6 +82,61 @@ def lsh_signature(df: DataFrame, vec_col: str, planes: Sequence[Sequence[float]]
     return F.concat(*bits)
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: Sequence[tuple[int, Sequence[float]]],
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its
+    max-cosine centroid (ties → higher centroid id, deterministic).
+    One narrow map stage; the centroid list is a literal (broadcast by
+    construction). Returns (id, centroid_id)."""
+    v = F.col(vec_col).cast("array<double>")
+    cells = [
+        F.struct(
+            cosine(v, lit_vector(cvec)).alias("sim"), F.lit(cid).alias("cid")
+        )
+        for cid, cvec in centroids
+    ]
+    best = F.array_max(F.array(*cells))["cid"]
+    return corpus.select(F.col(id_col), best.alias("centroid_id"))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: Sequence[float],
+    centroids: Sequence[tuple[int, Sequence[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF ANN: rank centroids against the query driver-side, then
+    scan only the nprobe best cells — the 1/(n_cells/nprobe) scan-
+    fraction scale path (vs the brute-force full scan)."""
+
+    def cos_py(a: Sequence[float], b: Sequence[float]) -> float:
+        dot_ = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return dot_ / (na * nb) if na and nb else 0.0
+
+    probe_cids = [
+        cid
+        for cid, _ in sorted(
+            centroids, key=lambda c: (-cos_py(query, c[1]), c[0])
+        )[:nprobe]
+    ]
+    assigned = ivf_assign(corpus, vec_col, id_col, centroids)
+    bucket = corpus.join(
+        assigned.filter(F.col("centroid_id").isin(probe_cids)).select(id_col),
+        id_col,
+        "left_semi",
+    )
+    return cosine_topk(bucket, vec_col, id_col, query, k)
+
+
 def lsh_ann(
     corpus: DataFrame,
     vec_col: str,

@@ -116,6 +116,17 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_join(emb, probes, "embedding", "vec_id", k=5)
 
 
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (rows-only check; invariant-tested against the
+    brute-force ranking in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = [
+        (i, _query_vec(spark, sf_dir, vid)) for i, vid in enumerate([0, 7, 13, 42])
+    ]
+    q = _query_vec(spark, sf_dir, 1)
+    return S.ivf_topk(emb, "embedding", "vec_id", q, centroids, k=10, nprobe=2)
+
+
 def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed ANN (rows-only check: the hyperplane literals
     are generated Python-side; re-stating them in SQL adds no oracle
@@ -235,6 +246,7 @@ QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
     "sim_knn_join": sim_knn_join,
     "sim_lsh_ann": sim_lsh_ann,
+    "sim_ivf_topk": sim_ivf_topk,
 }
 
 ORACLES = {

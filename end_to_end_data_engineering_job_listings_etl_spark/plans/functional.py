@@ -156,6 +156,38 @@ def inc_upsert_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return upsert_dim(incoming, existing_dim, ["event_type_name"], "event_type_sk")
 
 
+def fn_json_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 faithful + corrected parse modes (SURVEY.md §7.3).
+
+    The reference parses its object-shaped ``job_highlights`` with an
+    ARRAY schema (``dags/spark_etl_script.py:126``) — PERMISSIVE mode
+    nulls every well-formed record. Faithful mode reproduces exactly
+    that (array-parse of the object-shaped ``props`` ⇒ always null);
+    corrected mode uses the right struct schema and extracts values."""
+    ev = load_table(spark, sf_dir, "events")
+    arr = F.from_json("props", "array<string>")
+    st = F.from_json("props", "struct<k:int>")
+    return ev.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(arr.isNull().cast("int")).alias("n_null_array_parse"),
+        F.sum(st["k"].isNotNull().cast("int")).alias("n_struct_parsed"),
+        F.sum(st["k"]).alias("sum_k"),
+    )
+
+
+def fn_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13: to_json / from_json array round-trip is the identity."""
+    part = load_table(spark, sf_dir, "part")
+    js = F.to_json(F.array("p_brand", "p_type"))
+    back = F.from_json(js, "array<string>")
+    return part.select(
+        "p_partkey",
+        F.size(back).cast("int").alias("n_items"),
+        F.element_at(back, 1).alias("first_item"),
+        F.element_at(back, 2).alias("second_item"),
+    )
+
+
 QUERIES = {
     "fn_normalize_strings": fn_normalize_strings,
     "fn_parse_string_array": fn_parse_string_array,
@@ -166,9 +198,25 @@ QUERIES = {
     "w_latest_per_customer": w_latest_per_customer,
     "inc_watermark_agg": inc_watermark_agg,
     "inc_upsert_dim": inc_upsert_dim,
+    "fn_json_modes": fn_json_modes,
+    "fn_json_roundtrip": fn_json_roundtrip,
 }
 
 ORACLES = {
+    "fn_json_modes": """
+        SELECT count(*) AS n_rows,
+               CAST(sum(CASE WHEN json_type(TRY_CAST(props AS JSON)) != 'ARRAY'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_null_array_parse,
+               CAST(sum(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_struct_parsed,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k
+        FROM events
+    """,
+    "fn_json_roundtrip": """
+        SELECT p_partkey, CAST(2 AS INTEGER) AS n_items,
+               p_brand AS first_item, p_type AS second_item
+        FROM part
+    """,
     "fn_normalize_strings": f"""
         SELECT DISTINCT
           trim(upper(p_brand)) AS brand_u,

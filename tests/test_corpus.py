@@ -30,6 +30,29 @@ def test_lsh_ann_subset_of_bruteforce_ordering(spark):
             assert brute[r["vec_id"]] == r["cos_sim"]
 
 
+def test_ivf_hits_agree_with_bruteforce(spark):
+    """Every IVF hit scores exactly what brute force scores it, and the
+    IVF list is descending; the true top-1 (the query itself, cos=1)
+    lives in the probed cell so IVF must find it."""
+    from end_to_end_data_engineering_job_listings_etl_spark.catalog import load_table
+    from end_to_end_data_engineering_job_listings_etl_spark.operators.similarity import cosine_topk
+    from end_to_end_data_engineering_job_listings_etl_spark.plans.corpus import _query_vec
+
+    q1 = _query_vec(spark, SF_DIR, 1)
+    emb = load_table(spark, SF_DIR, "embeddings")
+    brute = {
+        r["vec_id"]: r["cos_sim"]
+        for r in cosine_topk(emb, "embedding", "vec_id", q1, k=10_000).collect()
+    }
+    ivf = corpus.sim_ivf_topk(spark, SF_DIR).collect()
+    assert len(ivf) == 10
+    sims = [r["cos_sim"] for r in ivf]
+    assert sims == sorted(sims, reverse=True)
+    for r in ivf:
+        assert brute[r["vec_id"]] == r["cos_sim"]
+    assert any(r["cos_sim"] == 1.0 for r in ivf)
+
+
 def test_dedup_exact_idempotent(spark):
     from end_to_end_data_engineering_job_listings_etl_spark.catalog import load_table
     from end_to_end_data_engineering_job_listings_etl_spark.operators.dedup import dedup_exact
