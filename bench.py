@@ -24,6 +24,9 @@ from end_to_end_data_engineering_job_listings_etl_spark import registry  # noqa:
 from end_to_end_data_engineering_job_listings_etl_spark.session import get_spark  # noqa: E402
 
 HEADLINE = [
+    "li_pricing_summary",
+    "li_revenue_topk",
+    "li_running_total",
     "fact_orders",
     "star_wide",
     "bi_top15_employers",

@@ -199,16 +199,19 @@ def simhash60(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     toks = df.select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
     toks = toks.select(F.col(id_col), h.alias("h60"))
+    # sum of ±1 per bit == 2*popcount_i - n: aggregate plain bit sums
+    # (branch-free) plus one count, reconstruct the sign from 2c > n.
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h60"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b_{i}")
+        F.sum(F.shiftright(F.col("h60"), i).bitwiseAND(F.lit(1))).alias(f"c_{i}")
         for i in range(SIMHASH_BITS)
     ]
-    agg = toks.groupBy(id_col).agg(*bit_sums)
+    agg = toks.groupBy(id_col).agg(F.count("*").alias("n_tok"), *bit_sums)
     sim = None
     for i in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"b_{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bit = (
+            F.when(F.col(f"c_{i}") * 2 > F.col("n_tok"), F.lit(1).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
         term = F.shiftleft(bit, i)
         sim = term if sim is None else sim + term
     return agg.select(F.col(id_col), sim.alias("simhash"))

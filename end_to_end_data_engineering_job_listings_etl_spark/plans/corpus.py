@@ -226,12 +226,11 @@ toks AS (
          CAST(concat('0x', substr(md5(unnest({_TOKS_LOWER.format(e='text')})), 1, 15)) AS BIGINT) AS h60
   FROM documents
 )"""
-_SIMHASH_BITSUMS = ", ".join(
-    f"sum(CASE WHEN (h60 >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b_{i}"
-    for i in range(D.SIMHASH_BITS)
+_SIMHASH_BITSUMS = "count(*) AS n_tok, " + ", ".join(
+    f"sum((h60 >> {i}) & 1) AS c_{i}" for i in range(D.SIMHASH_BITS)
 )
 _SIMHASH_RECON = " + ".join(
-    f"(CASE WHEN b_{i} > 0 THEN CAST(1 AS BIGINT) ELSE 0 END << {i})"
+    f"(CASE WHEN c_{i} * 2 > n_tok THEN CAST(1 AS BIGINT) ELSE 0 END << {i})"
     for i in range(D.SIMHASH_BITS)
 )
 

@@ -1,0 +1,146 @@
+"""Large-table (lineitem) analytics: the shuffle-heavy workloads that
+dominate at 100 TB — wide-table scan+agg, fact-to-fact join with
+top-k, and partitioned running totals.
+
+The reference has no lineitem-scale workload (its fact is ~1.5k rows);
+these queries extend the BI surface to the engine's real design point.
+All money math is decimal-cast before aggregation so Spark's
+partition-order-dependent double summation cannot drift from the
+oracle (README correctness model).
+
+Scale shapes:
+- li_pricing_summary: single scan, partial-agg groupBy on 2 low-card
+  keys, filter pushed to parquet.
+- li_revenue_topk: lineitem ⋈ orders on orderkey — broadcast at small
+  SF, AQE flips to sort-merge when orders outgrows the threshold; the
+  agg happens on the join key (no extra shuffle), then
+  TakeOrderedAndProject.
+- li_running_total: one shuffle on orderkey, in-partition ordered
+  window (no global sort)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+_CUTOFF = "1998-09-02"
+
+
+def li_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary.
+
+    Decimal discipline: inputs are cast to decimal BEFORE any
+    arithmetic — engines disagree on rounding *computed doubles* into
+    decimals (exact-binary-expansion vs shortest-repr), but they agree
+    on raw column casts; from there every multiply/add is exact
+    decimal math with pinned output scales."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
+    tax = F.col("l_tax").cast("decimal(4,2)")
+    disc_price = price * (F.lit(1).cast("decimal(3,2)") - disc)
+    charge = disc_price * (F.lit(1).cast("decimal(3,2)") + tax)
+    return (
+        li.filter(F.to_date("l_shipdate") <= _CUTOFF)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("decimal(18,2)").alias("sum_qty"),
+            F.sum(price).cast("decimal(18,2)").alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(24,4)").alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(24,6)").alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def li_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 1995 orders by discounted lineitem revenue."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    joined = li.join(
+        orders.filter(F.year("o_orderdate") == 1995).select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    return (
+        joined.groupBy("l_orderkey")
+        .agg(
+            F.sum(rev).cast("decimal(24,4)").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def li_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative price per order by line number (partitioned window).
+
+    RANGE frame, not ROWS: (l_orderkey, l_linenumber) is not unique in
+    the synthetic data, and a ROWS frame makes tied rows' running
+    values depend on physical order — RANGE gives every peer the
+    sum-through-its-linenumber, deterministic on any engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .over(w)
+        .alias("running_price"),
+    )
+
+
+QUERIES = {
+    "li_pricing_summary": li_pricing_summary,
+    "li_revenue_topk": li_revenue_topk,
+    "li_running_total": li_running_total,
+}
+
+ORACLES = {
+    "li_pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                    AS DECIMAL(24,4)) AS sum_disc_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                        * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2))))
+                    AS DECIMAL(24,6)) AS sum_charge,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) <= DATE '{_CUTOFF}'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "li_revenue_topk": """
+        SELECT l_orderkey,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                    AS DECIMAL(24,4)) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN (SELECT o_orderkey FROM orders WHERE year(o_orderdate) = 1995) o
+          ON l_orderkey = o.o_orderkey
+        GROUP BY l_orderkey
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    "li_running_total": """
+        SELECT l_orderkey, l_linenumber,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                 OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                       RANGE UNBOUNDED PRECEDING) AS running_price
+        FROM lineitem
+    """,
+}

@@ -15,9 +15,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .plans import bi, corpus, extended, functional, star
+from .plans import bi, corpus, extended, functional, pricing, star
 
-_MODULES = [star, bi, functional, corpus, extended]
+_MODULES = [star, bi, functional, corpus, extended, pricing]
 
 
 def _pinned(fn: Callable[[SparkSession, str], DataFrame]):
