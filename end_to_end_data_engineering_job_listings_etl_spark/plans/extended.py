@@ -144,6 +144,15 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-split exact distinct users per event type (two-phase salted
+    aggregation — no hot reducer; see operators/skew.py)."""
+    from ..operators.skew import salted_distinct_count
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_distinct_count(ev, "event_type", "user_id", buckets=16)
+
+
 def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 word bigrams across the corpus (tie-broken on the bigram
     so the selected set is engine-independent)."""
@@ -171,6 +180,7 @@ QUERIES = {
     "op_asof_last_view": op_asof_last_view,
     "op_sessionize": op_sessionize,
     "agg_approx_distinct": agg_approx_distinct,
+    "agg_salted_distinct": agg_salted_distinct,
     "text_top_bigrams": text_top_bigrams,
 }
 
@@ -243,6 +253,10 @@ ORACLES = {
         )
     """,
     # agg_approx_distinct: intentionally no oracle (HLL++-specific values).
+    "agg_salted_distinct": """
+        SELECT event_type, count(DISTINCT user_id) AS n_distinct
+        FROM events GROUP BY event_type
+    """,
     "text_top_bigrams": f"""
         SELECT bigram, count(*) AS n_docs
         FROM (SELECT unnest({_BIGRAMS}) AS bigram FROM documents)

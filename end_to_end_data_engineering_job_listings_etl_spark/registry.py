@@ -15,9 +15,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .plans import bi, corpus, extended, functional, pricing, star
+from .plans import bi, corpus, extended, functional, pricing, sqlviews, star
 
-_MODULES = [star, bi, functional, corpus, extended, pricing]
+_MODULES = [star, bi, functional, corpus, extended, pricing, sqlviews]
 
 
 def _pinned(fn: Callable[[SparkSession, str], DataFrame]):
