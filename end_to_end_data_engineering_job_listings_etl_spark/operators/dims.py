@@ -51,7 +51,13 @@ def build_dim(
     if mode == "bucketed":
         # Dense ids without a single-partition sort: row_number within a
         # hash bucket, then add the running count of all lower buckets.
-        bucket = F.pmod(F.hash(*key_names), F.lit(n_buckets)).alias("__bucket")
+        # Bucket hash is md5-based (not Murmur) so the assignment is
+        # portable across engines — the scale path stays oracle-checkable.
+        bucket = F.pmod(
+            F.conv(F.substring(F.md5(F.concat_ws("\x1f", *key_names)), 1, 8), 16, 10)
+            .cast("long"),
+            F.lit(n_buckets),
+        ).alias("__bucket")
         bucketed = distinct.select(bucket, *key_names)
         w_in = Window.partitionBy("__bucket").orderBy(*key_names)
         counts = bucketed.groupBy("__bucket").count()

@@ -153,6 +153,23 @@ def agg_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_distinct_count(ev, "event_type", "user_id", buckets=16)
 
 
+def dim_company_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalable surrogate-key path, oracle-checked: row_number
+    within md5-hash buckets plus per-bucket offsets — dense unique ids
+    with no single-partition window (SURVEY.md §7.3 mitigation)."""
+    from ..functions.normalize import norm_upper
+    from ..operators.dims import build_dim
+    from .star import landing
+
+    return build_dim(
+        landing(spark, sf_dir),
+        [norm_upper("c_name").alias("employer_name")],
+        "company_sk",
+        mode="bucketed",
+        n_buckets=16,
+    )
+
+
 def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 word bigrams across the corpus (tie-broken on the bigram
     so the selected set is engine-independent)."""
@@ -181,6 +198,7 @@ QUERIES = {
     "op_sessionize": op_sessionize,
     "agg_approx_distinct": agg_approx_distinct,
     "agg_salted_distinct": agg_salted_distinct,
+    "dim_company_bucketed": dim_company_bucketed,
     "text_top_bigrams": text_top_bigrams,
 }
 
@@ -256,6 +274,21 @@ ORACLES = {
     "agg_salted_distinct": """
         SELECT event_type, count(DISTINCT user_id) AS n_distinct
         FROM events GROUP BY event_type
+    """,
+    "dim_company_bucketed": f"""
+        {STAR_PREFIX},
+        d AS (SELECT DISTINCT trim(upper(c_name)) AS employer_name FROM landing
+              WHERE trim(upper(c_name)) IS NOT NULL),
+        bk AS (SELECT employer_name,
+                      CAST(concat('0x', substr(md5(employer_name), 1, 8)) AS BIGINT) % 16 AS b
+               FROM d),
+        r AS (SELECT employer_name, b,
+                     row_number() OVER (PARTITION BY b ORDER BY employer_name) AS rn
+              FROM bk),
+        o AS (SELECT b, count(*) AS c FROM bk GROUP BY b),
+        off AS (SELECT b, sum(c) OVER (ORDER BY b) - c AS ofs FROM o)
+        SELECT CAST(r.rn + off.ofs AS INTEGER) AS company_sk, r.employer_name
+        FROM r JOIN off USING (b)
     """,
     "text_top_bigrams": f"""
         SELECT bigram, count(*) AS n_docs

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 
 _CUTOFF = "1998-09-02"
+_CUTOFF_NEXT = "1998-09-03"
 
 
 def li_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -43,8 +44,11 @@ def li_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     tax = F.col("l_tax").cast("decimal(4,2)")
     disc_price = price * (F.lit(1).cast("decimal(3,2)") - disc)
     charge = disc_price * (F.lit(1).cast("decimal(3,2)") + tax)
+    # raw-column comparison, not to_date(l_shipdate) <= cutoff: the
+    # expression-wrapped form cannot reach PushedFilters; date <= d is
+    # exactly ts < d+1day on the underlying timestamp.
     return (
-        li.filter(F.to_date("l_shipdate") <= _CUTOFF)
+        li.filter(F.col("l_shipdate") < F.lit(_CUTOFF_NEXT).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(qty).cast("decimal(18,2)").alias("sum_qty"),
@@ -120,7 +124,7 @@ ORACLES = {
                     AS DECIMAL(24,6)) AS sum_charge,
                count(*) AS count_order
         FROM lineitem
-        WHERE CAST(l_shipdate AS DATE) <= DATE '{_CUTOFF}'
+        WHERE l_shipdate < TIMESTAMP '{_CUTOFF_NEXT} 00:00:00'
         GROUP BY l_returnflag, l_linestatus
     """,
     "li_revenue_topk": """

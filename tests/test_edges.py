@@ -1,0 +1,69 @@
+"""Edge-case behavior: empty inputs, nulls, degenerate documents."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from end_to_end_data_engineering_job_listings_etl_spark.functions.keywords import extract_keywords
+from end_to_end_data_engineering_job_listings_etl_spark.functions.relative_time import parse_relative_time
+from end_to_end_data_engineering_job_listings_etl_spark.functions.text import word_shingles
+from end_to_end_data_engineering_job_listings_etl_spark.operators.dedup import jaccard_pairs, minhash_signature
+from end_to_end_data_engineering_job_listings_etl_spark.operators.dims import build_dim
+
+_DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def test_build_dim_empty_input_both_modes(spark):
+    empty = spark.createDataFrame([], _DOC_SCHEMA)
+    for mode in ("global", "bucketed"):
+        dim = build_dim(empty, [F.col("text").alias("k")], "sk", mode=mode)
+        assert dim.count() == 0
+        assert dim.columns == ["sk", "k"]
+
+
+def test_build_dim_null_keys_rejected(spark):
+    df = spark.createDataFrame([(1, "a"), (2, None), (3, "a")], _DOC_SCHEMA)
+    dim = build_dim(df, [F.col("text").alias("k")], "sk")
+    rows = dim.collect()
+    assert [(r["sk"], r["k"]) for r in rows] == [(1, "a")]
+
+
+def test_extract_keywords_null_and_empty_text(spark):
+    df = spark.createDataFrame([(1, None), (2, ""), (3, "spark join")], _DOC_SCHEMA)
+    out = {r["doc_id"]: r["kw"] for r in df.select(
+        "doc_id", extract_keywords("text").alias("kw")
+    ).collect()}
+    assert out[1] == [] and out[2] == []
+    assert out[3] == ["join", "spark"]
+
+
+def test_relative_time_junk_is_null(spark):
+    df = spark.createDataFrame(
+        [(1, "3 weeks ago"), (2, "just now"), (3, None), (4, "-5 days ago"),
+         (5, "2 days ago")],
+        T.StructType([T.StructField("id", T.LongType()), T.StructField("s", T.StringType())]),
+    )
+    now = F.lit("2024-02-01 00:00:00").cast("timestamp")
+    out = {r["id"]: r["p"] for r in df.select(
+        "id", parse_relative_time("s", now).alias("p")
+    ).collect()}
+    assert out[1] is None and out[2] is None and out[3] is None and out[4] is None
+    assert out[5] is not None
+
+
+def test_short_docs_yield_no_shingles_or_pairs(spark):
+    df = spark.createDataFrame([(1, "one two"), (2, "a"), (3, "")], _DOC_SCHEMA)
+    sh = df.select(F.size(word_shingles("text", 3)).alias("n")).collect()
+    assert all(r["n"] == 0 for r in sh)
+    assert minhash_signature(df, "text", "doc_id", 4, 3).count() == 0
+
+
+def test_jaccard_single_doc_no_pairs(spark):
+    df = spark.createDataFrame([(1, "alpha beta gamma")], _DOC_SCHEMA)
+    assert jaccard_pairs(df, "text", "doc_id", threshold=0.0).count() == 0

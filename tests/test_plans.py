@@ -1,0 +1,63 @@
+"""Physical-plan quality gates: the properties that make these plans
+survive a 100x scale-up. Regressions here are perf bugs even when
+results stay correct."""
+
+from __future__ import annotations
+
+import re
+
+from end_to_end_data_engineering_job_listings_etl_spark.plans import bi, corpus, functional, pricing, star
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_fact_assembly_all_broadcast_no_smj(spark):
+    p = _plan(star.fact_orders(spark, SF_DIR))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_watermark_predicate_reaches_scan(spark):
+    p = _plan(functional.inc_watermark_agg(spark, SF_DIR))
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert pushed and any(
+        re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(ts", l) for l in pushed
+    ), pushed
+
+
+def test_pricing_filter_reaches_scan(spark):
+    p = _plan(pricing.li_pricing_summary(spark, SF_DIR))
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert pushed and any("LessThan(l_shipdate" in l for l in pushed), pushed
+
+
+def test_topk_compiles_to_take_ordered(spark):
+    p = _plan(bi.bi_top15_employers(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_text_stats_prunes_columns(spark):
+    p = _plan(corpus.text_stats(spark, SF_DIR))
+    scans = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert scans
+    # only doc_id + text should be read; lang/source/n_chars pruned
+    assert any("doc_id" in l and "text" in l for l in scans)
+    assert all("lang" not in l and "source" not in l for l in scans)
+
+
+def test_knn_broadcasts_probe_side(spark):
+    p = _plan(corpus.sim_knn_join(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_lsh_no_global_pair_explosion(spark):
+    """The LSH candidate join must join on the band bucket (hash
+    partitioned), never a cross product."""
+    p = _plan(corpus.dd_lsh_candidates(spark, SF_DIR))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
