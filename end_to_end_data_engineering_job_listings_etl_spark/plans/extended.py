@@ -153,6 +153,32 @@ def agg_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_distinct_count(ev, "event_type", "user_id", buckets=16)
 
 
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p50/p90) per event type — both
+    engines implement the same (n-1)*p linear interpolation, so
+    floor-scaled outputs are bit-exact. (approx_percentile is the
+    sketch-based scale path; like HLL it gets a tolerance test, not an
+    oracle.)"""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.floor(F.expr("percentile(value, 0.5)") * 1e6).cast("long").alias("p50_e6"),
+        F.floor(F.expr("percentile(value, 0.9)") * 1e6).cast("long").alias("p90_e6"),
+    )
+
+
+def jl_star_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference-shaped job-listings pipeline end to end (rows-only
+    check: its landing is synthesized in-engine, outside the oracle's
+    parquet views — full assertions live in tests/test_joblistings.py)."""
+    from .joblistings import build_star_schema, synth_job_listings
+
+    landing = synth_job_listings(spark, 200)
+    star = build_star_schema(
+        landing, now=F.lit("2025-07-01 00:00:00").cast("timestamp")
+    )
+    return star["FACT_JOB_POSTINGS"]
+
+
 def dim_company_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scalable surrogate-key path, oracle-checked: row_number
     within md5-hash buckets plus per-bucket offsets — dense unique ids
@@ -198,7 +224,9 @@ QUERIES = {
     "op_sessionize": op_sessionize,
     "agg_approx_distinct": agg_approx_distinct,
     "agg_salted_distinct": agg_salted_distinct,
+    "agg_percentiles": agg_percentiles,
     "dim_company_bucketed": dim_company_bucketed,
+    "jl_star_fact": jl_star_fact,
     "text_top_bigrams": text_top_bigrams,
 }
 
@@ -275,6 +303,13 @@ ORACLES = {
         SELECT event_type, count(DISTINCT user_id) AS n_distinct
         FROM events GROUP BY event_type
     """,
+    "agg_percentiles": """
+        SELECT event_type,
+               CAST(floor(quantile_cont(value, 0.5) * 1000000) AS BIGINT) AS p50_e6,
+               CAST(floor(quantile_cont(value, 0.9) * 1000000) AS BIGINT) AS p90_e6
+        FROM events GROUP BY event_type
+    """,
+    # jl_star_fact: rows-only (landing synthesized in-engine).
     "dim_company_bucketed": f"""
         {STAR_PREFIX},
         d AS (SELECT DISTINCT trim(upper(c_name)) AS employer_name FROM landing
