@@ -183,6 +183,37 @@ def jaccard_pairs(
     )
 
 
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: (id_a, id_b, cos_sim) for all
+    pairs with cosine ≥ threshold.
+
+    This is the exact (quadratic) verifier — run it on bounded
+    candidate sets only. The scale path is two-stage: bucket with
+    ``similarity.lsh_signature`` / ``ivf_assign`` first, then verify
+    each bucket's pairs with this operator."""
+    from ..functions.vectors import cosine
+
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va")
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb")
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 SIMHASH_BITS = 60  # 15 hex chars — fits signed int64 in every engine
 
 

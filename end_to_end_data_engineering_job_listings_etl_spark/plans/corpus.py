@@ -116,6 +116,20 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.knn_join(emb, probes, "embedding", "vec_id", k=5)
 
 
+_NEARDUP_MAX_ID = 80
+_NEARDUP_THRESHOLD = 0.3
+
+
+def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs on a bounded candidate set (the
+    exact verifier stage; LSH/IVF bucketing is the candidate
+    generator at scale)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _NEARDUP_MAX_ID
+    )
+    return D.embedding_neardup_pairs(emb, "embedding", "vec_id", _NEARDUP_THRESHOLD)
+
+
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN (rows-only check; invariant-tested against the
     brute-force ranking in tests)."""
@@ -242,6 +256,7 @@ QUERIES = {
     "dd_minhash_signatures": dd_minhash_signatures,
     "dd_lsh_candidates": dd_lsh_candidates,
     "dd_simhash": dd_simhash,
+    "dd_embedding_neardup": dd_embedding_neardup,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_knn_join": sim_knn_join,
     "sim_lsh_ann": sim_lsh_ann,
@@ -308,6 +323,17 @@ ORACLES = {
         WITH {_SIMHASH_TOKS_CTE},
         bitsums AS (SELECT doc_id, {_SIMHASH_BITSUMS} FROM toks GROUP BY doc_id)
         SELECT doc_id, CAST({_SIMHASH_RECON} AS BIGINT) AS simhash FROM bitsums
+    """,
+    "dd_embedding_neardup": f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id < {_NEARDUP_MAX_ID}
+        ), pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round({_cos('a.v', 'b.v')}, 6) AS cos_sim
+          FROM e a, e b WHERE a.vec_id < b.vec_id
+        )
+        SELECT * FROM pairs WHERE cos_sim >= {_NEARDUP_THRESHOLD}
     """,
     "sim_cosine_topk": f"""
         WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
