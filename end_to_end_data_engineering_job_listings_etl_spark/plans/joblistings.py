@@ -184,6 +184,201 @@ def build_star_schema(
     }
 
 
+def landing_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A reference-shaped ``job_listings`` landing derived from the
+    driver's parquet tables with pure column expressions — every column
+    is reproducible in ANSI SQL, which makes the ENTIRE reference
+    pipeline (relative-time parse, dirty-string normalization,
+    serialized-skills parse → explode → bridge) DuckDB-oracle-checkable
+    end to end, not just rows-only.
+
+    Mapping: one landing row per order; employer ← customer (with
+    case dirt), publisher ← order priority, employment type ← order
+    status, geography ← nation/region, posting date ← order date
+    (nulled for every 7th key), relative-time strings cycle through the
+    reference grammar incl. unparseable forms (F11 null path), skills ←
+    a Python-repr-style serialized pair of keywords indexed by order
+    key (the reference's CSV transport shape,
+    ``dags/spark_etl_script.py:132-135``)."""
+    from .star import landing as enriched
+
+    l = enriched(spark, sf_dir)
+    k = F.col("o_orderkey")
+    kws = F.array(*[F.lit(x) for x in SKILL_KEYWORDS])
+    kw1 = F.element_at(kws, (k % 12 + 1).cast("int"))
+    kw2 = F.element_at(kws, ((k * 5 + 2) % 12 + 1).cast("int"))
+    return l.select(
+        F.concat(F.lit("Engineer "), k.cast("string")).alias("job_title"),
+        F.when(k % 3 == 0, F.upper("c_name"))
+        .otherwise(F.lower("c_name"))
+        .alias("employer_name"),
+        F.col("o_orderpriority").alias("job_publisher"),
+        F.when(F.col("o_orderstatus") == "O", F.lit(" full-time "))
+        .when(F.col("o_orderstatus") == "F", F.lit("PART-TIME"))
+        .otherwise(F.lit("contract"))
+        .alias("job_employment_type"),
+        F.concat(F.lit("We use "), kw1, F.lit(" and "), kw2, F.lit(" daily.")).alias(
+            "job_description"
+        ),
+        (k % 4 == 0).alias("job_is_remote"),
+        F.when(k % 5 == 0, F.concat((k % 23 + 1).cast("string"), F.lit(" days ago")))
+        .when(k % 5 == 1, F.concat((k % 11 + 1).cast("string"), F.lit(" hours ago")))
+        .when(k % 5 == 2, F.lit("yesterday"))
+        .when(k % 5 == 3, F.lit("3 weeks ago"))
+        .otherwise(F.lit("just posted"))
+        .alias("job_posted_at"),
+        F.when(k % 7 != 0, F.date_format("o_orderdate", "yyyy-MM-dd")).alias(
+            "job_posted_at_datetime_utc"
+        ),
+        F.concat("n_name", F.lit(", "), "r_name").alias("job_location"),
+        F.col("n_name").alias("job_city"),
+        F.col("r_name").alias("job_state"),
+        F.col("n_name").alias("job_country"),
+        F.concat(
+            F.lit('{"Qualifications": ["'), kw1, F.lit('"], "Benefits": []}')
+        ).alias("job_highlights"),
+        F.concat(F.lit('["'), kw1, F.lit('", "'), kw2, F.lit('"]')).alias("skills"),
+    )
+
+
+def jl_fact_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference-shaped FACT_JOB_POSTINGS over the parquet-derived
+    landing — the full ``dags/spark_etl_script.py`` fact path under the
+    DuckDB value-hash gate."""
+    star = build_star_schema(landing_from_orders(spark, sf_dir))
+    return star["FACT_JOB_POSTINGS"]
+
+
+def jl_bridge_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRIDGE_JOB_SKILL over the parquet-derived landing: serialized
+    skills → translate/split parse → explode → initcap dim → fact join
+    → distinct pairs (``dags/spark_etl_script.py:132-144,175-179``),
+    oracle-checked."""
+    star = build_star_schema(landing_from_orders(spark, sf_dir))
+    return star["BRIDGE_JOB_SKILL"]
+
+
+# --- DuckDB oracles -------------------------------------------------------
+
+# DuckDB has no initcap; emulate Spark's whitespace-word initcap
+# (upper first letter, lower the rest, whitespace preserved by
+# split/join on single spaces).
+def _initcap(expr: str) -> str:
+    return (
+        "array_to_string(list_transform(string_split({e}, ' '), "
+        "w -> upper(w[1]) || lower(w[2:])), ' ')"
+    ).format(e=expr)
+
+
+_KW_LIST = "[" + ", ".join(f"'{k}'" for k in SKILL_KEYWORDS) + "]"
+
+_JL_PREFIX = f"""
+WITH enriched AS (
+  SELECT o.*, c.c_name, n.n_name, r.r_name
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+),
+jl AS (
+  SELECT
+    'Engineer ' || CAST(o_orderkey AS VARCHAR) AS job_title,
+    CASE WHEN o_orderkey % 3 = 0 THEN upper(c_name) ELSE lower(c_name) END AS employer_name,
+    o_orderpriority AS job_publisher,
+    CASE o_orderstatus WHEN 'O' THEN ' full-time ' WHEN 'F' THEN 'PART-TIME'
+         ELSE 'contract' END AS job_employment_type,
+    o_orderkey % 4 = 0 AS job_is_remote,
+    CASE WHEN o_orderkey % 7 != 0 THEN strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') END
+      AS job_posted_at_datetime_utc,
+    n_name || ', ' || r_name AS job_location,
+    n_name AS job_city, r_name AS job_state, n_name AS job_country,
+    {_KW_LIST}[CAST(o_orderkey % 12 AS INT) + 1] AS kw1,
+    {_KW_LIST}[CAST((o_orderkey * 5 + 2) % 12 AS INT) + 1] AS kw2
+  FROM enriched
+),
+base AS (
+  SELECT jl.*,
+    CAST(row_number() OVER (
+      ORDER BY job_title, employer_name, job_posted_at_datetime_utc
+    ) AS INT) AS job_natural_key,
+    CAST(job_posted_at_datetime_utc AS TIMESTAMP) AS job_posted_at_utc
+  FROM jl
+),
+dim_company AS (
+  SELECT CAST(row_number() OVER (ORDER BY employer_name) AS INT) AS company_sk,
+         employer_name
+  FROM (SELECT DISTINCT trim(upper(employer_name)) AS employer_name FROM base)
+  WHERE employer_name IS NOT NULL
+),
+dim_publisher AS (
+  SELECT CAST(row_number() OVER (ORDER BY publisher_name) AS INT) AS publisher_sk,
+         publisher_name
+  FROM (SELECT DISTINCT trim({_initcap('job_publisher')}) AS publisher_name FROM base)
+  WHERE publisher_name IS NOT NULL
+),
+dim_employment_type AS (
+  SELECT CAST(row_number() OVER (ORDER BY employment_type_name) AS INT) AS employment_type_sk,
+         employment_type_name
+  FROM (SELECT DISTINCT trim({_initcap('job_employment_type')}) AS employment_type_name FROM base)
+  WHERE employment_type_name IS NOT NULL
+),
+dim_location AS (
+  SELECT CAST(row_number() OVER (
+           ORDER BY job_location, job_city, job_state, job_country
+         ) AS INT) AS location_sk,
+         job_location, job_city, job_state, job_country
+  FROM (SELECT DISTINCT job_location, job_city, job_state, job_country FROM base)
+  WHERE job_location IS NOT NULL
+),
+dim_date AS (
+  SELECT DISTINCT
+    CAST(strftime(CAST(job_posted_at_utc AS DATE), '%Y%m%d') AS INT) AS date_sk,
+    CAST(job_posted_at_utc AS DATE) AS full_date
+  FROM base WHERE job_posted_at_utc IS NOT NULL
+),
+skills AS (
+  SELECT job_natural_key, unnest([kw1, kw2]) AS skill_raw FROM base
+),
+dim_skill AS (
+  SELECT CAST(row_number() OVER (ORDER BY skill_name) AS INT) AS skill_sk, skill_name
+  FROM (SELECT DISTINCT trim({_initcap('skill_raw')}) AS skill_name
+        FROM skills WHERE skill_raw != '')
+  WHERE skill_name IS NOT NULL
+),
+fact AS (
+  SELECT
+    CAST(row_number() OVER (ORDER BY b.job_natural_key) AS INT) AS job_posting_pk,
+    b.job_natural_key AS job_sk,
+    dc.company_sk, dl.location_sk, dd.date_sk,
+    de.employment_type_sk, dp.publisher_sk,
+    1 AS job_count
+  FROM base b
+  LEFT JOIN dim_company dc ON trim(upper(b.employer_name)) = dc.employer_name
+  LEFT JOIN dim_publisher dp
+    ON trim({_initcap('b.job_publisher')}) = dp.publisher_name
+  LEFT JOIN dim_employment_type de
+    ON trim({_initcap('b.job_employment_type')}) = de.employment_type_name
+  LEFT JOIN dim_location dl
+    ON b.job_location = dl.job_location AND b.job_city = dl.job_city
+   AND b.job_state = dl.job_state AND b.job_country = dl.job_country
+  LEFT JOIN dim_date dd ON CAST(b.job_posted_at_utc AS DATE) = dd.full_date
+)"""
+
+QUERIES = {
+    "jl_fact_checked": jl_fact_checked,
+    "jl_bridge_checked": jl_bridge_checked,
+}
+
+ORACLES = {
+    "jl_fact_checked": f"{_JL_PREFIX} SELECT * FROM fact",
+    "jl_bridge_checked": f"""{_JL_PREFIX}
+SELECT DISTINCT f.job_posting_pk, ds.skill_sk
+FROM skills s
+JOIN dim_skill ds ON trim({_initcap('s.skill_raw')}) = ds.skill_name
+JOIN fact f ON s.job_natural_key = f.job_sk""",
+}
+
+
 def synth_job_listings(spark: SparkSession, n: int = 200) -> DataFrame:
     """Deterministic reference-shaped landing table (FIXTURES.md
     fixture 2): dirty employment types (en-dash variants), relative

@@ -1,0 +1,319 @@
+"""Registry surface for the streaming, multimodal, and sink layers —
+the operators that normally dodge the SQL gate, pushed through it.
+
+- Structured Streaming drained with ``trigger(availableNow)`` into a
+  memory sink equals the batch aggregation over the same files, so the
+  windowed rollup and the custom ``applyInPandasWithState`` operator
+  both get real DuckDB oracles (batch parity per SURVEY.md §2.10).
+- Multimodal binary columns are derived from ``documents`` with
+  ASCII-hex payloads (payload = utf8(md5(text) × 4)), which keeps every
+  byte-level operation (binary substring, hex, md5-of-payload)
+  reproducible in ANSI SQL while the plumbing (binary columns, typed
+  metadata, mapInPandas featurization, frame-offset explode) is the
+  real 100 TB shape.
+- The partitioned-parquet sink (reference K5,
+  ``scripts/pyspark/extract_postgres_table.py:68-70``) is checked as a
+  write→scan→prune→aggregate roundtrip: the oracle aggregates the
+  source directly, so a wrong partition layout or a broken pruned scan
+  fails the hash.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+# ---------------------------------------------------------------------------
+# Streaming through the gate
+# ---------------------------------------------------------------------------
+
+
+def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling-window event counts computed BY THE STREAMING
+    ENGINE (file source → watermark → window agg → availableNow drain →
+    memory sink), returned as a batch DataFrame. Epoch-aligned '1 hour'
+    windows are exactly date_trunc('hour') buckets, so the oracle is
+    plain SQL."""
+    from ..streaming.watermark import (
+        events_stream_dir,
+        run_to_memory_sink,
+        stream_events,
+        windowed_event_counts,
+    )
+
+    name = f"stream_counts_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_win_")
+    agg = windowed_event_counts(stream_events(spark, events_stream_dir(sf_dir)))
+    run_to_memory_sink(agg, name, ckpt)
+    return spark.table(name)
+
+
+def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState`` running
+    per-user totals) drained with availableNow: the final state per
+    user equals the batch GROUP BY. Totals are rounded in BOTH engines
+    to absorb float-association noise (pandas pairwise sum vs scan-order
+    sum)."""
+    from ..streaming.stateful import running_user_totals
+    from ..streaming.watermark import events_stream_dir, stream_events
+
+    name = f"stream_totals_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_tot_")
+    stream = running_user_totals(stream_events(spark, events_stream_dir(sf_dir)))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode re-emits a user's row per micro-batch; keep the last
+    # (= max n_events) state per user so multi-batch drains stay exact.
+    totals = spark.table(name)
+    latest = totals.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("total_value").alias("total_value"),
+    )
+    return latest.select(
+        "user_id", "n_events", F.round("total_value", 2).alias("total_value_r")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary columns, oracle-checkable derivation
+# ---------------------------------------------------------------------------
+
+_KINDS = ("image", "audio", "video")
+
+
+def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary payloads + typed metadata derived from the
+    ``documents`` table: payload = utf8 bytes of md5(text) repeated 4×
+    (128 ASCII bytes — char ops == byte ops, so DuckDB can reproduce
+    every slice/hash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    kind = F.element_at(
+        F.array(*[F.lit(k) for k in _KINDS]),
+        (F.col("doc_id") % 3).cast("int") + 1,
+    )
+    payload_text = F.repeat(F.md5("text"), 4)
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(payload_text, "UTF-8").alias("payload"),
+        F.concat(F.lit("application/x-fake-"), kind).alias("mime"),
+        F.lit(128).cast("long").alias("n_bytes"),
+    )
+
+
+def mm_meta_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata + content-hash plan over the binary column: md5 runs on
+    the payload BYTES in Spark and on the equivalent varchar in DuckDB
+    (identical utf8 bytes). A metadata-only projection of this plan
+    prunes the payload at the parquet scan."""
+    media = media_from_documents(spark, sf_dir)
+    return media.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Arrow-batched mapInPandas featurization (stubbed codec —
+    sha1-derived dims/features; rows-only: DuckDB has no sha1).
+    Deterministic per payload, asserted in tests/test_io_multimodal."""
+    from ..multimodal.binary_ops import extract_features
+
+    return extract_features(media_from_documents(spark, sf_dir)).select(
+        "media_id", "kind", "n_bytes", "sha1", "width", "height"
+    )
+
+
+def mm_frame_sample_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video payloads: explode byte offsets, slice
+    8 'frame' bytes at each — binary substring semantics under the
+    hash gate (hex-encoded; lowercased to normalize engines' case)."""
+    from ..multimodal.binary_ops import frame_sample
+
+    frames = frame_sample(media_from_documents(spark, sf_dir), every_n_bytes=64)
+    return frames.select(
+        "media_id",
+        "frame_offset",
+        F.lower(F.hex("frame_bytes")).alias("frame_hex"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Partitioned sink roundtrip (K5) + sketch accuracy gate
+# ---------------------------------------------------------------------------
+
+
+def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 partitioned parquet write → re-scan with a partition filter →
+    aggregate. The oracle computes the same aggregate off the source
+    table, so a broken partition layout, dropped rows, or a bad pruned
+    read all fail the value hash. Decimal-cast before summing (exact
+    decimal math both engines)."""
+    path = os.path.join(tempfile.mkdtemp(prefix="sink_k5_"), "events_by_type")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_d", F.col("value").cast("decimal(18,6)")
+    )
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(path)
+    back = spark.read.parquet(path).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("value_d").cast("decimal(24,6)").alias("sum_value"),
+    )
+
+
+def agg_approx_distinct_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch accuracy under the hash gate: exact distinct counts
+    plus booleans asserting the sketch landed within 5% relative error
+    (rsd=0.02). The oracle pins the exact counts and TRUE — a drifting
+    sketch fails the gate, not just a pytest."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("ap"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("ao"),
+    )
+    return agg.select(
+        "exact_parts",
+        "exact_orders",
+        (F.abs(F.col("ap") - F.col("exact_parts")) / F.col("exact_parts") < 0.05).alias(
+            "approx_parts_ok"
+        ),
+        (
+            F.abs(F.col("ao") - F.col("exact_orders")) / F.col("exact_orders") < 0.05
+        ).alias("approx_orders_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (rolling hash) — beyond-reference text layer
+# ---------------------------------------------------------------------------
+
+_K, _W = 5, 4  # shingle chars, winnow window
+_COEFS = [31 ** (_K - 1 - j) for j in range(_K)]
+
+
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    char 5-gram polynomial rolling hashes, min-sampled over a sliding
+    window of 4 — all as array expressions inside codegen (no UDF).
+    Per-doc fingerprint-set stats keep the output compact; the same
+    arithmetic runs in DuckDB list comprehensions."""
+    docs = load_table(spark, sf_dir, "documents")
+    poly = " + ".join(
+        f"ascii(substring(txt, i + {j}, 1)) * {c}" for j, c in enumerate(_COEFS)
+    )
+    return (
+        docs.selectExpr("doc_id", "lower(substring(text, 1, 400)) AS txt")
+        .where(f"length(txt) >= {_K + _W - 1}")
+        .selectExpr(
+            "doc_id",
+            f"transform(sequence(1, length(txt) - {_K} + 1), i -> {poly}) AS hashes",
+        )
+        .selectExpr(
+            "doc_id",
+            f"array_distinct(transform(sequence(1, size(hashes) - {_W} + 1),"
+            f" ws -> array_min(slice(hashes, ws, {_W})))) AS fps",
+        )
+        .selectExpr(
+            "doc_id",
+            "cast(size(fps) AS bigint) AS n_fingerprints",
+            "cast(array_min(fps) AS bigint) AS min_fp",
+            "cast(array_max(fps) AS bigint) AS max_fp",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracles
+# ---------------------------------------------------------------------------
+
+_WINNOW_POLY = " + ".join(
+    f"ascii(substr(txt, i + {j}, 1)) * {c}" for j, c in enumerate(_COEFS)
+)
+
+QUERIES = {
+    "stream_window_counts": stream_window_counts,
+    "stream_user_totals": stream_user_totals,
+    "mm_meta_checked": mm_meta_checked,
+    "mm_features": mm_features,
+    "mm_frame_sample_checked": mm_frame_sample_checked,
+    "sink_partitioned_roundtrip": sink_partitioned_roundtrip,
+    "agg_approx_distinct_checked": agg_approx_distinct_checked,
+    "text_winnow_fingerprints": text_winnow_fingerprints,
+}
+
+ORACLES = {
+    "stream_window_counts": """
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+       date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2, 3""",
+    "stream_user_totals": """
+SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value_r
+FROM events GROUP BY user_id""",
+    "mm_meta_checked": """
+SELECT doc_id AS media_id,
+       (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+       CAST(128 AS BIGINT) AS n_bytes,
+       md5(repeat(md5(text), 4)) AS payload_md5
+FROM documents""",
+    "mm_frame_sample_checked": """
+SELECT doc_id AS media_id,
+       off AS frame_offset,
+       lower(hex(encode(substr(repeat(md5(text), 4), CAST(off AS INT) + 1, 8)))) AS frame_hex
+FROM documents
+CROSS JOIN (SELECT unnest(generate_series(0, 127, 64)) AS off) t
+WHERE doc_id % 3 = 2""",
+    "sink_partitioned_roundtrip": """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(24,6)) AS sum_value
+FROM events WHERE event_type IN ('click', 'purchase')
+GROUP BY event_type""",
+    "agg_approx_distinct_checked": """
+SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+       COUNT(DISTINCT l_orderkey) AS exact_orders,
+       TRUE AS approx_parts_ok,
+       TRUE AS approx_orders_ok
+FROM lineitem""",
+    "text_winnow_fingerprints": f"""
+WITH prepared AS (
+  SELECT doc_id, lower(substr(text, 1, 400)) AS txt FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         list_transform(range(1, length(txt) - {_K} + 2),
+                        i -> {_WINNOW_POLY}) AS hashes
+  FROM prepared WHERE length(txt) >= {_K + _W - 1}
+),
+winnowed AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(hashes) - {_W} + 2),
+                       ws -> list_min(hashes[ws:ws + {_W} - 1]))) AS fps
+  FROM hashed
+)
+SELECT doc_id,
+       CAST(len(fps) AS BIGINT) AS n_fingerprints,
+       CAST(list_min(fps) AS BIGINT) AS min_fp,
+       CAST(list_max(fps) AS BIGINT) AS max_fp
+FROM winnowed""",
+}

@@ -15,9 +15,29 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .plans import bi, corpus, extended, functional, pricing, sqlviews, star
+from .plans import (
+    bi,
+    corpus,
+    extended,
+    functional,
+    joblistings,
+    media_stream,
+    pricing,
+    sqlviews,
+    star,
+)
 
-_MODULES = [star, bi, functional, corpus, extended, pricing, sqlviews]
+_MODULES = [
+    star,
+    bi,
+    functional,
+    corpus,
+    extended,
+    pricing,
+    sqlviews,
+    joblistings,
+    media_stream,
+]
 
 
 def _pinned(fn: Callable[[SparkSession, str], DataFrame]):
