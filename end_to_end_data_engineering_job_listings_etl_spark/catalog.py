@@ -55,6 +55,53 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+_DIST_CACHE: dict[tuple, DataFrame] = {}
+
+
+def load_table_dist(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    cols: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """``load_table`` for map-heavy consumers (hashing, shingling,
+    keyword scans): if the scan yields fewer partitions than the
+    cluster has slots — single-row-group files can never split, so a
+    small-SF corpus scans as ONE task — round-robin repartition to
+    defaultParallelism and persist (memoized per session).
+
+    Scale posture: at 100 TB inputs carry thousands of row groups and
+    the scan already saturates the cluster, so the condition is false
+    and this is exactly ``load_table`` — no repartition shuffle is ever
+    added on big inputs.
+
+    ``cols`` prunes the projection BEFORE any persist, so the parquet
+    scan's ReadSchema carries only those columns and the cached
+    relation is no wider than the query needs (caching a full-width
+    table would silently defeat column pruning — the plan-quality
+    tests check this).
+    """
+    key = (spark, sf_dir, name, cols)
+    hit = _DIST_CACHE.get(key)
+    if hit is not None:
+        return hit
+    df = load_table(spark, sf_dir, name)
+    if cols is not None:
+        df = df.select(*cols)
+    slots = spark.sparkContext.defaultParallelism
+    # Estimate scan tasks from file bytes (an .rdd probe would cost a
+    # full plan→RDD conversion): ceil(bytes / maxPartitionBytes) is the
+    # upper bound on split count Spark will attempt.
+    n_bytes = os.path.getsize(os.path.join(sf_dir, f"{name}.parquet"))
+    max_split = int(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b")
+    )
+    if -(-n_bytes // max_split) < slots:
+        df = df.repartition(slots).persist()
+    _DIST_CACHE[key] = df
+    return df
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, register: bool = True
 ) -> dict[str, DataFrame]:

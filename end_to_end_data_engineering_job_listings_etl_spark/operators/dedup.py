@@ -86,10 +86,14 @@ def minhash_signature(
         F.col(id_col),
         F.explode(shingles_from_tokens(F.col("__toks"), shingle_k)).alias("sh"),
     )
-    h0 = F.conv(F.substring(F.md5(F.col("sh")), 1, 8), 16, 10).cast("long")
-    based = shingled.select(F.col(id_col), h0.alias("h0"))
+    based = shingled.selectExpr(
+        id_col,
+        "cast(conv(substring(md5(sh), 1, 8), 16, 10) AS bigint) AS h0",
+    )
+    # SQL-text expressions: one parser call per column, not one py4j
+    # round trip per arithmetic node (driver-side seconds at width 16+).
     mins = [
-        F.min((F.lit(a) * F.col("h0") + F.lit(b)) % MINHASH_PRIME).alias(f"mh_{i}")
+        F.expr(f"min(({a} * h0 + {b}) % {MINHASH_PRIME}) AS mh_{i}")
         for i, (a, b) in enumerate(minhash_params(num_hashes))
     ]
     return based.groupBy(id_col).agg(*mins)
@@ -111,19 +115,20 @@ def minhash_lsh_pairs(
     sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_k)
     rows_per_band = num_hashes // bands
     band_cols = [
-        F.md5(
-            F.concat_ws(
-                "|",
-                F.lit(str(b)),
-                *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
-            )
-        ).alias(f"band_{b}")
+        "md5(concat_ws('|', '{b}', {cols})) AS band_{b}".format(
+            b=b,
+            cols=", ".join(
+                f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
         for b in range(bands)
     ]
-    banded = sig.select(F.col(id_col), *band_cols)
-    stacked = banded.select(
-        F.col(id_col),
-        F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias("bucket"),
+    banded = sig.selectExpr(id_col, *band_cols)
+    stacked = banded.selectExpr(
+        id_col,
+        "explode(array({})) AS bucket".format(
+            ", ".join(f"band_{b}" for b in range(bands))
+        ),
     )
     a = stacked.alias("a")
     b = stacked.alias("b")
@@ -228,21 +233,35 @@ def simhash60(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     from ..functions.text import tokens
 
     toks = df.select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
-    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
-    toks = toks.select(F.col(id_col), h.alias("h60"))
-    # sum of ±1 per bit == 2*popcount_i - n: aggregate plain bit sums
-    # (branch-free) plus one count, reconstruct the sign from 2c > n.
-    bit_sums = [
-        F.sum(F.shiftright(F.col("h60"), i).bitwiseAND(F.lit(1))).alias(f"c_{i}")
-        for i in range(SIMHASH_BITS)
-    ]
-    agg = toks.groupBy(id_col).agg(F.count("*").alias("n_tok"), *bit_sums)
-    sim = None
-    for i in range(SIMHASH_BITS):
-        bit = (
-            F.when(F.col(f"c_{i}") * 2 > F.col("n_tok"), F.lit(1).cast("long"))
-            .otherwise(F.lit(0).cast("long"))
+    toks = toks.selectExpr(
+        id_col,
+        "cast(conv(substring(md5(tok), 1, 15), 16, 10) AS bigint) AS h60",
+    )
+    # sum of ±1 per bit == 2*popcount_i - n: aggregate per-bit counts
+    # plus one total, reconstruct the sign from 2c > n. The 60 counts
+    # are lane-packed SIMD-style — 4 counts per long in 16-bit lanes —
+    # so the hash aggregate carries 16 buffers instead of 61 (~4× less
+    # per-row agg work, far less generated code to JIT). Lanes bound a
+    # per-doc token count at 65,535; chunk longer docs upstream.
+    # Expressions are built as SQL text: one parser call each, not one
+    # py4j round trip per bit-op (hundreds of driver RPCs ≈ seconds).
+    lane_sums = [
+        "sum("
+        + " + ".join(
+            f"shiftleft(shiftright(h60, {4 * k + j}) & 1, {16 * j})"
+            for j in range(4)
         )
-        term = F.shiftleft(bit, i)
-        sim = term if sim is None else sim + term
-    return agg.select(F.col(id_col), sim.alias("simhash"))
+        + f") AS s_{k}"
+        for k in range(SIMHASH_BITS // 4)
+    ]
+    agg = toks.groupBy(id_col).agg(
+        F.expr("count(*) AS n_tok"), *[F.expr(e) for e in lane_sums]
+    )
+    sim_terms = []
+    for i in range(SIMHASH_BITS):
+        k, j = divmod(i, 4)
+        sim_terms.append(
+            f"shiftleft(cast((shiftright(s_{k}, {16 * j}) & 65535) * 2 > n_tok"
+            f" AS bigint), {i})"
+        )
+    return agg.selectExpr(id_col, "(" + " + ".join(sim_terms) + ") AS simhash")

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, load_table_dist
 from ..functions import text as T
 from ..operators import dedup as D
 from ..operators import similarity as S
@@ -41,7 +41,7 @@ def _e6(col) -> F.Column:
 
 
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_dist(spark, sf_dir, "documents", cols=("doc_id", "text"))
     return docs.select(
         "doc_id",
         T.char_count("text").alias("n_chars"),
@@ -55,7 +55,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_dist(spark, sf_dir, "documents", cols=("doc_id", "text", "lang"))
     scored = docs.select("doc_id", "lang", *T.lang_scores("text"))
     langs = list(T.LANG_MARKERS)
     pred = None
@@ -69,7 +69,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dd_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_dist(spark, sf_dir, "documents", cols=("doc_id", "text"))
     return docs.select(T.fingerprint("text").alias("fp")).agg(
         F.count("*").alias("n_docs"),
         F.countDistinct("fp").alias("n_unique"),
@@ -77,41 +77,41 @@ def dd_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dd_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter(
+    docs = load_table_dist(spark, sf_dir, "documents", cols=("doc_id", "text")).filter(
         F.col("doc_id") < _JACCARD_MAX_ID
     )
     return D.jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
 
 
 def dd_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_dist(spark, sf_dir, "documents", cols=("doc_id", "text"))
     return D.minhash_signature(docs, "text", "doc_id", _MINHASH_K, _SHINGLE_K)
 
 
 def dd_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_dist(spark, sf_dir, "documents", cols=("doc_id", "text"))
     return D.minhash_lsh_pairs(docs, "text", "doc_id", _MINHASH_K, _LSH_BANDS, _SHINGLE_K)
 
 
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_dist(spark, sf_dir, "documents", cols=("doc_id", "text"))
     return D.simhash60(docs, "text", "doc_id")
 
 
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_dist(spark, sf_dir, "embeddings", cols=("vec_id", "embedding"))
     row = emb.filter(F.col("vec_id") == vec_id).select("embedding").collect()[0]
     return [float(v) for v in row["embedding"]]
 
 
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _query_vec(spark, sf_dir, 0)
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_dist(spark, sf_dir, "embeddings", cols=("vec_id", "embedding"))
     return S.cosine_topk(emb, "embedding", "vec_id", q, k=20)
 
 
 def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_dist(spark, sf_dir, "embeddings", cols=("vec_id", "embedding"))
     probes = emb.filter(F.col("vec_id") < 5)
     return S.knn_join(emb, probes, "embedding", "vec_id", k=5)
 
@@ -124,7 +124,7 @@ def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs on a bounded candidate set (the
     exact verifier stage; LSH/IVF bucketing is the candidate
     generator at scale)."""
-    emb = load_table(spark, sf_dir, "embeddings").filter(
+    emb = load_table_dist(spark, sf_dir, "embeddings", cols=("vec_id", "embedding")).filter(
         F.col("vec_id") < _NEARDUP_MAX_ID
     )
     return D.embedding_neardup_pairs(emb, "embedding", "vec_id", _NEARDUP_THRESHOLD)
@@ -133,7 +133,7 @@ def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN (rows-only check; invariant-tested against the
     brute-force ranking in tests)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_dist(spark, sf_dir, "embeddings", cols=("vec_id", "embedding"))
     centroids = [
         (i, _query_vec(spark, sf_dir, vid)) for i, vid in enumerate([0, 7, 13, 42])
     ]
@@ -146,7 +146,7 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     are generated Python-side; re-stating them in SQL adds no oracle
     value — cosine parity is already proven by sim_cosine_topk)."""
     q = _query_vec(spark, sf_dir, 0)
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_dist(spark, sf_dir, "embeddings", cols=("vec_id", "embedding"))
     return S.lsh_ann(emb, "embedding", "vec_id", q, k=10, n_planes=6)
 
 

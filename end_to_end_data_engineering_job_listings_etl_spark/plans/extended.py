@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, load_table_dist
 from ..functions.normalize import norm_initcap
 from .star import STAR_PREFIX, star_wide
 
@@ -201,7 +201,7 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the selected set is engine-independent)."""
     from ..functions.text import shingles_from_tokens, tokens
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_dist(spark, sf_dir, "documents", cols=("doc_id", "text"))
     grams = docs.select(
         tokens(F.lower(F.col("text"))).alias("__toks")
     ).select(F.explode(shingles_from_tokens(F.col("__toks"), 2)).alias("bigram"))

@@ -27,7 +27,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, load_table_dist
 
 # ---------------------------------------------------------------------------
 # Streaming through the gate
@@ -99,7 +99,7 @@ def media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``documents`` table: payload = utf8 bytes of md5(text) repeated 4×
     (128 ASCII bytes — char ops == byte ops, so DuckDB can reproduce
     every slice/hash)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_dist(spark, sf_dir, "documents", cols=("doc_id", "text"))
     kind = F.element_at(
         F.array(*[F.lit(k) for k in _KINDS]),
         (F.col("doc_id") % 3).cast("int") + 1,
@@ -216,7 +216,7 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     window of 4 — all as array expressions inside codegen (no UDF).
     Per-doc fingerprint-set stats keep the output compact; the same
     arithmetic runs in DuckDB list comprehensions."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_dist(spark, sf_dir, "documents", cols=("doc_id", "text"))
     poly = " + ".join(
         f"ascii(substring(txt, i + {j}, 1)) * {c}" for j, c in enumerate(_COEFS)
     )

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, load_table_dist
 from ..functions.dates import date_attributes
 from ..functions.keywords import DEFAULT_KEYWORDS, extract_keywords
 from ..functions.normalize import norm_initcap, norm_upper
@@ -83,7 +83,12 @@ def landing(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _LANDING_CACHE.get(key)
     if cached is not None:
         return cached
-    orders = load_table(spark, sf_dir, "orders")
+    # orders through the parallel loader: a single-row-group file scans
+    # as ONE task, and a persist inherits that single partition — every
+    # dim build and the fact join would then run single-threaded off
+    # the cache. load_table_dist pre-spreads narrow scans; on big
+    # inputs (many row groups) it is a plain load_table.
+    orders = load_table_dist(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
@@ -161,7 +166,7 @@ def dim_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document extracted keyword set (skills analog, §2.10) then
     exploded — E1 + P3 empty-filter."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_dist(spark, sf_dir, "documents", cols=("doc_id", "text"))
     return (
         docs.select(
             "doc_id", F.explode(extract_keywords("text")).alias("keyword_raw")
@@ -226,9 +231,19 @@ def star_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left",
     )
     j = j.join(F.broadcast(dd), j["__odate"] == dd["full_date"], "left")
-    w = Window.orderBy("o_orderkey")
+    # order_pk = row_number over o_orderkey, but computed on a narrow
+    # single-column projection and broadcast-joined back (1:1 on the
+    # unique key): the wide join output never crosses the
+    # single-partition window exchange — only 150k longs do. Same
+    # values as a global window over the joined frame (the oracle's
+    # row_number() OVER (ORDER BY o_orderkey)).
+    keymap = base.select("o_orderkey").select(
+        "o_orderkey",
+        F.row_number().over(Window.orderBy("o_orderkey")).alias("order_pk"),
+    )
+    j = j.join(F.broadcast(keymap), "o_orderkey")
     return j.select(
-        F.row_number().over(w).alias("order_pk"),
+        F.col("order_pk"),
         "o_orderkey",
         "company_sk",
         "employer_name",

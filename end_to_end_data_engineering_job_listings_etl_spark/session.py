@@ -37,6 +37,12 @@ def get_spark(app_name: str = "end_to_end_data_engineering_job_listings_etl_spar
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # Cached frames here are small dims / landing cuts (≪ heap);
+        # skip columnar-cache compression to trade a little memory for
+        # materially faster cache builds. Revisit if a deployment caches
+        # frames near executor-memory scale.
+        .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
+        .config("spark.sql.inMemoryColumnarStorage.batchSize", "50000")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
