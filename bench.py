@@ -41,6 +41,10 @@ HEADLINE = [
     "dd_simhash",
     "sim_cosine_topk",
     "sim_knn_join",
+    "jl_fact_checked",
+    "text_winnow_fingerprints",
+    "mm_meta_checked",
+    "stream_window_counts",
 ]
 
 

@@ -57,13 +57,20 @@ def build_star_schema(
         "job_posted_at_ts", parse_relative_time("job_posted_at", now)
     ).withColumn(
         "job_posted_at_utc", F.to_timestamp("job_posted_at_datetime_utc")
-    ).withColumn(
-        # deterministic natural key (vs monotonically_increasing_id)
-        "job_natural_key",
-        F.row_number().over(
-            Window.orderBy("job_title", "employer_name", "job_posted_at_datetime_utc")
-        ),
     )
+    if "job_natural_key" not in base.columns:
+        # deterministic natural key (vs monotonically_increasing_id).
+        # Landings that can derive the key on a narrow projection (see
+        # landing_from_orders) pre-compute it so the full row set never
+        # crosses this single-partition window exchange.
+        base = base.withColumn(
+            "job_natural_key",
+            F.row_number().over(
+                Window.orderBy(
+                    "job_title", "employer_name", "job_posted_at_datetime_utc"
+                )
+            ),
+        )
 
     dim_company = build_dim(
         base, [norm_upper("employer_name").alias("employer_name")], "company_sk",
@@ -147,8 +154,18 @@ def build_star_schema(
         F.to_date(j["job_posted_at_utc"]) == dim_date["full_date"],
         "left",
     )
+    # fact PK on a narrow projection of the (unique) natural key,
+    # broadcast-joined back: the wide joined frame stays parallel
+    # instead of funneling through the PK window's single partition.
+    pk_map = base.select("job_natural_key").select(
+        "job_natural_key",
+        F.row_number()
+        .over(Window.orderBy("job_natural_key"))
+        .alias("job_posting_pk"),
+    )
+    j = j.join(F.broadcast(pk_map), "job_natural_key")
     fact = j.select(
-        F.row_number().over(Window.orderBy("job_natural_key")).alias("job_posting_pk"),
+        F.col("job_posting_pk"),
         F.col("job_natural_key").alias("job_sk"),
         "company_sk",
         "location_sk",
@@ -207,7 +224,31 @@ def landing_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     kws = F.array(*[F.lit(x) for x in SKILL_KEYWORDS])
     kw1 = F.element_at(kws, (k % 12 + 1).cast("int"))
     kw2 = F.element_at(kws, ((k * 5 + 2) % 12 + 1).cast("int"))
+    # Natural key on a narrow 4-column projection, broadcast-joined
+    # back on the unique order key: build_star_schema then skips its
+    # full-width single-partition window (same values — row_number over
+    # the same (title, employer, utc) ordering).
+    nk_map = (
+        l.select(
+            "o_orderkey",
+            F.concat(F.lit("Engineer "), k.cast("string")).alias("__t"),
+            F.when(k % 3 == 0, F.upper("c_name"))
+            .otherwise(F.lower("c_name"))
+            .alias("__e"),
+            F.when(k % 7 != 0, F.date_format("o_orderdate", "yyyy-MM-dd")).alias(
+                "__u"
+            ),
+        )
+        .select(
+            "o_orderkey",
+            F.row_number()
+            .over(Window.orderBy("__t", "__e", "__u"))
+            .alias("job_natural_key"),
+        )
+    )
+    l = l.join(F.broadcast(nk_map), "o_orderkey")
     return l.select(
+        F.col("job_natural_key"),
         F.concat(F.lit("Engineer "), k.cast("string")).alias("job_title"),
         F.when(k % 3 == 0, F.upper("c_name"))
         .otherwise(F.lower("c_name"))

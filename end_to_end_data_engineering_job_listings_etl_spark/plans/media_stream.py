@@ -178,6 +178,83 @@ def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 CSV sink (the reference's transport between transform and
+    load, ``dags/test_extraction.py:156``): project orders → write CSV
+    with header → re-read with the declared schema → aggregate. The
+    oracle aggregates the source directly, so lossy type round-trips or
+    dropped rows fail the hash. Doubles survive CSV exactly (shortest
+    round-trip repr both ways)."""
+    from ..sinks.writers import write_csv
+    from ..sources.readers import read_csv_landing
+
+    path = os.path.join(tempfile.mkdtemp(prefix="sink_k1_"), "orders_csv")
+    proj = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    write_csv(proj, path)
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_totalprice", T.DoubleType()),
+        ]
+    )
+    back = read_csv_landing(spark, path, schema)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(24,2)")
+        .alias("sum_price"),
+    )
+
+
+def src_json_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 JSON list-of-records source (the raw_jobs.json transport,
+    ``dags/test_extraction.py:96-97``): stage the first 200 documents
+    as ONE multiLine JSON array file, read through read_json_records
+    with a declared schema (schema-on-read, null back-fill), aggregate.
+    Driver-side staging mirrors the reference's API-extract shape —
+    production ingest lands many such page files and reads them as a
+    directory."""
+    import json
+
+    from pyspark.sql import types as T
+
+    from ..sources.readers import read_json_records
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang")
+        .orderBy("doc_id")
+        .limit(200)
+        .collect()
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="src_s4_"), "docs.json")
+    with open(path, "w") as f:
+        json.dump(
+            [{"doc_id": r["doc_id"], "text": r["text"], "lang": r["lang"]} for r in rows],
+            f,
+        )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            # declared-but-absent column: schema-on-read null back-fill
+            T.StructField("source", T.StringType()),
+        ]
+    )
+    df = read_json_records(spark, path, schema)
+    return df.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("sum_chars"),
+        F.count("source").alias("n_source_nonnull"),
+    )
+
+
 def agg_approx_distinct_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ sketch accuracy under the hash gate: exact distinct counts
     plus booleans asserting the sketch landed within 5% relative error
@@ -256,6 +333,8 @@ QUERIES = {
     "mm_features": mm_features,
     "mm_frame_sample_checked": mm_frame_sample_checked,
     "sink_partitioned_roundtrip": sink_partitioned_roundtrip,
+    "sink_csv_roundtrip": sink_csv_roundtrip,
+    "src_json_records": src_json_records,
     "agg_approx_distinct_checked": agg_approx_distinct_checked,
     "text_winnow_fingerprints": text_winnow_fingerprints,
 }
@@ -289,6 +368,15 @@ SELECT event_type, COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(24,6)) AS sum_value
 FROM events WHERE event_type IN ('click', 'purchase')
 GROUP BY event_type""",
+    "sink_csv_roundtrip": """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(24,2)) AS sum_price
+FROM orders GROUP BY o_orderstatus""",
+    "src_json_records": """
+SELECT lang, COUNT(*) AS n_docs, SUM(length(text)) AS sum_chars,
+       0 AS n_source_nonnull
+FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 200)
+GROUP BY lang""",
     "agg_approx_distinct_checked": """
 SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
        COUNT(DISTINCT l_orderkey) AS exact_orders,

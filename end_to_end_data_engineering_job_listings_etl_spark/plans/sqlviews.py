@@ -6,8 +6,10 @@ sends SQL text to the warehouse. Here the same query shapes run as
 SQL string → Spark parser → Catalyst → the identical physical plans
 the DataFrame API produces.
 
-V1 ("Main Job Postings Analytics", superset.db saved_query 1) and the
-Q8 monthly rollup (query row 8) are reproduced as literal SQL."""
+V1 ("Main Job Postings Analytics", superset.db saved_query 1), V2
+(saved_query 2 — V1 plus DIM_DATE attributes), V3 (dataset 3 — bridge
+flattening to (pk, name) pairs), and the Q8 monthly rollup (query row
+8) are reproduced as literal SQL."""
 
 from __future__ import annotations
 
@@ -37,10 +39,38 @@ GROUP BY 1
 """
 
 
+_V2_SQL = """
+SELECT order_pk, o_orderkey, employer_name, segment_name, priority_name,
+       nation_name, region_name, full_date,
+       month_name, month_number, quarter_number, year_number
+FROM v_star_wide
+"""
+
+_V3_SQL = """
+SELECT b.doc_id, k.keyword_name
+FROM v_bridge_doc_keyword b
+JOIN v_dim_keyword k ON b.keyword_sk = k.keyword_sk
+"""
+
+
 def sql_v1_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V1 star-join projection, executed from SQL text."""
     create_star_views(spark, sf_dir)
     return spark.sql(_V1_SQL)
+
+
+def sql_v2_star_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2: the V1 star join widened with DIM_DATE attributes
+    ("Job Postings Analytics with datetime", SURVEY.md §2.11 J12)."""
+    create_star_views(spark, sf_dir)
+    return spark.sql(_V2_SQL)
+
+
+def sql_v3_bridge_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3: bridge flattening to (posting, skill-name) pairs
+    ("Skill-Specific Analytics", SURVEY.md §2.11 J13)."""
+    create_star_views(spark, sf_dir)
+    return spark.sql(_V3_SQL)
 
 
 def sql_q8_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -51,6 +81,8 @@ def sql_q8_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "sql_v1_star": sql_v1_star,
+    "sql_v2_star_dates": sql_v2_star_dates,
+    "sql_v3_bridge_flat": sql_v3_bridge_flat,
     "sql_q8_monthly": sql_q8_monthly,
 }
 
@@ -58,6 +90,17 @@ ORACLES = {
     "sql_v1_star": (
         f"{STAR_PREFIX} SELECT order_pk, o_orderkey, employer_name, segment_name,"
         " priority_name, nation_name, region_name, full_date FROM star_wide"
+    ),
+    "sql_v2_star_dates": (
+        f"{STAR_PREFIX} SELECT order_pk, o_orderkey, employer_name, segment_name,"
+        " priority_name, nation_name, region_name, full_date,"
+        " month_name, month_number, quarter_number, year_number FROM star_wide"
+    ),
+    "sql_v3_bridge_flat": (
+        f"{STAR_PREFIX} SELECT DISTINCT k.doc_id,"
+        f" trim(array_to_string(list_transform(string_split(k.keyword_raw, ' '),"
+        f" w -> upper(w[1]) || lower(w[2:])), ' ')) AS keyword_name"
+        f" FROM doc_keywords k"
     ),
     "sql_q8_monthly": (
         f"{STAR_PREFIX} SELECT CAST(date_trunc('month', full_date) AS DATE) AS month,"
