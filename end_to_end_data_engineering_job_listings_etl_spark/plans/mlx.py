@@ -1,0 +1,250 @@
+"""ML-adjacent analytics pushed through the oracle gate: TF-IDF term
+ranking, one k-means (Lloyd) iteration over the embedding column, and
+the REST paginated-ingest front door.
+
+Beyond-reference training-data layer (BASELINE.json). Determinism
+discipline:
+- TF-IDF uses an integer inverse-document-frequency
+  (floor(1e6·N/(df+1))) so scores and ranks are exact integers in both
+  engines — no libm log whose last ulp could flip a rank.
+- k-means distances are double arithmetic over arrays in fixed element
+  order (identical IEEE operation sequence in Spark's ``aggregate`` and
+  DuckDB's list fold → bit-equal), and centroid accumulation is exact
+  decimal sums; the query returns (sum, count) per dimension rather
+  than a divided mean so no engine-specific decimal division rounds.
+- REST ingest runs the reference's retry/backoff + projection pipeline
+  against a deterministic offline transport (a 429 on one page
+  exercises the S2 retry path); the oracle pins the expected
+  aggregate as literals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table_dist
+from ..functions.text import tokens
+from ..functions.vectors import lit_vector
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms
+# ---------------------------------------------------------------------------
+
+_TOP_K = 5
+_IDF_SCALE = 1_000_000
+
+
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per document by tf·idf with an integer idf
+    (floor(1e6·N / (df+1))): term-frequency grid → document-frequency →
+    integer score → per-doc ranked window. Two shuffles (tf grid, df)
+    plus one partitioned window — no global sort, no driver loop."""
+    docs = load_table_dist(spark, sf_dir, "documents", cols=("doc_id", "text"))
+    n_docs = docs.count()
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # document frequency as a window count over the tf grid: one pass,
+    # no self-join (a groupBy+join would compute the grid twice).
+    scored = tf.withColumn(
+        "df_t", F.count("*").over(Window.partitionBy("term"))
+    ).withColumn(
+        "score",
+        F.col("tf") * F.expr(f"{_IDF_SCALE} * {n_docs}L div (df_t + 1)"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("doc_id", "term", "tf", "df_t", "score", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-means Lloyd step
+# ---------------------------------------------------------------------------
+
+_KM_SEED_IDS = (0, 7, 13, 42)
+
+
+def _centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    emb = load_table_dist(spark, sf_dir, "embeddings", cols=("vec_id", "embedding"))
+    rows = emb.filter(F.col("vec_id").isin(*_KM_SEED_IDS)).collect()
+    by_id = {r["vec_id"]: [float(v) for v in r["embedding"]] for r in rows}
+    return [by_id[i] for i in _KM_SEED_IDS]
+
+
+def _sq_dist(v, c) -> F.Column:
+    return F.aggregate(
+        F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+
+
+def ml_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration: assign every embedding to the nearest of 4
+    fixed seed centroids (squared L2, ties → lowest cluster id), then
+    accumulate per-(cluster, dimension) decimal-exact sums + counts —
+    the caller divides for the new centroid. Iterating = re-running
+    with the returned centroids; each step is one scan + one shuffle
+    keyed on (cluster, dim), the textbook distributed k-means shape."""
+    emb = load_table_dist(spark, sf_dir, "embeddings", cols=("vec_id", "embedding"))
+    v = F.col("embedding").cast("array<double>")
+    cents = _centroids(spark, sf_dir)
+    d = [_sq_dist(v, lit_vector(c)) for c in cents]
+    cluster = (
+        F.when((d[0] <= d[1]) & (d[0] <= d[2]) & (d[0] <= d[3]), F.lit(0))
+        .when((d[1] <= d[2]) & (d[1] <= d[3]), F.lit(1))
+        .when(d[2] <= d[3], F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    assigned = emb.select(cluster.alias("cluster"), v.alias("vd"))
+    ex = assigned.select("cluster", F.posexplode("vd").alias("dim", "val"))
+    return ex.groupBy("cluster", "dim").agg(
+        F.count("*").alias("n_members"),
+        F.sum(F.col("val").cast("decimal(18,9)")).cast("decimal(38,9)").alias("sum_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# REST paginated ingest (S1+S2+S3) with an offline deterministic transport
+# ---------------------------------------------------------------------------
+
+
+def src_rest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's extraction front door end to end
+    (``dags/test_extraction.py:17-84``): 4 countries × 5 pages through
+    the retry wrapper (one page 429s once — the S2 backoff path), each
+    record projected onto a declared schema with null back-fill and
+    tagged with the upper-cased country (S3). The oracle pins the
+    resulting per-country aggregate as literals."""
+    from pyspark.sql import types as T
+
+    from ..sources.rest import HttpStatusError, extract_paginated
+
+    seen: dict[tuple[str, int], int] = {}
+
+    def fetch_page(country: str, page: int) -> list[dict]:
+        key = (country, page)
+        seen[key] = seen.get(key, 0) + 1
+        if country == "in" and page == 3 and seen[key] == 1:
+            raise HttpStatusError(429, "rate limited")
+        return [
+            {"job_title": f"T{page}-{i}", "employer_name": f"E{i % 3}"}
+            for i in range(10)
+        ]
+
+    schema = T.StructType(
+        [
+            T.StructField("job_title", T.StringType()),
+            T.StructField("employer_name", T.StringType()),
+            T.StructField("job_publisher", T.StringType()),  # absent → null
+            T.StructField("job_country", T.StringType()),
+        ]
+    )
+    df = extract_paginated(
+        spark,
+        fetch_page,
+        schema,
+        countries=("us", "in", "jp", "ru"),
+        num_pages=5,
+        sleep=lambda _s: None,
+    )
+    return df.groupBy("job_country").agg(
+        F.count("*").alias("n_records"),
+        F.count_distinct("employer_name").alias("n_employers"),
+        F.count("job_publisher").alias("n_publisher_nonnull"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracles
+# ---------------------------------------------------------------------------
+
+_TOKS_LOWER = "list_filter(string_split_regex(trim(lower({e})), '\\s+'), x -> x != '')"
+
+_SQD_SQL = (
+    "list_aggregate(list_transform(range(1, len({a}) + 1),"
+    " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), 'sum')"
+)
+
+
+# Seed centroids come from the embeddings view itself (they ARE rows
+# vec_id ∈ {0,7,13,42}), so the oracle is scale-factor-independent and
+# both engines compute distances on bit-identical doubles.
+_E = "CAST(e.embedding AS DOUBLE[])"
+_KM_DS = [
+    _SQD_SQL.format(a=_E, b=f"c{i}.v") for i in range(len(_KM_SEED_IDS))
+]
+
+_KM_ORACLE = f"""
+WITH {", ".join(
+    f"c{i} AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+    f" WHERE vec_id = {vid})"
+    for i, vid in enumerate(_KM_SEED_IDS)
+)},
+assigned AS (
+  SELECT CASE
+           WHEN {_KM_DS[0]} <= {_KM_DS[1]} AND {_KM_DS[0]} <= {_KM_DS[2]}
+                AND {_KM_DS[0]} <= {_KM_DS[3]} THEN 0
+           WHEN {_KM_DS[1]} <= {_KM_DS[2]} AND {_KM_DS[1]} <= {_KM_DS[3]} THEN 1
+           WHEN {_KM_DS[2]} <= {_KM_DS[3]} THEN 2
+           ELSE 3
+         END AS cluster,
+         {_E} AS vd
+  FROM embeddings e, c0, c1, c2, c3
+),
+ex AS (
+  SELECT cluster,
+         CAST(unnest(range(1, len(vd) + 1)) - 1 AS INT) AS dim,
+         unnest(vd) AS val
+  FROM assigned
+)
+SELECT cluster, dim, COUNT(*) AS n_members,
+       CAST(SUM(CAST(val AS DECIMAL(18,9))) AS DECIMAL(38,9)) AS sum_val
+FROM ex GROUP BY cluster, dim"""
+
+
+_TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_LOWER.format(e='text')}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df_t FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS nd FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, d.df_t,
+         tf.tf * (({_IDF_SCALE} * n.nd) // (d.df_t + 1)) AS score
+  FROM tf JOIN dfreq d USING (term), n
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term
+  ) AS INT) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df_t, score, rank FROM ranked WHERE rank <= {_TOP_K}"""
+
+_REST_ORACLE = """
+SELECT * FROM (VALUES
+  ('US', CAST(50 AS BIGINT), CAST(3 AS BIGINT), CAST(0 AS BIGINT)),
+  ('IN', 50, 3, 0),
+  ('JP', 50, 3, 0),
+  ('RU', 50, 3, 0)
+) t(job_country, n_records, n_employers, n_publisher_nonnull)"""
+
+
+QUERIES = {
+    "text_tfidf_top_terms": text_tfidf_top_terms,
+    "ml_kmeans_step": ml_kmeans_step,
+    "src_rest_ingest": src_rest_ingest,
+}
+
+ORACLES = {
+    "text_tfidf_top_terms": _TFIDF_ORACLE,
+    "ml_kmeans_step": _KM_ORACLE,
+    "src_rest_ingest": _REST_ORACLE,
+}

@@ -22,6 +22,7 @@ from .plans import (
     functional,
     joblistings,
     media_stream,
+    mlx,
     pricing,
     sqlviews,
     star,
@@ -37,6 +38,7 @@ _MODULES = [
     sqlviews,
     joblistings,
     media_stream,
+    mlx,
 ]
 
 

@@ -1,0 +1,37 @@
+"""TF-IDF / k-means step / REST ingest registry queries vs oracle."""
+
+from __future__ import annotations
+
+import pytest
+
+from end_to_end_data_engineering_job_listings_etl_spark.plans import mlx
+from tests.conftest import SF_DIR
+from tests.oracle_check import compare
+
+
+@pytest.mark.parametrize("name", sorted(mlx.ORACLES))
+def test_mlx_matches_oracle(spark, duck, name):
+    compare(mlx.QUERIES[name](spark, SF_DIR), duck, mlx.ORACLES[name], name)
+
+
+def test_kmeans_step_partitions_all_vectors(spark):
+    import pyspark.sql.functions as F
+
+    out = mlx.ml_kmeans_step(spark, SF_DIR)
+    per_dim = out.groupBy("dim").agg(F.sum("n_members").alias("total"))
+    totals = {r["dim"]: r["total"] for r in per_dim.collect()}
+    # every dimension row accounts for every vector exactly once
+    assert len(set(totals.values())) == 1
+    from end_to_end_data_engineering_job_listings_etl_spark.catalog import load_table
+
+    n_vecs = load_table(spark, SF_DIR, "embeddings").count()
+    assert next(iter(totals.values())) == n_vecs
+
+
+def test_rest_ingest_retries_and_projects(spark):
+    df = mlx.src_rest_ingest(spark, SF_DIR)
+    rows = {r["job_country"]: r for r in df.collect()}
+    assert set(rows) == {"US", "IN", "JP", "RU"}
+    assert all(r["n_records"] == 50 for r in rows.values())
+    # declared-but-absent column null back-filled everywhere
+    assert all(r["n_publisher_nonnull"] == 0 for r in rows.values())
