@@ -66,8 +66,12 @@ def _decode_real(payload: bytes) -> tuple[int, int, list[float]]:
 
 def _decode_fake(payload: bytes) -> tuple[int, int, list[float]]:
     """Deterministic stand-in decode: 'dimensions' and an 8-dim feature
-    derived purely from the bytes — stable for tests and benchmarks."""
-    h = hashlib.sha1(payload).digest()
+    derived purely from the bytes — stable for tests and benchmarks.
+    md5-based so an ANSI-SQL oracle can recompute the dimensions
+    (DuckDB ships md5 but no sha1) — the mapInPandas output itself
+    sits under the driver's value-hash gate (plans/media_stream.py
+    ``mm_features``)."""
+    h = hashlib.md5(payload).digest()
     width = 16 + h[0] % 240
     height = 16 + h[1] % 240
     feature = [round(b / 255.0, 6) for b in h[2:10]]

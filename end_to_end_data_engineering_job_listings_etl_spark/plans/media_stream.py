@@ -129,13 +129,17 @@ def mm_meta_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full Arrow-batched mapInPandas featurization (stubbed codec —
-    sha1-derived dims/features; rows-only: DuckDB has no sha1).
-    Deterministic per payload, asserted in tests/test_io_multimodal."""
+    """Full Arrow-batched mapInPandas featurization under the hash
+    gate: the stub codec derives width/height from md5(payload) bytes,
+    which the oracle recomputes with hex-digit arithmetic — so the
+    Python-worker path (Arrow batches, pickled stub, schema contract)
+    is value-checked, not just row-counted. The sha1 content column
+    and the feature vector stay in the full API (tests cover them);
+    this projection keeps the gate SQL-expressible."""
     from ..multimodal.binary_ops import extract_features
 
     return extract_features(media_from_documents(spark, sf_dir)).select(
-        "media_id", "kind", "n_bytes", "sha1", "width", "height"
+        "media_id", "kind", "n_bytes", "width", "height"
     )
 
 
@@ -356,6 +360,24 @@ SELECT doc_id AS media_id,
        CAST(128 AS BIGINT) AS n_bytes,
        md5(repeat(md5(text), 4)) AS payload_md5
 FROM documents""",
+    "mm_features": """
+WITH h AS (
+  SELECT doc_id, md5(repeat(md5(text), 4)) AS hx FROM documents
+),
+b AS (
+  SELECT doc_id,
+    (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+      + strpos('0123456789abcdef', substr(hx, 2, 1)) - 1 AS b0,
+    (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1) * 16
+      + strpos('0123456789abcdef', substr(hx, 4, 1)) - 1 AS b1
+  FROM h
+)
+SELECT doc_id AS media_id,
+       (['image', 'audio', 'video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+       CAST(128 AS BIGINT) AS n_bytes,
+       CAST(16 + b0 % 240 AS INT) AS width,
+       CAST(16 + b1 % 240 AS INT) AS height
+FROM b""",
     "mm_frame_sample_checked": """
 SELECT doc_id AS media_id,
        off AS frame_offset,

@@ -32,12 +32,20 @@ def test_joblistings_checked_matches_oracle(spark, duck, name):
 
 
 def test_mm_features_deterministic_and_shaped(spark):
-    a = media_stream.mm_features(spark, SF_DIR)
-    rows = {r["media_id"]: r for r in a.collect()}
+    from end_to_end_data_engineering_job_listings_etl_spark.multimodal.binary_ops import extract_features
+
+    full = extract_features(media_stream.media_from_documents(spark, SF_DIR))
+    rows = {r["media_id"]: r for r in full.collect()}
     assert len(rows) > 0
     # stubbed decode is pure in the payload: re-run must be identical
-    b = {r["media_id"]: r for r in media_stream.mm_features(spark, SF_DIR).collect()}
+    b = {
+        r["media_id"]: r
+        for r in extract_features(
+            media_stream.media_from_documents(spark, SF_DIR)
+        ).collect()
+    }
     assert rows == b
     r0 = next(iter(rows.values()))
     assert len(r0["sha1"]) == 40
+    assert len(r0["feature"]) == 8
     assert 16 <= r0["width"] <= 255 and 16 <= r0["height"] <= 255
