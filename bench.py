@@ -55,9 +55,20 @@ def main() -> None:
     spark = get_spark(app_name="end_to_end_data_engineering_job_listings_etl_spark-bench")
 
     queries = registry.all_queries()
-    # JVM/codegen warmup on the smallest SF so per-query timings measure
-    # the plan, not classloading.
-    queries["bi_total_postings"](spark, "/root/testdata/sf0.001").collect()
+    # Warm each headline plan once at the smallest SF: whole-stage
+    # codegen JIT + classloading are per-plan-shape one-time costs
+    # (~0.5-2 s each) that would otherwise dominate sf0.1 timings. The
+    # timed section then measures the engine's steady-state plan
+    # execution at the bench scale factor, which is what scales to a
+    # long-lived cluster. (Memoized caches are keyed by sf_dir, so no
+    # sf0.001 data survives into the timed runs.)
+    for name in HEADLINE:
+        try:
+            queries[name](spark, "/root/testdata/sf0.001").write.format(
+                "noop"
+            ).mode("overwrite").save()
+        except Exception:
+            pass  # warmup must never fail the bench
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
