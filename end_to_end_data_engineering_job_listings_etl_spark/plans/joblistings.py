@@ -282,12 +282,25 @@ def landing_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JL_STAR_CACHE: dict[tuple[SparkSession, str], dict[str, DataFrame]] = {}
+
+
+def _jl_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Memoized star build over the parquet-derived landing: the nine
+    per-table checked queries share one plan-construction pass."""
+    key = (spark, sf_dir)
+    hit = _JL_STAR_CACHE.get(key)
+    if hit is None:
+        hit = build_star_schema(landing_from_orders(spark, sf_dir))
+        _JL_STAR_CACHE[key] = hit
+    return hit
+
+
 def jl_fact_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference-shaped FACT_JOB_POSTINGS over the parquet-derived
     landing — the full ``dags/spark_etl_script.py`` fact path under the
     DuckDB value-hash gate."""
-    star = build_star_schema(landing_from_orders(spark, sf_dir))
-    return star["FACT_JOB_POSTINGS"]
+    return _jl_star(spark, sf_dir)["FACT_JOB_POSTINGS"]
 
 
 def jl_bridge_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -295,8 +308,28 @@ def jl_bridge_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     skills → translate/split parse → explode → initcap dim → fact join
     → distinct pairs (``dags/spark_etl_script.py:132-144,175-179``),
     oracle-checked."""
-    star = build_star_schema(landing_from_orders(spark, sf_dir))
-    return star["BRIDGE_JOB_SKILL"]
+    return _jl_star(spark, sf_dir)["BRIDGE_JOB_SKILL"]
+
+
+def _jl_table(name: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _jl_star(spark, sf_dir)[name]
+
+    q.__name__ = f"jl_{name.lower()}_checked"
+    q.__doc__ = (
+        f"{name} of the reference-shaped warehouse over the parquet-"
+        "derived landing (dags/spark_etl_script.py:92-144), under the "
+        "DuckDB value-hash gate."
+    )
+    return q
+
+
+def jl_dim_job_details_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIM_JOB_DETAILS (``dags/spark_etl_script.py:122-130``) minus the
+    corrected map-parse column (map values are not ANSI-SQL-hashable;
+    the faithful always-null ``job_highlights_array`` — the reference's
+    F12 schema bug reproduced — IS checked)."""
+    return _jl_star(spark, sf_dir)["DIM_JOB_DETAILS"].drop("job_highlights_map")
 
 
 # --- DuckDB oracles -------------------------------------------------------
@@ -328,6 +361,15 @@ jl AS (
     o_orderpriority AS job_publisher,
     CASE o_orderstatus WHEN 'O' THEN ' full-time ' WHEN 'F' THEN 'PART-TIME'
          ELSE 'contract' END AS job_employment_type,
+    'We use ' || {_KW_LIST}[CAST(o_orderkey % 12 AS INT) + 1] || ' and '
+      || {_KW_LIST}[CAST((o_orderkey * 5 + 2) % 12 AS INT) + 1] || ' daily.'
+      AS job_description,
+    CASE CAST(o_orderkey % 5 AS INT)
+      WHEN 0 THEN CAST(o_orderkey % 23 + 1 AS VARCHAR) || ' days ago'
+      WHEN 1 THEN CAST(o_orderkey % 11 + 1 AS VARCHAR) || ' hours ago'
+      WHEN 2 THEN 'yesterday'
+      WHEN 3 THEN '3 weeks ago'
+      ELSE 'just posted' END AS job_posted_at,
     o_orderkey % 4 = 0 AS job_is_remote,
     CASE WHEN o_orderkey % 7 != 0 THEN strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') END
       AS job_posted_at_datetime_utc,
@@ -374,7 +416,12 @@ dim_location AS (
 dim_date AS (
   SELECT DISTINCT
     CAST(strftime(CAST(job_posted_at_utc AS DATE), '%Y%m%d') AS INT) AS date_sk,
-    CAST(job_posted_at_utc AS DATE) AS full_date
+    CAST(job_posted_at_utc AS DATE) AS full_date,
+    dayname(CAST(job_posted_at_utc AS DATE)) AS day_of_week,
+    monthname(CAST(job_posted_at_utc AS DATE)) AS month_name,
+    CAST(month(job_posted_at_utc) AS INT) AS month_number,
+    CAST(quarter(job_posted_at_utc) AS INT) AS quarter_number,
+    CAST(year(job_posted_at_utc) AS INT) AS year_number
   FROM base WHERE job_posted_at_utc IS NOT NULL
 ),
 skills AS (
@@ -408,6 +455,13 @@ fact AS (
 QUERIES = {
     "jl_fact_checked": jl_fact_checked,
     "jl_bridge_checked": jl_bridge_checked,
+    "jl_dim_company_checked": _jl_table("DIM_COMPANY"),
+    "jl_dim_publisher_checked": _jl_table("DIM_PUBLISHER"),
+    "jl_dim_employment_type_checked": _jl_table("DIM_EMPLOYMENT_TYPE"),
+    "jl_dim_location_checked": _jl_table("DIM_LOCATION"),
+    "jl_dim_date_checked": _jl_table("DIM_DATE"),
+    "jl_dim_skill_checked": _jl_table("DIM_SKILL"),
+    "jl_dim_job_details_checked": jl_dim_job_details_checked,
 }
 
 ORACLES = {
@@ -417,6 +471,23 @@ SELECT DISTINCT f.job_posting_pk, ds.skill_sk
 FROM skills s
 JOIN dim_skill ds ON trim({_initcap('s.skill_raw')}) = ds.skill_name
 JOIN fact f ON s.job_natural_key = f.job_sk""",
+    "jl_dim_company_checked": f"{_JL_PREFIX} SELECT * FROM dim_company",
+    "jl_dim_publisher_checked": f"{_JL_PREFIX} SELECT * FROM dim_publisher",
+    "jl_dim_employment_type_checked": (
+        f"{_JL_PREFIX} SELECT * FROM dim_employment_type"
+    ),
+    "jl_dim_location_checked": f"{_JL_PREFIX} SELECT * FROM dim_location",
+    "jl_dim_date_checked": f"{_JL_PREFIX} SELECT * FROM dim_date",
+    "jl_dim_skill_checked": f"{_JL_PREFIX} SELECT * FROM dim_skill",
+    "jl_dim_job_details_checked": f"""{_JL_PREFIX}
+SELECT job_natural_key AS job_sk,
+       trim(job_title) AS job_title,
+       job_description,
+       CAST(NULL AS VARCHAR[]) AS job_highlights_array,
+       job_is_remote,
+       job_posted_at,
+       job_posted_at_utc
+FROM base""",
 }
 
 
