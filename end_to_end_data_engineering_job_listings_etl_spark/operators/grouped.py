@@ -1,0 +1,56 @@
+"""Grouped-map custom operators via ``applyInPandas``.
+
+SURVEY.md custom-operator tier (b): when per-group imperative logic is
+genuinely needed, the group arrives as ONE pandas DataFrame (Arrow
+batch), runs arbitrary Python, and returns rows under a declared
+schema. State is bounded by the largest single group, groups are
+hash-partitioned across executors — the 100 TB shape as long as no
+group is pathological (salt or pre-split if one is).
+
+``grouped_sequence`` is the canonical exact-semantics example: per-key
+arrival sequencing (sort by event time, tie-broken on a unique id,
+assign 1..n) — integer output, so the driver's value-hash gate can
+check the applyInPandas path itself against a SQL window oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def grouped_sequence(
+    df: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    id_col: str,
+    seq_name: str = "seq",
+) -> DataFrame:
+    """Per-``key_col`` arrival sequence computed group-at-a-time in
+    pandas: sort by ``order_cols`` (ascending, ties must be broken by
+    including a unique column), number 1..n. Equivalent to
+    ``row_number() OVER (PARTITION BY key ORDER BY order_cols)`` — the
+    point is exercising the grouped-map machinery, not replacing the
+    window function (use the window when the logic IS expressible)."""
+    from ..session import ship_package
+
+    ship_package(df.sparkSession)
+    narrow = df.select(key_col, *order_cols) if id_col in order_cols else df.select(
+        key_col, *order_cols, id_col
+    )
+    out_schema = f"{key_col} bigint, {id_col} bigint, {seq_name} int"
+    order_list = list(order_cols)
+
+    def seq_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = pdf.sort_values(order_list, kind="mergesort").reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                key_col: s[key_col],
+                id_col: s[id_col],
+                seq_name: pd.array(range(1, len(s) + 1), dtype="int32"),
+            }
+        )
+
+    return narrow.groupBy(key_col).applyInPandas(seq_group, out_schema)

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load_table_dist
+from ..catalog import load_table, load_table_dist
 from ..functions.text import tokens
 from ..functions.vectors import lit_vector
 
@@ -161,6 +161,25 @@ def src_rest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Grouped-map applyInPandas under the gate
+# ---------------------------------------------------------------------------
+
+
+def op_grouped_seq_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user arrival sequencing via grouped-map ``applyInPandas``
+    (custom-operator tier (b)): groups arrive as pandas frames, Python
+    sorts and numbers them, output is integers — so the Arrow
+    group-exchange machinery itself sits under the value-hash gate
+    (the SQL oracle is the equivalent window function). Ordering ties
+    break on event_id; the oracle orders by the micros-truncated
+    timestamp to match the engine's nanos→micros read path."""
+    from ..operators.grouped import grouped_sequence
+
+    ev = load_table(spark, sf_dir, "events")
+    return grouped_sequence(ev, "user_id", ["ts", "event_id"], "event_id")
+
+
+# ---------------------------------------------------------------------------
 # Oracles
 # ---------------------------------------------------------------------------
 
@@ -237,14 +256,23 @@ SELECT * FROM (VALUES
 ) t(job_country, n_records, n_employers, n_publisher_nonnull)"""
 
 
+_GROUPED_SEQ_ORACLE = """
+SELECT user_id, event_id,
+       CAST(row_number() OVER (
+         PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+       ) AS INT) AS seq
+FROM events"""
+
 QUERIES = {
     "text_tfidf_top_terms": text_tfidf_top_terms,
     "ml_kmeans_step": ml_kmeans_step,
     "src_rest_ingest": src_rest_ingest,
+    "op_grouped_seq_pandas": op_grouped_seq_pandas,
 }
 
 ORACLES = {
     "text_tfidf_top_terms": _TFIDF_ORACLE,
     "ml_kmeans_step": _KM_ORACLE,
     "src_rest_ingest": _REST_ORACLE,
+    "op_grouped_seq_pandas": _GROUPED_SEQ_ORACLE,
 }

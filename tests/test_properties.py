@@ -1,0 +1,102 @@
+"""Property-based tests (hypothesis): the expression rewrites must
+match a direct Python model of the reference's semantics on arbitrary
+inputs, not just the fixtures."""
+
+from __future__ import annotations
+
+import datetime as dt
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+_NOW = dt.datetime(2025, 7, 1, 12, 0, 0)
+
+
+def _model_relative(s: str):
+    """Pure-Python model of the reference grammar
+    (dags/spark_etl_script.py:16-28): hours/days/yesterday, else None."""
+    t = s.strip().lower()
+    if re.fullmatch(r"\d+ hours? ago", t):
+        return _NOW - dt.timedelta(hours=int(re.search(r"\d+", t).group()))
+    if re.fullmatch(r"\d+ days? ago", t):
+        return _NOW - dt.timedelta(days=int(re.search(r"\d+", t).group()))
+    if t == "yesterday":
+        return _NOW - dt.timedelta(days=1)
+    return None
+
+
+_rel_valid = st.builds(
+    lambda n, unit, s: f"{n} {unit}{s} ago",
+    st.integers(0, 9999),
+    st.sampled_from(["hour", "day"]),
+    st.sampled_from(["", "s"]),
+)
+_rel_junk = st.sampled_from(
+    ["yesterday", "Yesterday ", "3 weeks ago", "just posted", "", "now",
+     "5 months ago", " 7 days ago ", "7days ago", "ago 7 days"]
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_rel_valid | _rel_junk, min_size=1, max_size=40))
+def test_relative_time_matches_python_model(strings):
+    from end_to_end_data_engineering_job_listings_etl_spark.functions.relative_time import parse_relative_time
+    from end_to_end_data_engineering_job_listings_etl_spark.session import get_spark
+
+    spark = get_spark(cpus=8)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    out = df.select(
+        parse_relative_time("s", F.lit(_NOW.isoformat(sep=" ")).cast("timestamp")).alias("ts")
+    ).collect()
+    got = [r["ts"] for r in out]
+    want = [_model_relative(s) for s in strings]
+    assert got == want
+
+
+_token = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.lists(_token, min_size=1, max_size=6), min_size=1, max_size=20))
+def test_parse_string_array_inverts_python_repr(lists):
+    """The translate/split parser (reference :132-135) must invert the
+    reference's str(list) serialization for bracket/quote-free tokens."""
+    from end_to_end_data_engineering_job_listings_etl_spark.functions.normalize import parse_string_array
+    from end_to_end_data_engineering_job_listings_etl_spark.session import get_spark
+
+    spark = get_spark(cpus=8)
+    df = spark.createDataFrame([(str(l),) for l in lists], "s string")
+    out = df.select(parse_string_array("s").alias("a")).collect()
+    assert [r["a"] for r in out] == lists
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.sets(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=4))
+def test_conform_schema_nullfills_and_orders(present):
+    from pyspark.sql import types as T
+
+    from end_to_end_data_engineering_job_listings_etl_spark.session import get_spark
+    from end_to_end_data_engineering_job_listings_etl_spark.sources.readers import conform_schema
+
+    spark = get_spark(cpus=8)
+    target = T.StructType(
+        [T.StructField(c, T.StringType()) for c in ("a", "b", "c", "d")]
+    )
+    if present:
+        row = tuple("v_" + c for c in sorted(present))
+        schema = ", ".join(f"{c} string" for c in sorted(present))
+        df = spark.createDataFrame([row], schema)
+    else:
+        df = spark.createDataFrame([(1,)], "x int")
+    out = conform_schema(df, target)
+    assert out.columns == ["a", "b", "c", "d"]
+    r = out.collect()[0]
+    for c in ("a", "b", "c", "d"):
+        assert r[c] == (("v_" + c) if c in present else None)
