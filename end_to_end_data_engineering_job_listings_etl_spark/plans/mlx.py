@@ -180,6 +180,51 @@ def op_grouped_seq_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Binned range join under the gate
+# ---------------------------------------------------------------------------
+
+
+def op_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join done the scale-safe way: lineitems
+    shipped within 31 days of a probe order's date, via month-bin
+    equi-join + residual filter (operators/rangejoin.py) — never a
+    cartesian/nested-loop (the plan-audit gate enforces it). Probe set
+    is every 97th order to bound the pair count; the oracle states the
+    same join as a bare BETWEEN."""
+    from ..operators.rangejoin import range_join_binned
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 97 == 0
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = range_join_binned(
+        li,
+        orders.select("o_orderkey", "o_orderdate"),
+        "l_shipdate",
+        F.col("o_orderdate"),
+        F.col("o_orderdate") + F.expr("INTERVAL 31 DAYS"),
+        bin_width="month",
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.count("*").alias("n_shipped"),
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+        .cast("decimal(24,2)")
+        .alias("sum_price"),
+    )
+
+
+_RANGE_JOIN_ORACLE = """
+SELECT o.o_orderkey, COUNT(*) AS n_shipped,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(24,2)) AS sum_price
+FROM orders o
+JOIN lineitem l
+  ON l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate < o.o_orderdate + INTERVAL 31 DAY
+WHERE o.o_orderkey % 97 = 0
+GROUP BY o.o_orderkey"""
+
+
+# ---------------------------------------------------------------------------
 # Oracles
 # ---------------------------------------------------------------------------
 
@@ -268,6 +313,7 @@ QUERIES = {
     "ml_kmeans_step": ml_kmeans_step,
     "src_rest_ingest": src_rest_ingest,
     "op_grouped_seq_pandas": op_grouped_seq_pandas,
+    "op_range_join": op_range_join,
 }
 
 ORACLES = {
@@ -275,4 +321,5 @@ ORACLES = {
     "ml_kmeans_step": _KM_ORACLE,
     "src_rest_ingest": _REST_ORACLE,
     "op_grouped_seq_pandas": _GROUPED_SEQ_ORACLE,
+    "op_range_join": _RANGE_JOIN_ORACLE,
 }
