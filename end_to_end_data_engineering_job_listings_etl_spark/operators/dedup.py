@@ -219,6 +219,62 @@ def embedding_neardup_pairs(
     )
 
 
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve near-dup candidate pairs into duplicate clusters:
+    connected components by iterative min-label propagation. Returns
+    (id_col, cluster_id) with cluster_id = min member id — the step
+    that turns pairwise similarity output (LSH/Jaccard pairs) into an
+    actual keep/drop decision per document.
+
+    Shape per iteration: one shuffle join (labels ⋈ adjacency) + one
+    min-aggregate; converges in O(component diameter) rounds — near-dup
+    clusters are shallow (dozens of docs chained through shared
+    shingles), so this terminates in a handful of rounds in practice,
+    same propagation scheme as GraphX/GraphFrames connectedComponents.
+    ``localCheckpoint`` truncates the per-round lineage so the plan
+    doesn't grow by one join per iteration (the classic iterative-Spark
+    trap). Driver involvement per round is a single boolean ("did any
+    label change"), computed as a limit(1).count() — no label data is
+    collected.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
+    ).union(edges.select(F.col(dst_col).alias("__src"), F.col(src_col).alias("__dst")))
+    adj = sym.persist()
+    labels = vertices.select(
+        F.col(id_col).alias("__id"), F.col(id_col).alias("cluster_id")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        msgs = adj.join(labels, adj["__src"] == labels["__id"]).select(
+            F.col("__dst").alias("__id"), F.col("cluster_id")
+        )
+        new_labels = (
+            labels.union(msgs)
+            .groupBy("__id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "__id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    adj.unpersist()
+    return labels.select(F.col("__id").alias(id_col), "cluster_id")
+
+
 SIMHASH_BITS = 60  # 15 hex chars — fits signed int64 in every engine
 
 

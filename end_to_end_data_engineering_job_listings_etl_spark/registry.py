@@ -26,6 +26,7 @@ from .plans import (
     pricing,
     sqlviews,
     star,
+    traindata,
 )
 
 _MODULES = [
@@ -39,6 +40,7 @@ _MODULES = [
     joblistings,
     media_stream,
     mlx,
+    traindata,
 ]
 
 

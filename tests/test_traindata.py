@@ -1,0 +1,78 @@
+"""Training-data-pipeline operators (split / pack / cluster) vs the
+DuckDB oracle, plus structural invariants the hash comparison can't
+express."""
+
+from __future__ import annotations
+
+import pytest
+
+from end_to_end_data_engineering_job_listings_etl_spark.plans import corpus, traindata
+from tests.conftest import SF_DIR
+from tests.oracle_check import compare
+
+
+@pytest.mark.parametrize("name", sorted(traindata.ORACLES))
+def test_traindata_query_matches_oracle(spark, duck, name):
+    compare(traindata.QUERIES[name](spark, SF_DIR), duck, traindata.ORACLES[name], name)
+
+
+def test_hash_split_is_stable_under_subsetting(spark):
+    """Hash-split membership is a pure function of the id: computing
+    the split over a *filtered* corpus assigns the surviving docs
+    exactly the same buckets (the property rand()-splits lack)."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_job_listings_etl_spark.catalog import load_table
+
+    full = {
+        r["doc_id"]: (r["bucket"], r["split"])
+        for r in traindata.samp_hash_split(spark, SF_DIR).collect()
+    }
+    subset_docs = load_table(spark, SF_DIR, "documents").filter(
+        F.col("doc_id") % 3 == 0
+    )
+    sub = {
+        r["doc_id"]: (r["bucket"], r["split"])
+        for r in traindata.hash_split(subset_docs, "doc_id").collect()
+    }
+    assert sub, "subset should be non-empty"
+    for doc_id, assignment in sub.items():
+        assert full[doc_id] == assignment
+
+
+def test_pack_batches_respect_capacity_prefix(spark):
+    """Within each shard, tokens strictly before a doc in batch b total
+    >= b*capacity (batch boundaries are exact prefix-sum cuts), and
+    batch_seq is nondecreasing in doc_id order."""
+    rows = traindata.text_pack_batches(spark, SF_DIR).collect()
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    cap = traindata._PACK_CAPACITY
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        prev_seq = 0
+        for r in shard_rows:
+            assert r["batch_seq"] == cum // cap
+            assert r["batch_seq"] >= prev_seq
+            prev_seq = r["batch_seq"]
+            cum += r["n_tokens"]
+
+
+def test_duplicate_clusters_are_consistent_with_pairs(spark):
+    """Every near-dup pair lands in one cluster; every cluster id is
+    the min member; exactly one canonical doc per cluster."""
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in traindata.dd_duplicate_clusters(spark, SF_DIR).collect()
+    }
+    pairs = corpus.dd_jaccard_pairs(spark, SF_DIR).collect()
+    assert pairs, "fixture should contain at least one near-dup pair"
+    for p in pairs:
+        assert labels[p["id_a"]] == labels[p["id_b"]]
+    clusters: dict[int, list[int]] = {}
+    for doc_id, cid in labels.items():
+        clusters.setdefault(cid, []).append(doc_id)
+    for cid, members in clusters.items():
+        assert cid == min(members)
