@@ -34,8 +34,10 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table_dist
 from ..functions import text as T
+from ..functions.text import word_shingles
 from ..operators import dedup as D
-from .corpus import _JACCARD_MAX_ID, _TOKS
+from ..operators import similarity as S
+from .corpus import _JACCARD_MAX_ID, _SHINGLES, _TOKS, _cos, _query_vec
 
 # ---------------------------------------------------------------------------
 # Spark queries
@@ -128,6 +130,96 @@ def dd_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BENCH_SOURCE = "src0"  # the held-out "benchmark" slice of the corpus
+
+
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: for every training document, how many
+    of its distinct 3-gram shingles also occur in the benchmark slice
+    (``source = 'src0'``), plus the contamination ratio. The standard
+    pre-training hygiene op (filter docs that leak eval data).
+
+    Scale shape: the benchmark shingle set is distinct-ed and
+    broadcast (benchmark suites are tiny next to the corpus), so the
+    overlap join is map-side — the 100 TB side never shuffles on the
+    shingle key."""
+    docs = load_table_dist(
+        spark, sf_dir, "documents", cols=("doc_id", "text", "source")
+    )
+    bench_sh = (
+        docs.filter(F.col("source") == _BENCH_SOURCE)
+        .select(F.explode(word_shingles("text", 3)).alias("sh"))
+        .distinct()
+    )
+    train_sh = docs.filter(F.col("source") != _BENCH_SOURCE).select(
+        "doc_id", F.explode(word_shingles("text", 3)).alias("sh")
+    )
+    sizes = train_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    shared = (
+        train_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return sizes.join(shared, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
+        F.floor(
+            F.coalesce(F.col("n_shared"), F.lit(0)) * 1_000_000 / F.col("n_shingles")
+        ).alias("contam_e6"),
+    )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"555-[0-9]{3}-[0-9]{4}"
+
+
+def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: replace email addresses and phone numbers with
+    typed placeholders, count what was redacted. The corpus text is
+    deterministically enriched with one synthetic email + phone per doc
+    so the redaction provably fires (the raw synthetic text carries no
+    PII); both engines apply the identical enrichment.
+
+    Pure regexp expressions — narrow map, whole-stage codegen, no UDF;
+    the redacted text is fingerprinted (md5) so the comparison carries
+    hashes, not megabytes."""
+    docs = load_table_dist(spark, sf_dir, "documents", cols=("doc_id", "text"))
+    enriched = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com tel 555-123-"),
+            F.lpad((F.col("doc_id") % 10_000).cast("string"), 4, "0"),
+        ).alias("t"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(F.col("t"), _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return enriched.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(_PHONE_RE), 0)).alias("n_phones"),
+        F.md5(red).alias("red_fp"),
+    )
+
+
+def sim_ivf_topk_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with nprobe = n_cells: probing every cell makes IVF
+    exact, so the full bucketed path (assign → probe → per-cell scan →
+    top-k) runs under the hash-match oracle gate — the brute-force SQL
+    ranking IS the expected answer. (``sim_ivf_topk`` keeps nprobe=2:
+    the approximate scale posture, invariant-tested.)"""
+    emb = load_table_dist(spark, sf_dir, "embeddings", cols=("vec_id", "embedding"))
+    centroids = [
+        (i, _query_vec(spark, sf_dir, vid)) for i, vid in enumerate([0, 7, 13, 42])
+    ]
+    q = _query_vec(spark, sf_dir, 1)
+    return S.ivf_topk(emb, "embedding", "vec_id", q, centroids, k=10, nprobe=4)
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -194,8 +286,57 @@ ORACLES = {
     """,
 }
 
+ORACLES["text_decontaminate"] = f"""
+    WITH bsh AS (
+      SELECT DISTINCT unnest({_SHINGLES}) AS sh
+      FROM documents WHERE source = '{_BENCH_SOURCE}'
+    ), tsh AS (
+      SELECT doc_id, unnest({_SHINGLES}) AS sh
+      FROM documents WHERE source != '{_BENCH_SOURCE}'
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_shingles FROM tsh GROUP BY doc_id
+    ), shared AS (
+      SELECT t.doc_id, count(*) AS n_shared FROM tsh t JOIN bsh USING (sh)
+      GROUP BY t.doc_id
+    )
+    SELECT s.doc_id, s.n_shingles,
+           coalesce(sh.n_shared, 0) AS n_shared,
+           CAST(floor(coalesce(sh.n_shared, 0) * 1000000 / s.n_shingles) AS BIGINT)
+             AS contam_e6
+    FROM sizes s LEFT JOIN shared sh ON s.doc_id = sh.doc_id
+"""
+
+ORACLES["text_redact"] = f"""
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS INTEGER) AS n_emails,
+      CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS INTEGER) AS n_phones,
+      md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                         '{_PHONE_RE}', '<PHONE>', 'g')) AS red_fp
+    FROM (
+      SELECT doc_id,
+             text || ' reach user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com tel 555-123-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      FROM documents
+    )
+"""
+
+ORACLES["sim_ivf_topk_checked"] = f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 1),
+    scored AS (
+      SELECT e.vec_id,
+             round({_cos('CAST(e.embedding AS DOUBLE[])', 'q.qv')}, 6) AS cos_sim
+      FROM embeddings e, q
+    )
+    SELECT vec_id, cos_sim FROM scored
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
+
 QUERIES = {
     "samp_hash_split": samp_hash_split,
     "text_pack_batches": text_pack_batches,
     "dd_duplicate_clusters": dd_duplicate_clusters,
+    "text_decontaminate": text_decontaminate,
+    "text_redact": text_redact,
+    "sim_ivf_topk_checked": sim_ivf_topk_checked,
 }
