@@ -87,6 +87,76 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: ``dropDuplicates`` on (user_id,
+    event_type) over the watermarked event stream, drained with
+    availableNow — the continuous form of the corpus dedup layer
+    (first occurrence wins; late duplicates beyond the watermark age
+    out of state instead of accumulating forever). Under complete
+    processing the emitted key set equals batch DISTINCT, so it gets a
+    real SQL oracle."""
+    from ..streaming.watermark import events_stream_dir, stream_events
+
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_dd_")
+    stream = stream_events(spark, events_stream_dir(sf_dir))
+    dd = (
+        stream.withWatermark("ts", "2 hours")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    q = (
+        dd.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-warehouse co-located join: write orders and customer
+    ``bucketBy(8, custkey)`` (hash-bucketed + per-bucket sorted files),
+    read back, sort-merge join WITHOUT a shuffle exchange on the join
+    key — the layout strategy that amortizes one write-time shuffle
+    across every subsequent join at 100 TB (plan asserted shuffle-free
+    in tests/test_io_multimodal.py)."""
+    suffix = uuid.uuid4().hex[:8]
+    wh = tempfile.mkdtemp(prefix="bucketed_wh_")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    to_name, tc_name = f"orders_b_{suffix}", f"customer_b_{suffix}"
+    (
+        orders.write.bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .option("path", os.path.join(wh, to_name))
+        .mode("overwrite")
+        .saveAsTable(to_name)
+    )
+    (
+        customer.write.bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .option("path", os.path.join(wh, tc_name))
+        .mode("overwrite")
+        .saveAsTable(tc_name)
+    )
+    ob, cb = spark.table(to_name), spark.table(tc_name)
+    j = ob.hint("merge").join(cb, ob["o_custkey"] == cb["c_custkey"])
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(24,2)")
+        .alias("sum_price"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal binary columns, oracle-checkable derivation
 # ---------------------------------------------------------------------------
@@ -333,6 +403,8 @@ _WINNOW_POLY = " + ".join(
 QUERIES = {
     "stream_window_counts": stream_window_counts,
     "stream_user_totals": stream_user_totals,
+    "stream_dedup": stream_dedup,
+    "sink_bucketed_join": sink_bucketed_join,
     "mm_meta_checked": mm_meta_checked,
     "mm_features": mm_features,
     "mm_frame_sample_checked": mm_frame_sample_checked,
@@ -344,6 +416,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "stream_dedup": "SELECT DISTINCT user_id, event_type FROM events",
+    "sink_bucketed_join": """
+SELECT c_mktsegment,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(24,2)) AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
     "stream_window_counts": """
 SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
        date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS window_end,

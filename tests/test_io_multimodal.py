@@ -103,3 +103,19 @@ def test_frame_sample_offsets(spark):
     for mid, offs in by_media.items():
         assert offs == sorted(offs)
         assert offs[0] == 0 and offs[-1] <= n_bytes[mid] - 1
+
+
+def test_bucketed_join_is_shuffle_free_on_key(spark):
+    """The bucketed-warehouse join must be a sort-merge join with NO
+    exchange on the join key: the write-time bucketing IS the shuffle,
+    paid once. (The aggregate after the join still exchanges on its
+    own group key — that one is expected.)"""
+    from end_to_end_data_engineering_job_listings_etl_spark.plans.media_stream import sink_bucketed_join
+    from tests.conftest import SF_DIR
+
+    df = sink_bucketed_join(spark, SF_DIR)
+    df.collect()  # run through AQE so the final plan is real
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert "hashpartitioning(o_custkey" not in plan, plan
+    assert "hashpartitioning(c_custkey" not in plan, plan

@@ -14,7 +14,11 @@ import pytest
 from end_to_end_data_engineering_job_listings_etl_spark import registry
 from tests.conftest import SF_DIR
 
-_STREAMING = {"stream_window_counts", "stream_user_totals"}  # no batch plan
+_STREAMING = {
+    "stream_window_counts",
+    "stream_user_totals",
+    "stream_dedup",
+}  # no batch plan
 
 
 @pytest.mark.parametrize(
