@@ -45,6 +45,10 @@ HEADLINE = [
     "text_winnow_fingerprints",
     "mm_meta_checked",
     "stream_window_counts",
+    "text_decontaminate",
+    "text_redact",
+    "dd_duplicate_clusters",
+    "sink_bucketed_join",
 ]
 
 

@@ -48,6 +48,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.token_count("text").alias("n_tokens"),
         T.bpe_ish_token_count("text").alias("n_bpe_tokens"),
         _e6(T.punct_ratio("text")).alias("punct_e6"),
+        _e6(T.stopword_ratio("text")).alias("stop_e6"),
         _e6(T.mean_word_length("text")).alias("mwl_e6"),
         _e6(T.quality_score("text")).alias("quality_e6"),
         T.fingerprint("text").alias("fp"),
@@ -271,6 +272,9 @@ ORACLES = {
           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens,
           CAST(floor(((length(text) - length(regexp_replace(text, '{_PUNCT_CLASS}', '', 'g')))
                / greatest(length(text), 1)) * 1000000) AS BIGINT) AS punct_e6,
+          CAST(floor((len(list_filter({_TOKS.format(e='text')},
+                 t -> lower(t) IN ({", ".join(f"'{w}'" for w in T.LANG_MARKERS['en'])})))
+               / greatest(len({_TOKS.format(e='text')}), 1)) * 1000000) AS BIGINT) AS stop_e6,
           CAST(floor((list_aggregate(list_transform({_TOKS.format(e='text')}, t -> length(t)), 'sum')
                / greatest(len({_TOKS.format(e='text')}), 1)) * 1000000) AS BIGINT) AS mwl_e6,
           CAST(floor(({_QUALITY}) * 1000000) AS BIGINT) AS quality_e6,
