@@ -27,6 +27,7 @@ HEADLINE = [
     "li_pricing_summary",
     "li_revenue_topk",
     "li_running_total",
+    "li_supplier_nation_revenue",
     "fact_orders",
     "star_wide",
     "bi_top15_employers",

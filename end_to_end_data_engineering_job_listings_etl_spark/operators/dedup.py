@@ -233,11 +233,14 @@ def connected_components(
     that turns pairwise similarity output (LSH/Jaccard pairs) into an
     actual keep/drop decision per document.
 
-    Shape per iteration: one shuffle join (labels ⋈ adjacency) + one
-    min-aggregate; converges in O(component diameter) rounds — near-dup
-    clusters are shallow (dozens of docs chained through shared
-    shingles), so this terminates in a handful of rounds in practice,
-    same propagation scheme as GraphX/GraphFrames connectedComponents.
+    Shape per iteration: two shuffle joins (labels ⋈ adjacency for
+    neighbor propagation, labels ⋈ labels for pointer jumping — each
+    node also adopts its current label's label) + one min-aggregate.
+    Pointer jumping halves the remaining distance to the component
+    minimum every round, so convergence is O(log diameter) rounds, not
+    O(diameter) — the property that keeps long duplicate chains (100 TB
+    corpora produce them) from serializing the loop. Same family as
+    GraphX/GraphFrames connectedComponents (large-star/small-star).
     ``localCheckpoint`` truncates the per-round lineage so the plan
     doesn't grow by one join per iteration (the classic iterative-Spark
     trap). Driver involvement per round is a single boolean ("did any
@@ -255,8 +258,14 @@ def connected_components(
         msgs = adj.join(labels, adj["__src"] == labels["__id"]).select(
             F.col("__dst").alias("__id"), F.col("cluster_id")
         )
+        jump = (
+            labels.alias("l1")
+            .join(labels.alias("l2"), F.col("l1.cluster_id") == F.col("l2.__id"))
+            .select(F.col("l1.__id").alias("__id"), F.col("l2.cluster_id"))
+        )
         new_labels = (
             labels.union(msgs)
+            .union(jump)
             .groupBy("__id")
             .agg(F.min("cluster_id").alias("cluster_id"))
             .localCheckpoint()

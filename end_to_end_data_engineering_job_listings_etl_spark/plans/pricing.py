@@ -104,10 +104,35 @@ def li_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def li_supplier_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by supplier nation (TPC-H Q5-shaped slice): the big fact
+    joins two small dims in a chain — supplier broadcasts onto
+    lineitem, nation broadcasts onto the result; the only shuffle is
+    the final low-cardinality group-by."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev).cast("decimal(24,4)").alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
 QUERIES = {
     "li_pricing_summary": li_pricing_summary,
     "li_revenue_topk": li_revenue_topk,
     "li_running_total": li_running_total,
+    "li_supplier_nation_revenue": li_supplier_nation_revenue,
 }
 
 ORACLES = {
@@ -146,5 +171,16 @@ ORACLES = {
                  OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
                        RANGE UNBOUNDED PRECEDING) AS running_price
         FROM lineitem
+    """,
+    "li_supplier_nation_revenue": """
+        SELECT n_name,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                    AS DECIMAL(24,4)) AS revenue,
+               count(*) AS n_lineitems
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
     """,
 }

@@ -100,3 +100,52 @@ def test_conform_schema_nullfills_and_orders(present):
     r = out.collect()[0]
     for c in ("a", "b", "c", "d"):
         assert r[c] == (("v_" + c) if c in present else None)
+
+
+# ---------------------------------------------------------------------------
+# connected_components vs a union-find model
+# ---------------------------------------------------------------------------
+
+_node = st.integers(min_value=0, max_value=15)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.tuples(_node, _node), min_size=0, max_size=25))
+def test_connected_components_match_union_find(spark, edges):
+    """Distributed min-label propagation must equal a sequential
+    union-find on arbitrary graphs (self-loops, duplicates, isolated
+    vertices included)."""
+    from end_to_end_data_engineering_job_listings_etl_spark.operators.dedup import connected_components
+
+    nodes = sorted({n for e in edges for n in e} | set(range(4)))
+    # model: union-find with min representative
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    expected = {n: find(n) for n in nodes}
+    # min representative per component
+    comp_min: dict[int, int] = {}
+    for n in nodes:
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    expected = {n: comp_min[find(n)] for n in nodes}
+
+    verts = spark.createDataFrame([(n,) for n in nodes], "doc_id long")
+    edf = spark.createDataFrame(edges or [(0, 0)], "id_a long, id_b long")
+    if not edges:
+        edf = edf.limit(0)
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(verts, edf, id_col="doc_id").collect()
+    }
+    assert got == expected
