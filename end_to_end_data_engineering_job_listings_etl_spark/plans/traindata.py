@@ -130,6 +130,32 @@ def dd_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_RATES = {"src0": 100, "src1": 50, "src2": 25}  # percent kept
+_MIX_DEFAULT_RATE = 10
+
+
+def samp_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixture weighting: per-source keep rates
+    (domain up/down-sampling, the standard pre-training mixture knob)
+    decided by md5 of (source, doc_id) — independent of the train/val
+    split hash, shuffle-free, stable under corpus growth. Returns every
+    document with its keep decision plus the applied rate."""
+    docs = load_table_dist(spark, sf_dir, "documents", cols=("doc_id", "source"))
+    rate = F.lit(_MIX_DEFAULT_RATE)
+    for src, r in _MIX_RATES.items():
+        rate = F.when(F.col("source") == src, F.lit(r)).otherwise(rate)
+    bucket = F.expr(
+        "cast(conv(substring(md5(concat('mix|', source, '|',"
+        " cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 100"
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        rate.alias("keep_pct"),
+        (bucket < rate).alias("kept"),
+    )
+
+
 _BENCH_SOURCE = "src0"  # the held-out "benchmark" slice of the corpus
 
 
@@ -332,8 +358,23 @@ ORACLES["sim_ivf_topk_checked"] = f"""
     ORDER BY cos_sim DESC, vec_id LIMIT 10
 """
 
+_MIX_CASE = (
+    "CASE "
+    + " ".join(f"WHEN source = '{s}' THEN {r}" for s, r in _MIX_RATES.items())
+    + f" ELSE {_MIX_DEFAULT_RATE} END"
+)
+
+ORACLES["samp_mixture"] = f"""
+    SELECT doc_id, source,
+           {_MIX_CASE} AS keep_pct,
+           (CAST(concat('0x', substr(md5('mix|' || source || '|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             % 100) < ({_MIX_CASE}) AS kept
+    FROM documents
+"""
+
 QUERIES = {
     "samp_hash_split": samp_hash_split,
+    "samp_mixture": samp_mixture,
     "text_pack_batches": text_pack_batches,
     "dd_duplicate_clusters": dd_duplicate_clusters,
     "text_decontaminate": text_decontaminate,
