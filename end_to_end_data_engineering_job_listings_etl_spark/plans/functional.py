@@ -86,6 +86,24 @@ def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14: Snowflake PARSE_JSON → VARIANT, Spark-4 native. The
+    reference lands semi-structured payloads as VARIANT
+    (``dags/postgres_snowflake.py:84-86``; `job_highlights` VARIANT in
+    superset.db table_columns); Spark 4's VARIANT type is the direct
+    analog — parse once, typed `variant_get` paths after (missing paths
+    via try_variant_get → null, exactly VARIANT's permissive shape)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "int")
+    missing = F.try_variant_get(v, "$.missing", "string")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.count(missing).alias("n_missing_nonnull"),
+    )
+
+
 def fn_union_by_country(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10: the multi-country extract appends page batches into one
     relation — expressed as unionByName with a lineage tag (F18)."""
@@ -193,6 +211,7 @@ QUERIES = {
     "fn_parse_string_array": fn_parse_string_array,
     "fn_relative_time": fn_relative_time,
     "fn_json_extract": fn_json_extract,
+    "fn_variant_extract": fn_variant_extract,
     "fn_union_by_country": fn_union_by_country,
     "fn_boolean_sum": fn_boolean_sum,
     "w_latest_per_customer": w_latest_per_customer,
@@ -268,6 +287,13 @@ ORACLES = {
                count(*) AS n_events,
                CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
                CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+        FROM events GROUP BY event_type
+    """,
+    "fn_variant_extract": """
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+               count(json_extract_string(props, '$.missing')) AS n_missing_nonnull
         FROM events GROUP BY event_type
     """,
     "fn_union_by_country": """
