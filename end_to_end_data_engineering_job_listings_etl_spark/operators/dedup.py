@@ -254,19 +254,23 @@ def connected_components(
     labels = vertices.select(
         F.col(id_col).alias("__id"), F.col(id_col).alias("cluster_id")
     ).localCheckpoint()
-    for _ in range(max_iter):
+    for it in range(max_iter):
         msgs = adj.join(labels, adj["__src"] == labels["__id"]).select(
             F.col("__dst").alias("__id"), F.col("cluster_id")
         )
-        jump = (
-            labels.alias("l1")
-            .join(labels.alias("l2"), F.col("l1.cluster_id") == F.col("l2.__id"))
-            .select(F.col("l1.__id").alias("__id"), F.col("l2.cluster_id"))
-        )
+        candidates = labels.union(msgs)
+        if it > 0:
+            # Pointer jumping is a provable no-op in round 1 (labels
+            # are still the identity map), so the self-join starts in
+            # round 2.
+            jump = (
+                labels.alias("l1")
+                .join(labels.alias("l2"), F.col("l1.cluster_id") == F.col("l2.__id"))
+                .select(F.col("l1.__id").alias("__id"), F.col("l2.cluster_id"))
+            )
+            candidates = candidates.union(jump)
         new_labels = (
-            labels.union(msgs)
-            .union(jump)
-            .groupBy("__id")
+            candidates.groupBy("__id")
             .agg(F.min("cluster_id").alias("cluster_id"))
             .localCheckpoint()
         )

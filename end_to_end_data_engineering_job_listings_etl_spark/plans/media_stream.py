@@ -61,20 +61,16 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     to absorb float-association noise (pandas pairwise sum vs scan-order
     sum)."""
     from ..streaming.stateful import running_user_totals
-    from ..streaming.watermark import events_stream_dir, stream_events
+    from ..streaming.watermark import (
+        events_stream_dir,
+        run_to_memory_sink,
+        stream_events,
+    )
 
     name = f"stream_totals_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="ckpt_tot_")
     stream = running_user_totals(stream_events(spark, events_stream_dir(sf_dir)))
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    run_to_memory_sink(stream, name, ckpt, output_mode="update")
     # update mode re-emits a user's row per micro-batch; keep the last
     # (= max n_events) state per user so multi-batch drains stay exact.
     totals = spark.table(name)
@@ -89,31 +85,32 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming deduplication: ``dropDuplicates`` on (user_id,
-    event_type) over the watermarked event stream, drained with
-    availableNow — the continuous form of the corpus dedup layer
-    (first occurrence wins; late duplicates beyond the watermark age
-    out of state instead of accumulating forever). Under complete
-    processing the emitted key set equals batch DISTINCT, so it gets a
-    real SQL oracle."""
-    from ..streaming.watermark import events_stream_dir, stream_events
+    event_type) over the event stream, drained with availableNow — the
+    continuous form of the corpus dedup layer (first occurrence wins).
+    Under complete processing the emitted key set equals batch
+    DISTINCT, so it gets a real SQL oracle.
+
+    State honesty: exact streaming dedup keeps one state entry per
+    distinct key FOREVER — the watermark does not evict
+    ``dropDuplicates`` state unless the event-time column is part of
+    the key set. That is the price of the exact '= batch DISTINCT'
+    contract. When bounded state matters more than exactness beyond
+    the horizon, the operator to swap in is
+    ``dropDuplicatesWithinWatermark`` (evicts by watermark; duplicates
+    farther apart than the delay can re-emit)."""
+    from ..streaming.watermark import (
+        events_stream_dir,
+        run_to_memory_sink,
+        stream_events,
+    )
 
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix="ckpt_dd_")
     stream = stream_events(spark, events_stream_dir(sf_dir))
-    dd = (
-        stream.withWatermark("ts", "2 hours")
-        .dropDuplicates(["user_id", "event_type"])
-        .select("user_id", "event_type")
+    dd = stream.dropDuplicates(["user_id", "event_type"]).select(
+        "user_id", "event_type"
     )
-    q = (
-        dd.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    run_to_memory_sink(dd, name, ckpt, output_mode="append")
     return spark.table(name)
 
 
@@ -123,16 +120,26 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     read back, sort-merge join WITHOUT a shuffle exchange on the join
     key — the layout strategy that amortizes one write-time shuffle
     across every subsequent join at 100 TB (plan asserted shuffle-free
-    in tests/test_io_multimodal.py)."""
-    suffix = uuid.uuid4().hex[:8]
-    wh = tempfile.mkdtemp(prefix="bucketed_wh_")
+    in tests/test_io_multimodal.py).
+
+    Names/paths are deterministic per (user, sf): repeat invocations
+    overwrite the same two tables instead of leaking a catalog entry
+    and a temp directory per call."""
+    import getpass
+    import re
+
+    sf_tag = re.sub(r"[^A-Za-z0-9]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    wh = os.path.join(
+        tempfile.gettempdir(), f"bucketed_wh_{getpass.getuser()}", sf_tag
+    )
+    os.makedirs(wh, exist_ok=True)
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
     customer = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
-    to_name, tc_name = f"orders_b_{suffix}", f"customer_b_{suffix}"
+    to_name, tc_name = f"orders_b_{sf_tag}", f"customer_b_{sf_tag}"
     (
         orders.write.bucketBy(8, "o_custkey")
         .sortBy("o_custkey")

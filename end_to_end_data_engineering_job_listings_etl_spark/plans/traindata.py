@@ -17,8 +17,8 @@ Scale shapes:
 - ``text_pack_batches`` windows per shard (PARTITION BY shard), never
   globally — 100 TB packs in parallel across thousands of shards, and
   batch ids are globally unique by (shard, seq within shard).
-- ``dd_duplicate_clusters`` is iterative label propagation
-  (O(diameter) rounds of join+min-agg); see
+- ``dd_duplicate_clusters`` is iterative label propagation with
+  pointer jumping (O(log diameter) rounds of join+min-agg); see
   ``operators.dedup.connected_components``.
 
 Determinism/oracle notes: md5 is the only hash (bit-stable in Spark

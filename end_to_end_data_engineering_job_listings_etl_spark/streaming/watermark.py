@@ -77,14 +77,19 @@ def windowed_event_counts(
 
 
 def run_to_memory_sink(
-    agg: DataFrame, table_name: str, checkpoint_dir: str
+    agg: DataFrame,
+    table_name: str,
+    checkpoint_dir: str,
+    output_mode: str = "complete",
 ) -> None:
     """Drain the stream with availableNow (process-everything-then-stop
-    — the batch-parity trigger) into an in-memory sink."""
+    — the batch-parity trigger) into an in-memory sink. ``output_mode``
+    follows the query shape: complete for full-rewrite aggregations,
+    update for stateful per-key operators, append for dedup/selection."""
     q = (
         agg.writeStream.format("memory")
         .queryName(table_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

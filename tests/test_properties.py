@@ -132,13 +132,9 @@ def test_connected_components_match_union_find(spark, edges):
         if ra != rb:
             lo, hi = min(ra, rb), max(ra, rb)
             parent[hi] = lo
+    # the larger root always attaches under the smaller, so every
+    # tree's root IS its component minimum
     expected = {n: find(n) for n in nodes}
-    # min representative per component
-    comp_min: dict[int, int] = {}
-    for n in nodes:
-        r = find(n)
-        comp_min[r] = min(comp_min.get(r, n), n)
-    expected = {n: comp_min[find(n)] for n in nodes}
 
     verts = spark.createDataFrame([(n,) for n in nodes], "doc_id long")
     edf = spark.createDataFrame(edges or [(0, 0)], "id_a long, id_b long")
