@@ -166,6 +166,59 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_approx_percentile_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL-ish quantile sketch under the hash gate (the
+    approx_count_distinct pattern): exact interpolated percentiles
+    pinned by the oracle plus booleans asserting the
+    ``approx_percentile`` sketch landed within 5% relative error. A
+    drifting sketch fails the gate, not just a pytest."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.floor(F.expr("percentile(value, 0.5)") * 1e6).cast("long").alias("p50_e6"),
+        F.floor(F.expr("percentile(value, 0.9)") * 1e6).cast("long").alias("p90_e6"),
+        F.expr("approx_percentile(value, 0.5, 1000)").alias("ap50"),
+        F.expr("approx_percentile(value, 0.9, 1000)").alias("ap90"),
+        F.expr("percentile(value, 0.5)").alias("ex50"),
+        F.expr("percentile(value, 0.9)").alias("ex90"),
+    )
+    tol = lambda ap, ex: (  # noqa: E731
+        F.abs(F.col(ap) - F.col(ex)) / F.greatest(F.abs(F.col(ex)), F.lit(1.0)) < 0.05
+    )
+    return agg.select(
+        "event_type",
+        "p50_e6",
+        "p90_e6",
+        tol("ap50", "ex50").alias("approx_p50_ok"),
+        tol("ap90", "ex90").alias("approx_p90_ok"),
+    )
+
+
+def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event funnel (signup → view → click → purchase): per
+    user, the first timestamp of each stage; a stage counts only if it
+    strictly follows the previous stage's first occurrence. One
+    hash-aggregate on user_id then a scalar rollup — no self-joins, no
+    windows (the conditional-min trick scales as a single shuffle)."""
+    ev = load_table(spark, sf_dir, "events")
+    first = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    per_user = ev.groupBy("user_id").agg(
+        first("signup").alias("t_signup"),
+        first("view").alias("t_view"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_purchase"),
+    )
+    s2 = F.col("t_signup").isNotNull() & (F.col("t_view") > F.col("t_signup"))
+    s3 = s2 & (F.col("t_click") > F.col("t_view"))
+    s4 = s3 & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_signup").alias("n_signup"),
+        F.sum(s2.cast("long")).alias("n_signup_view"),
+        F.sum(s3.cast("long")).alias("n_signup_view_click"),
+        F.sum(s4.cast("long")).alias("n_full_funnel"),
+    )
+
+
 def jl_star_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference-shaped job-listings pipeline end to end (rows-only
     check: its landing is synthesized in-engine, outside the oracle's
@@ -225,6 +278,8 @@ QUERIES = {
     "agg_approx_distinct": agg_approx_distinct,
     "agg_salted_distinct": agg_salted_distinct,
     "agg_percentiles": agg_percentiles,
+    "agg_approx_percentile_checked": agg_approx_percentile_checked,
+    "ev_funnel": ev_funnel,
     "dim_company_bucketed": dim_company_bucketed,
     "jl_star_fact": jl_star_fact,
     "text_top_bigrams": text_top_bigrams,
@@ -308,6 +363,35 @@ ORACLES = {
                CAST(floor(quantile_cont(value, 0.5) * 1000000) AS BIGINT) AS p50_e6,
                CAST(floor(quantile_cont(value, 0.9) * 1000000) AS BIGINT) AS p90_e6
         FROM events GROUP BY event_type
+    """,
+    "agg_approx_percentile_checked": """
+        SELECT event_type,
+               CAST(floor(quantile_cont(value, 0.5) * 1000000) AS BIGINT) AS p50_e6,
+               CAST(floor(quantile_cont(value, 0.9) * 1000000) AS BIGINT) AS p90_e6,
+               TRUE AS approx_p50_ok,
+               TRUE AS approx_p90_ok
+        FROM events GROUP BY event_type
+    """,
+    "ev_funnel": """
+        WITH per_user AS (
+          SELECT user_id,
+                 min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+                 min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                 min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                 min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+          FROM events GROUP BY user_id
+        )
+        SELECT count(*) AS n_users,
+               count(t_signup) AS n_signup,
+               CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_view,
+               CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+                              AND t_click > t_view
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_view_click,
+               CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+                              AND t_click > t_view AND t_purchase > t_click
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+        FROM per_user
     """,
     # jl_star_fact: rows-only (landing synthesized in-engine).
     "dim_company_bucketed": f"""
