@@ -142,6 +142,52 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, "embedding", "vec_id", q, centroids, k=10, nprobe=2)
 
 
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation funnel a training corpus ships: every
+    document attributed to its first-failing filter (exact-dup →
+    too-short → low-quality → non-English) or retained. Composes the
+    dedup fingerprint, quality score, and language-ID layers in ONE
+    plan: a fingerprint-partitioned min-window (parallel, no global
+    sort) plus narrow maps, then a tiny group-by on the reason code.
+
+    On the synthetic corpus only too_short fires besides retained (the
+    fixture has no exact dups and its "non-English" docs are English
+    token soup) — the zero branches are still verified: a single doc
+    attributed differently by Spark vs the oracle breaks the reason
+    histogram hash."""
+    docs = load_table_dist(spark, sf_dir, "documents", cols=("doc_id", "text"))
+    from pyspark.sql import Window
+
+    langs = list(T.LANG_MARKERS)
+    scored = docs.select(
+        "doc_id",
+        T.fingerprint("text").alias("fp"),
+        T.char_count("text").alias("n_chars"),
+        T.quality_score("text").alias("q"),
+        *T.lang_scores("text"),
+    )
+    pred = None
+    for lang in langs:  # first max wins, in declared language order
+        cond = None
+        for other in langs:
+            c = F.col(f"score_{lang}") >= F.col(f"score_{other}")
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    keyed = scored.select(
+        "*",
+        F.min("doc_id").over(Window.partitionBy("fp")).alias("keep_id"),
+        pred.alias("predicted"),
+    )
+    reason = (
+        F.when(F.col("doc_id") != F.col("keep_id"), F.lit("exact_dup"))
+        .when(F.col("n_chars") < 100, F.lit("too_short"))
+        .when(F.col("q") < 0.5, F.lit("low_quality"))
+        .when(F.col("predicted") != "en", F.lit("non_english"))
+        .otherwise(F.lit("retained"))
+    )
+    return keyed.groupBy(reason.alias("reason")).agg(F.count("*").alias("n_docs"))
+
+
 def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed ANN (rows-only check: the hyperplane literals
     are generated Python-side; re-stating them in SQL adds no oracle
@@ -258,6 +304,7 @@ QUERIES = {
     "dd_lsh_candidates": dd_lsh_candidates,
     "dd_simhash": dd_simhash,
     "dd_embedding_neardup": dd_embedding_neardup,
+    "corpus_curation": corpus_curation,
     "sim_cosine_topk": sim_cosine_topk,
     "sim_knn_join": sim_knn_join,
     "sim_lsh_ann": sim_lsh_ann,
@@ -365,6 +412,24 @@ ORACLES = {
           FROM scored
         )
         SELECT * FROM ranked WHERE rank <= 5
+    """,
+    "corpus_curation": f"""
+        WITH base AS (
+          SELECT doc_id, {_FP} AS fp, length(text) AS n_chars,
+                 ({_QUALITY}) AS q, {_SCORE_EXPRS}
+          FROM documents
+        ), keyed AS (
+          SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keep_id,
+                 {_PRED_CASE} AS predicted
+          FROM base
+        )
+        SELECT CASE WHEN doc_id != keep_id THEN 'exact_dup'
+                    WHEN n_chars < 100 THEN 'too_short'
+                    WHEN q < 0.5 THEN 'low_quality'
+                    WHEN predicted != 'en' THEN 'non_english'
+                    ELSE 'retained' END AS reason,
+               count(*) AS n_docs
+        FROM keyed GROUP BY 1
     """,
     # sim_lsh_ann: intentionally no oracle (rows-only) — see docstring.
 }
