@@ -125,13 +125,16 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Names/paths are deterministic per (user, sf): repeat invocations
     overwrite the same two tables instead of leaking a catalog entry
     and a temp directory per call."""
-    import getpass
     import re
 
+    try:
+        import getpass
+
+        user = getpass.getuser()
+    except Exception:  # bare containers may lack a resolvable user
+        user = "default"
     sf_tag = re.sub(r"[^A-Za-z0-9]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
-    wh = os.path.join(
-        tempfile.gettempdir(), f"bucketed_wh_{getpass.getuser()}", sf_tag
-    )
+    wh = os.path.join(tempfile.gettempdir(), f"bucketed_wh_{user}", sf_tag)
     os.makedirs(wh, exist_ok=True)
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
