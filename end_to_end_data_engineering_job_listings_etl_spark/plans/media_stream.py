@@ -167,6 +167,29 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction roundtrip: fragment documents into 64
+    tiny files, compact them by on-disk byte budget
+    (``sinks.writers.compact_parquet``), aggregate off the compacted
+    copy. The oracle aggregates the source directly — a lossy rewrite
+    breaks the hash; the file-count collapse is asserted in
+    tests/test_io_multimodal.py."""
+    from ..sinks.writers import compact_parquet
+
+    base = os.path.join(tempfile.gettempdir(), "compact_rt")
+    frag, compacted = os.path.join(base, "frag"), os.path.join(base, "compact")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    docs.repartition(64).write.mode("overwrite").parquet(frag)
+    compact_parquet(spark, frag, compacted, target_bytes=256 << 20)
+    back = spark.read.parquet(compacted)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal binary columns, oracle-checkable derivation
 # ---------------------------------------------------------------------------
@@ -415,6 +438,7 @@ QUERIES = {
     "stream_user_totals": stream_user_totals,
     "stream_dedup": stream_dedup,
     "sink_bucketed_join": sink_bucketed_join,
+    "sink_compaction": sink_compaction,
     "mm_meta_checked": mm_meta_checked,
     "mm_features": mm_features,
     "mm_frame_sample_checked": mm_frame_sample_checked,
@@ -426,6 +450,10 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sink_compaction": """
+SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+FROM documents GROUP BY lang
+""",
     "stream_dedup": "SELECT DISTINCT user_id, event_type FROM events",
     "sink_bucketed_join": """
 SELECT c_mktsegment,

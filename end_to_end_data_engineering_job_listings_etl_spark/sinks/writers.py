@@ -47,3 +47,39 @@ def write_counted(df: DataFrame, spark: SparkSession, path: str) -> int:
     pass total (vs the reference's two full computations)."""
     df.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path).count()
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_bytes: int = 128 << 20,
+) -> int:
+    """Small-files compaction: rewrite a fragmented parquet directory
+    into ceil(total_bytes / target_bytes) files. The standard cure for
+    the small-files problem — thousands of tiny files turn a 100 TB
+    scan into a metadata/NameNode stampede and a task-per-file
+    scheduling storm. Returns the output file count.
+
+    Sizing reads the source directory's actual on-disk bytes through
+    the Hadoop FileSystem API (metadata only, no data scan — and the
+    same call works on HDFS/S3A, not just local paths); the rewrite
+    itself is one repartition — the single shuffle buys every later
+    scan its right-sized splits."""
+    import math
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    src = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = src.getFileSystem(hconf)
+    total = fs.getContentSummary(src).getLength()
+    n_files = max(1, math.ceil(total / target_bytes))
+    spark.read.parquet(src_path).repartition(n_files).write.mode(
+        "overwrite"
+    ).parquet(dst_path)
+    dst = jvm.org.apache.hadoop.fs.Path(dst_path)
+    return sum(
+        1
+        for st in fs.listStatus(dst)
+        if st.getPath().getName().endswith(".parquet")
+    )

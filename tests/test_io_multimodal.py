@@ -119,3 +119,26 @@ def test_bucketed_join_is_shuffle_free_on_key(spark):
     assert "SortMergeJoin" in plan, plan
     assert "hashpartitioning(o_custkey" not in plan, plan
     assert "hashpartitioning(c_custkey" not in plan, plan
+
+
+def test_compaction_collapses_file_count(spark):
+    """64 fragment files must compact to a handful (byte-budget sized),
+    losslessly."""
+    import os
+    import tempfile
+
+    from end_to_end_data_engineering_job_listings_etl_spark.sinks.writers import compact_parquet
+    from end_to_end_data_engineering_job_listings_etl_spark.catalog import load_table
+    from tests.conftest import SF_DIR
+
+    base = os.path.join(tempfile.gettempdir(), "compact_unit")
+    frag, dst = os.path.join(base, "frag"), os.path.join(base, "dst")
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "n_chars")
+    docs.repartition(64).write.mode("overwrite").parquet(frag)
+    n_frag = sum(1 for f in os.listdir(frag) if f.endswith(".parquet"))
+    n_out = compact_parquet(spark, frag, dst, target_bytes=256 << 20)
+    assert n_frag == 64
+    assert n_out == 1  # tiny corpus fits one 256MB-budget file
+    a = sorted(r["doc_id"] for r in spark.read.parquet(dst).collect())
+    b = sorted(r["doc_id"] for r in docs.collect())
+    assert a == b
