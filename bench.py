@@ -50,6 +50,8 @@ HEADLINE = [
     "text_redact",
     "dd_duplicate_clusters",
     "sink_bucketed_join",
+    "ev_funnel",
+    "corpus_curation",
 ]
 
 
