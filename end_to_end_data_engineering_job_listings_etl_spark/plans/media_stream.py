@@ -167,6 +167,39 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows IN THE STREAMING ENGINE:
+    ``session_window(ts, '30 minutes')`` merges events into
+    gap-separated sessions as state, drained with availableNow.
+    Session semantics are end-exclusive — an event exactly gap-after
+    the previous one starts a NEW session — so the batch oracle's
+    island rule is `diff >= gap` (the batch ``op_sessionize`` ordinal
+    query uses strict `>` on purpose: both conventions exist, each is
+    pinned by its own oracle)."""
+    from ..streaming.watermark import (
+        events_stream_dir,
+        run_to_memory_sink,
+        stream_events,
+    )
+
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_sess_")
+    stream = stream_events(spark, events_stream_dir(sf_dir))
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+    run_to_memory_sink(agg, name, ckpt)
+    return spark.table(name)
+
+
 def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-files compaction roundtrip: fragment documents into 64
     tiny files, compact them by on-disk byte budget
@@ -437,6 +470,7 @@ QUERIES = {
     "stream_window_counts": stream_window_counts,
     "stream_user_totals": stream_user_totals,
     "stream_dedup": stream_dedup,
+    "stream_session_counts": stream_session_counts,
     "sink_bucketed_join": sink_bucketed_join,
     "sink_compaction": sink_compaction,
     "mm_meta_checked": mm_meta_checked,
@@ -455,6 +489,26 @@ SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
 FROM documents GROUP BY lang
 """,
     "stream_dedup": "SELECT DISTINCT user_id, event_type FROM events",
+    "stream_session_counts": """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessed AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id,
+       count(*) AS n_events
+FROM sessed GROUP BY user_id, session_id
+""",
     "sink_bucketed_join": """
 SELECT c_mktsegment,
        count(*) AS n_orders,

@@ -18,6 +18,7 @@ _STREAMING = {
     "stream_window_counts",
     "stream_user_totals",
     "stream_dedup",
+    "stream_session_counts",
 }  # no batch plan
 
 
