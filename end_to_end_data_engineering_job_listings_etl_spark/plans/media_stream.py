@@ -200,6 +200,48 @@ def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def stream_upsert_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's incremental dimension loader as a CONTINUOUS
+    job: ``foreachBatch`` applies the anti-join upsert
+    (``operators.incremental.upsert_dim`` — J8, the deleted
+    populate_star_schema semantics) to each micro-batch, persisting
+    the dim to parquet between batches. After the availableNow drain
+    the dim holds every distinct natural key exactly once, with dense
+    surrogate keys — checked against batch DISTINCT + row_number."""
+    import shutil
+
+    from ..operators.incremental import upsert_dim
+    from ..streaming.watermark import events_stream_dir, stream_events
+
+    target = os.path.join(tempfile.gettempdir(), "stream_dim_type")
+    shutil.rmtree(target, ignore_errors=True)
+    ckpt = tempfile.mkdtemp(prefix="ckpt_ud_")
+    stream = stream_events(spark, events_stream_dir(sf_dir)).select(
+        F.col("event_type").alias("type_name")
+    ).filter(F.col("type_name").isNotNull())
+
+    def apply_batch(bdf: DataFrame, _batch_id: int) -> None:
+        s = bdf.sparkSession
+        if os.path.isdir(target):
+            existing = s.read.parquet(target)
+        else:
+            existing = s.createDataFrame([], "type_sk int, type_name string")
+        merged = upsert_dim(bdf, existing, ["type_name"], "type_sk")
+        out = target + "__tmp"
+        merged.write.mode("overwrite").parquet(out)
+        shutil.rmtree(target, ignore_errors=True)
+        os.rename(out, target)
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(target)
+
+
 def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-files compaction roundtrip: fragment documents into 64
     tiny files, compact them by on-disk byte budget
@@ -471,6 +513,7 @@ QUERIES = {
     "stream_user_totals": stream_user_totals,
     "stream_dedup": stream_dedup,
     "stream_session_counts": stream_session_counts,
+    "stream_upsert_dim": stream_upsert_dim,
     "sink_bucketed_join": sink_bucketed_join,
     "sink_compaction": sink_compaction,
     "mm_meta_checked": mm_meta_checked,
@@ -489,6 +532,12 @@ SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
 FROM documents GROUP BY lang
 """,
     "stream_dedup": "SELECT DISTINCT user_id, event_type FROM events",
+    "stream_upsert_dim": """
+SELECT CAST(row_number() OVER (ORDER BY type_name) AS INTEGER) AS type_sk,
+       type_name
+FROM (SELECT DISTINCT event_type AS type_name FROM events
+      WHERE event_type IS NOT NULL)
+""",
     "stream_session_counts": """
 WITH flagged AS (
   SELECT user_id, ts, event_id,
