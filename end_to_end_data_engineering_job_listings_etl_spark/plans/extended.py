@@ -219,6 +219,24 @@ def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def agg_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): per-user event counts, one column per
+    event type. The value list is DECLARED — an undeclared pivot runs
+    an extra distinct job to discover values and breaks schema
+    stability at scale. Missing cells are null (Spark pivot-count
+    semantics; the oracle mirrors with sum(CASE...) which nulls on
+    empty, not count(CASE...) which would give 0)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_PIVOT_TYPES))
+        .count()
+    )
+
+
 def jl_star_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference-shaped job-listings pipeline end to end (rows-only
     check: its landing is synthesized in-engine, outside the oracle's
@@ -280,6 +298,7 @@ QUERIES = {
     "agg_percentiles": agg_percentiles,
     "agg_approx_percentile_checked": agg_approx_percentile_checked,
     "ev_funnel": ev_funnel,
+    "agg_pivot_events": agg_pivot_events,
     "dim_company_bucketed": dim_company_bucketed,
     "jl_star_fact": jl_star_fact,
     "text_top_bigrams": text_top_bigrams,
@@ -371,6 +390,15 @@ ORACLES = {
                TRUE AS approx_p50_ok,
                TRUE AS approx_p90_ok
         FROM events GROUP BY event_type
+    """,
+    "agg_pivot_events": """
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+        FROM events GROUP BY user_id
     """,
     "ev_funnel": """
         WITH per_user AS (
