@@ -237,6 +237,20 @@ def agg_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_unpivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide → long), the inverse of ``agg_pivot_events``:
+    melting the pivoted matrix and dropping the null cells recovers
+    exactly the long-form per-(user, type) counts — round-trip proven
+    under the hash gate."""
+    wide = agg_pivot_events(spark, sf_dir)
+    return (
+        wide.unpivot(
+            "user_id", list(_PIVOT_TYPES), "event_type", "n_events"
+        )
+        .filter(F.col("n_events").isNotNull())
+    )
+
+
 def jl_star_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference-shaped job-listings pipeline end to end (rows-only
     check: its landing is synthesized in-engine, outside the oracle's
@@ -299,6 +313,7 @@ QUERIES = {
     "agg_approx_percentile_checked": agg_approx_percentile_checked,
     "ev_funnel": ev_funnel,
     "agg_pivot_events": agg_pivot_events,
+    "agg_unpivot_events": agg_unpivot_events,
     "dim_company_bucketed": dim_company_bucketed,
     "jl_star_fact": jl_star_fact,
     "text_top_bigrams": text_top_bigrams,
@@ -399,6 +414,10 @@ ORACLES = {
                CAST(sum(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
                CAST(sum(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
         FROM events GROUP BY user_id
+    """,
+    "agg_unpivot_events": """
+        SELECT user_id, event_type, count(*) AS n_events
+        FROM events GROUP BY user_id, event_type
     """,
     "ev_funnel": """
         WITH per_user AS (
