@@ -1,0 +1,236 @@
+"""Window-function surface beyond the reference's single global
+row_number (SURVEY.md §2.8 W1): ranked top-N per group, time-range
+sliding frames, quantile bucketing (ntile / percent_rank), GROUPING
+SETS, higher-order array functions, and positional explode.
+
+The reference does ranking via ORDER BY + LIMIT only (§2.9 O2) and
+has no frame specs at all; these complete the window/aggregation
+surface a warehouse user expects, each DuckDB-oracle-checked.
+
+Scale notes:
+- Every window here is PARTITIONED (custkey / orderpriority): one hash
+  shuffle, in-partition sort — never the single-partition global
+  window that W1's reference-exact mode needs.
+- w_moving_sum_30d uses a RANGE frame over epoch-micros, so peers
+  (same-day orders) enter the frame together — tie-order independent,
+  hence deterministic without a unique sort key.
+- percent_rank is computed as integer math ((rank-1)*1e6 div (n-1)):
+  cross-engine float division would round differently at the 6th
+  decimal; integral div cannot.
+- fn_array_hof keeps the per-key array bounded (orders per customer,
+  ~10-30 rows); at 100 TB the same pattern holds wherever group
+  cardinality is bounded — for unbounded groups use the streaming /
+  window forms instead of collect_list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.text import tokens
+
+_30D_US = 30 * 86400 * 1_000_000
+
+def _price() -> "F.Column":
+    return F.col("o_totalprice").cast("decimal(12,2)")
+
+
+def w_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price — rank-based top-N per group
+    (the window form of the reference's ORDER BY+LIMIT top-k, A4/O2).
+
+    One shuffle on o_custkey; row_number over (price DESC, orderkey)
+    is a total order per partition, so results are deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        _price().desc(), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            _price().alias("price"),
+            F.row_number().over(w).cast("int").alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+def w_moving_sum_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer 30-day trailing spend: RANGE frame over event-time
+    (micros), so all orders within the trailing window — including
+    same-timestamp peers — aggregate together regardless of tie order."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        # o_orderdate is TIMESTAMP_NTZ; the session TZ is pinned UTC,
+        # so the cast to instant is lossless and matches epoch_us.
+        .orderBy(F.unix_micros(F.col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-_30D_US, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_price()).over(w).cast("decimal(18,2)").alias("trailing_30d_spend"),
+    )
+
+
+def w_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile bucketing + percent_rank per order-priority class.
+
+    pr_e6 is exact integer math: (rank-1)*1e6 div (n-1) — both engines
+    agree on integral division where float percent_rank() could differ
+    in the last ulp."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        _price().asc(), F.asc("o_orderkey")
+    )
+    wp = Window.partitionBy("o_orderpriority")
+    rank = F.row_number().over(w).cast("long")
+    n = F.count("*").over(wp)
+    return (
+        orders.select(
+            "o_orderkey",
+            F.col("o_orderpriority").alias("priority"),
+            F.ntile(4).over(w).cast("int").alias("quartile"),
+            ((rank - 1) * 1_000_000).alias("__num"),
+            n.alias("__n"),
+        )
+        .select(
+            "o_orderkey",
+            "priority",
+            "quartile",
+            F.expr("__num div (__n - 1)").cast("long").alias("pr_e6"),
+        )
+    )
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((year), (status), ()) in one pass — the explicit
+    grouping-set form rollup/cube can't express (disjoint sets, no
+    (year,status) cell). One shuffle; each input row expands to its
+    grouping-set replicas with partial aggregation below the exchange."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.select(
+        F.year("o_orderdate").alias("yr"),
+        F.col("o_orderstatus").alias("status"),
+    ).createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        """
+        SELECT yr, status, CAST(grouping_id(yr, status) AS INT) AS gid,
+               count(*) AS n
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((yr), (status), ())
+        """
+    )
+
+
+def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over per-customer order history:
+    aggregate (fold-sum), filter (+size), array_max — all JVM-side
+    lambda expressions inside whole-stage codegen, no UDFs.
+
+    Cents as BIGINT (decimal-cast then ×100) so the fold is exact
+    integer math in both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (_price() * 100).cast("long")
+    grouped = (
+        orders.select("o_custkey", cents.alias("cents"))
+        .groupBy("o_custkey")
+        .agg(F.array_sort(F.collect_list("cents")).alias("arr"))
+    )
+    return grouped.select(
+        "o_custkey",
+        F.aggregate(
+            "arr", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("total_cents"),
+        F.size(F.filter("arr", lambda x: x > F.lit(20_000_000))).alias("n_big"),
+        F.array_max("arr").alias("max_cents"),
+    )
+
+
+def fn_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (pos, value) of each document's first three
+    tokens — the ordinal-aware UDTF the reference's explode (E1)
+    lacks. Narrow map + one count shuffle on (pos, token)."""
+    docs = load_table(spark, sf_dir, "documents")
+    first3 = F.slice(tokens(F.lower(F.col("text"))), 1, 3)
+    return (
+        docs.select(F.posexplode(first3).alias("pos0", "token"))
+        .select((F.col("pos0") + 1).cast("int").alias("pos"), "token")
+        .groupBy("pos", "token")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+QUERIES = {
+    "w_topk_per_group": w_topk_per_group,
+    "w_moving_sum_30d": w_moving_sum_30d,
+    "w_ntile_buckets": w_ntile_buckets,
+    "agg_grouping_sets": agg_grouping_sets,
+    "fn_array_hof": fn_array_hof,
+    "fn_posexplode_tokens": fn_posexplode_tokens,
+}
+
+_DTOKS = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x != '')"
+
+ORACLES = {
+    "w_topk_per_group": """
+        SELECT o_custkey, o_orderkey, price, CAST(rk AS INTEGER) AS rk FROM (
+          SELECT o_custkey, o_orderkey,
+                 CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+                 row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY CAST(o_totalprice AS DECIMAL(12,2)) DESC, o_orderkey
+                 ) AS rk
+          FROM orders
+        ) WHERE rk <= 3
+    """,
+    "w_moving_sum_30d": """
+        SELECT o_custkey, o_orderkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+                 PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+                 RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW
+               ) AS DECIMAL(18,2)) AS trailing_30d_spend
+        FROM orders
+    """,
+    "w_ntile_buckets": """
+        SELECT o_orderkey, priority, CAST(quartile AS INTEGER) AS quartile,
+               ((rk - 1) * 1000000) // (n - 1) AS pr_e6
+        FROM (
+          SELECT o_orderkey, o_orderpriority AS priority,
+                 ntile(4) OVER w AS quartile,
+                 row_number() OVER w AS rk,
+                 count(*) OVER (PARTITION BY o_orderpriority) AS n
+          FROM orders
+          WINDOW w AS (PARTITION BY o_orderpriority
+                       ORDER BY CAST(o_totalprice AS DECIMAL(12,2)), o_orderkey)
+        )
+    """,
+    "agg_grouping_sets": """
+        SELECT yr, status, CAST(GROUPING(yr, status) AS INTEGER) AS gid,
+               count(*) AS n
+        FROM (SELECT year(o_orderdate) AS yr, o_orderstatus AS status FROM orders)
+        GROUP BY GROUPING SETS ((yr), (status), ())
+    """,
+    "fn_array_hof": """
+        SELECT o_custkey,
+               CAST(list_aggregate(list(cents), 'sum') AS BIGINT) AS total_cents,
+               CAST(len(list_filter(list(cents), x -> x > 20000000)) AS INTEGER) AS n_big,
+               CAST(list_max(list(cents)) AS BIGINT) AS max_cents
+        FROM (SELECT o_custkey,
+                     CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+              FROM orders)
+        GROUP BY o_custkey
+    """,
+    "fn_posexplode_tokens": f"""
+        WITH t AS (SELECT {_DTOKS} AS toks FROM documents)
+        SELECT pos, token, count(*) AS n FROM (
+          SELECT 1 AS pos, toks[1] AS token FROM t WHERE len(toks) >= 1
+          UNION ALL SELECT 2, toks[2] FROM t WHERE len(toks) >= 2
+          UNION ALL SELECT 3, toks[3] FROM t WHERE len(toks) >= 3
+        ) GROUP BY pos, token
+    """,
+}

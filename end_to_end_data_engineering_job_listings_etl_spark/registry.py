@@ -27,6 +27,7 @@ from .plans import (
     sqlviews,
     star,
     traindata,
+    windowfns,
 )
 
 _MODULES = [
@@ -41,6 +42,7 @@ _MODULES = [
     media_stream,
     mlx,
     traindata,
+    windowfns,
 ]
 
 
