@@ -17,7 +17,7 @@ from __future__ import annotations
 import datetime as dt
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -83,3 +83,37 @@ def upsert_dim(
         (F.row_number().over(w) + F.lit(start)).cast("int").alias(sk_name), *keys
     )
     return existing.select(sk_name, *keys).unionByName(new_with_sk)
+
+
+def scd2_history(
+    df: DataFrame,
+    key: str,
+    attr: str,
+    order_cols: Sequence[str],
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2: collapse an attribute's
+    change-log into validity intervals per key.
+
+    The reference's star schema is Type-1 only (overwrite, no history
+    — ``dags/spark_etl_script.py:181-189`` rewrites every dim each
+    run); this adds the history-preserving form a warehouse needs for
+    late analysis ("what was the status when…").
+
+    Mechanics: one hash shuffle on ``key``, then two window passes on
+    the SAME partitioning (Catalyst reuses the exchange + sort):
+    lag() drops rows whose attribute equals the previous row's
+    (no-op changes), lead() closes each surviving interval with the
+    next change's start. Open intervals (valid_to NULL) are current.
+    ``order_cols`` must be a per-key total order for determinism."""
+    w = Window.partitionBy(key).orderBy(*[F.asc(c) for c in order_cols])
+    changed = df.withColumn("__prev", F.lag(attr).over(w)).filter(
+        F.col("__prev").isNull() | (F.col(attr) != F.col("__prev"))
+    )
+    w2 = Window.partitionBy(key).orderBy(*[F.asc(c) for c in order_cols])
+    valid_from = F.col(order_cols[0])
+    return changed.select(
+        F.col(key),
+        F.col(attr),
+        valid_from.alias("valid_from"),
+        F.lead(valid_from).over(w2).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())

@@ -22,7 +22,7 @@ from ..catalog import load_table
 from ..functions.keywords import extract_keywords
 from ..functions.normalize import norm_initcap, norm_upper, parse_string_array
 from ..functions.relative_time import parse_relative_time
-from ..operators.incremental import filter_after, filter_upto, upsert_dim
+from ..operators.incremental import filter_after, filter_upto, scd2_history, upsert_dim
 from .star import STAR_PREFIX, _initcap
 
 _NOW = "2024-02-01 00:00:00"
@@ -174,6 +174,20 @@ def inc_upsert_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return upsert_dim(incoming, existing_dim, ["event_type_name"], "event_type_sk")
 
 
+def inc_scd2_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history: each customer's order-status change-log
+    collapsed into validity intervals (valid_from / valid_to /
+    is_current) — the history-preserving upgrade of the reference's
+    overwrite-only dims. See operators/incremental.py::scd2_history."""
+    orders = load_table(spark, sf_dir, "orders")
+    return scd2_history(
+        orders,
+        key="o_custkey",
+        attr="o_orderstatus",
+        order_cols=["o_orderdate", "o_orderkey"],
+    )
+
+
 def fn_json_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F12 faithful + corrected parse modes (SURVEY.md §7.3).
 
@@ -217,6 +231,7 @@ QUERIES = {
     "w_latest_per_customer": w_latest_per_customer,
     "inc_watermark_agg": inc_watermark_agg,
     "inc_upsert_dim": inc_upsert_dim,
+    "inc_scd2_status": inc_scd2_status,
     "fn_json_modes": fn_json_modes,
     "fn_json_roundtrip": fn_json_roundtrip,
 }
@@ -344,5 +359,26 @@ ORACLES = {
           FROM fresh
         )
         SELECT * FROM existing UNION ALL SELECT * FROM numbered
+    """,
+    "inc_scd2_status": """
+        WITH ordered AS (
+          SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+                 lag(o_orderstatus) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ) AS prev
+          FROM orders
+        ), changes AS (
+          SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+          FROM ordered WHERE prev IS NULL OR o_orderstatus <> prev
+        )
+        SELECT o_custkey, o_orderstatus,
+               o_orderdate AS valid_from,
+               lead(o_orderdate) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS valid_to,
+               lead(o_orderdate) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) IS NULL AS is_current
+        FROM changes
     """,
 }

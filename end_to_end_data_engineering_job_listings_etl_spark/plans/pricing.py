@@ -128,14 +128,94 @@ def li_supplier_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q3_CUT = "1997-01-01"
+
+
+def li_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping priority: segment-filtered customers
+    broadcast onto orders, that (already filtered, small) order set
+    broadcast-able onto lineitem, revenue per still-open order, top 10.
+
+    Scale shape: both joins key on the fact's existing columns, so the
+    only guaranteed shuffle is the final groupBy on l_orderkey — and
+    AQE keeps the dim sides broadcast while they fit."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit(_Q3_CUT).cast("timestamp_ntz"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(_Q3_CUT).cast("timestamp_ntz")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("decimal(24,4)").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def li_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped order-priority check: orders with ≥1 lineitem
+    shipped more than 60 days after the order date (EXISTS → left_semi
+    with an equi key + non-equi residual), counted by priority.
+
+    The semi join shuffles both sides on orderkey once; the residual
+    predicate evaluates inside the join, so no fact-×-fact blowup."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("n_late_orders"))
+
+
 QUERIES = {
     "li_pricing_summary": li_pricing_summary,
+    "li_shipping_priority": li_shipping_priority,
+    "li_late_shipment_priority": li_late_shipment_priority,
     "li_revenue_topk": li_revenue_topk,
     "li_running_total": li_running_total,
     "li_supplier_nation_revenue": li_supplier_nation_revenue,
 }
 
 ORACLES = {
+    "li_shipping_priority": f"""
+        SELECT l_orderkey, o_orderdate,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                    AS DECIMAL(24,4)) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '{_Q3_CUT} 00:00:00'
+          AND l_shipdate > TIMESTAMP '{_Q3_CUT} 00:00:00'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    "li_late_shipment_priority": """
+        SELECT o_orderpriority, count(*) AS n_late_orders
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+    """,
     "li_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
                CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
