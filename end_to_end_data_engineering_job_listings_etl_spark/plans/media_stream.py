@@ -114,6 +114,37 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins the
+    static customer dimension (batch DataFrame) inside the streaming
+    engine, then aggregates per market segment — the continuous form
+    of the star-schema dim join (J2-J6). The static side is re-read
+    per micro-batch, planned as a broadcast while the dim fits; no
+    stream-side state is needed for inner stream-static joins.
+
+    availableNow drain ⇒ result equals the batch join+agg, so it gets
+    a real SQL oracle. Values decimal-cast before summation."""
+    from ..streaming.watermark import (
+        events_stream_dir,
+        run_to_memory_sink,
+        stream_events,
+    )
+
+    name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_ssj_")
+    stream = stream_events(spark, events_stream_dir(sf_dir))
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = stream.join(cust, stream.user_id == cust.c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("decimal(24,6)")
+        .alias("sum_value"),
+    )
+    run_to_memory_sink(agg, name, ckpt, output_mode="complete")
+    return spark.table(name)
+
+
 def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed-warehouse co-located join: write orders and customer
     ``bucketBy(8, custkey)`` (hash-bucketed + per-bucket sorted files),
@@ -393,6 +424,27 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink/source roundtrip (columnar format surface beyond the
+    reference's CSV/parquet): project orders → write ORC → re-read →
+    aggregate. ORC carries types natively (no schema re-declaration),
+    and Spark's vectorized ORC reader gives the same predicate
+    pushdown / column pruning as parquet. The oracle aggregates the
+    source, so dropped rows or type drift fail the hash."""
+    path = os.path.join(tempfile.mkdtemp(prefix="sink_orc_"), "orders_orc")
+    proj = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    proj.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(24,2)")
+        .alias("sum_price"),
+    )
+
+
 def src_json_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4 JSON list-of-records source (the raw_jobs.json transport,
     ``dags/test_extraction.py:96-97``): stage the first 200 documents
@@ -519,8 +571,10 @@ QUERIES = {
     "mm_meta_checked": mm_meta_checked,
     "mm_features": mm_features,
     "mm_frame_sample_checked": mm_frame_sample_checked,
+    "stream_static_join": stream_static_join,
     "sink_partitioned_roundtrip": sink_partitioned_roundtrip,
     "sink_csv_roundtrip": sink_csv_roundtrip,
+    "sink_orc_roundtrip": sink_orc_roundtrip,
     "src_json_records": src_json_records,
     "agg_approx_distinct_checked": agg_approx_distinct_checked,
     "text_winnow_fingerprints": text_winnow_fingerprints,
@@ -532,6 +586,17 @@ SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
 FROM documents GROUP BY lang
 """,
     "stream_dedup": "SELECT DISTINCT user_id, event_type FROM events",
+    "stream_static_join": """
+SELECT c_mktsegment, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(24,6)) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+""",
+    "sink_orc_roundtrip": """
+SELECT o_orderstatus, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(24,2)) AS sum_price
+FROM orders GROUP BY o_orderstatus
+""",
     "stream_upsert_dim": """
 SELECT CAST(row_number() OVER (ORDER BY type_name) AS INTEGER) AS type_sk,
        type_name
