@@ -52,6 +52,10 @@ HEADLINE = [
     "sink_bucketed_join",
     "ev_funnel",
     "corpus_curation",
+    "li_shipping_priority",
+    "li_late_shipment_priority",
+    "inc_scd2_status",
+    "w_moving_sum_30d",
 ]
 
 

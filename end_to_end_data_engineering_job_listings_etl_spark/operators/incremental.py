@@ -85,6 +85,23 @@ def upsert_dim(
     return existing.select(sk_name, *keys).unionByName(new_with_sk)
 
 
+def merge_scd1(
+    existing: DataFrame, updates: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """SCD Type-1 merge (MERGE … WHEN MATCHED UPDATE, WHEN NOT MATCHED
+    INSERT, without a transactional table format): keys present in
+    ``updates`` take the update row wholesale; all other existing rows
+    pass through. ``updates`` must be 1 row/key (pre-dedup last-wins
+    upstream).
+
+    One anti-join (broadcast-eligible when the update batch is small —
+    the common incremental case) + a union; no full-table shuffle of
+    ``existing``."""
+    return existing.join(updates.select(*keys), list(keys), "left_anti").unionByName(
+        updates
+    )
+
+
 def scd2_history(
     df: DataFrame,
     key: str,

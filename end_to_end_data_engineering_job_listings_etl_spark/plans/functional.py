@@ -22,7 +22,13 @@ from ..catalog import load_table
 from ..functions.keywords import extract_keywords
 from ..functions.normalize import norm_initcap, norm_upper, parse_string_array
 from ..functions.relative_time import parse_relative_time
-from ..operators.incremental import filter_after, filter_upto, scd2_history, upsert_dim
+from ..operators.incremental import (
+    filter_after,
+    filter_upto,
+    merge_scd1,
+    scd2_history,
+    upsert_dim,
+)
 from .star import STAR_PREFIX, _initcap
 
 _NOW = "2024-02-01 00:00:00"
@@ -174,6 +180,30 @@ def inc_upsert_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return upsert_dim(incoming, existing_dim, ["event_type_name"], "event_type_sk")
 
 
+def inc_scd1_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-1 keyed merge: the pre-watermark per-user profile
+    (last event type) updated by the post-watermark batch — matched
+    keys take the new value, unmatched keep the old, new keys insert.
+    Merged result ≡ "last event type overall", which is the oracle."""
+
+    def last_type(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        return (
+            df.select(
+                "user_id", "event_type", F.row_number().over(w).alias("rn")
+            )
+            .filter(F.col("rn") == 1)
+            .select("user_id", F.col("event_type").alias("last_event_type"))
+        )
+
+    ev = load_table(spark, sf_dir, "events")
+    existing = last_type(filter_upto(ev, "ts", _WM))
+    updates = last_type(filter_after(ev, "ts", _WM))
+    return merge_scd1(existing, updates, ["user_id"])
+
+
 def inc_scd2_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 history: each customer's order-status change-log
     collapsed into validity intervals (valid_from / valid_to /
@@ -231,6 +261,7 @@ QUERIES = {
     "w_latest_per_customer": w_latest_per_customer,
     "inc_watermark_agg": inc_watermark_agg,
     "inc_upsert_dim": inc_upsert_dim,
+    "inc_scd1_merge": inc_scd1_merge,
     "inc_scd2_status": inc_scd2_status,
     "fn_json_modes": fn_json_modes,
     "fn_json_roundtrip": fn_json_roundtrip,
@@ -359,6 +390,14 @@ ORACLES = {
           FROM fresh
         )
         SELECT * FROM existing UNION ALL SELECT * FROM numbered
+    """,
+    "inc_scd1_merge": """
+        SELECT user_id, event_type AS last_event_type FROM (
+          SELECT user_id, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events
+        ) WHERE rn = 1
     """,
     "inc_scd2_status": """
         WITH ordered AS (
