@@ -298,8 +298,39 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_explode_outer_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-preserving explode (explode_outer): documents with an
+    empty extracted-keyword set keep one row with NULL keyword — the
+    left-lateral form E1 loses (its inner explode drops keyword-less
+    parents entirely). Pure narrow map, no shuffle."""
+    from ..functions.keywords import extract_keywords
+
+    docs = load_table_dist(spark, sf_dir, "documents", cols=("doc_id", "text"))
+    return docs.select(
+        "doc_id", F.explode_outer(extract_keywords("text")).alias("keyword")
+    )
+
+
+def agg_argmax_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group mode (argmax-by-count): each user's most
+    frequent event type, ties broken lexicographically. One count
+    shuffle on (user, type), then a window on user — the second pass
+    repartitions on a prefix of the first's keys, so AQE can satisfy
+    it from the existing partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_event_type"), "n")
+    )
+
+
 QUERIES = {
     "agg_rollup_year_month": agg_rollup_year_month,
+    "fn_explode_outer_keywords": fn_explode_outer_keywords,
+    "agg_argmax_event": agg_argmax_event,
     "agg_cube_status_priority": agg_cube_status_priority,
     "set_except_customers": set_except_customers,
     "set_intersect_customers": set_intersect_customers,
@@ -332,7 +363,25 @@ CASE WHEN len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x 
      ELSE [] END
 """
 
+from ..functions.keywords import DEFAULT_KEYWORDS as _KWS
+
+_KW_VALUES_SQL = ", ".join(f"('{k.lower()}')" for k in sorted({k.lower() for k in _KWS}))
+
 ORACLES = {
+    "fn_explode_outer_keywords": f"""
+        SELECT d.doc_id, t.kw AS keyword
+        FROM documents d
+        LEFT JOIN (VALUES {_KW_VALUES_SQL}) t(kw)
+          ON contains(lower(d.text), t.kw)
+    """,
+    "agg_argmax_event": """
+        SELECT user_id, event_type AS mode_event_type, n FROM (
+          SELECT user_id, event_type, count(*) AS n,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY count(*) DESC, event_type) AS rn
+          FROM events GROUP BY user_id, event_type
+        ) WHERE rn = 1
+    """,
     "agg_rollup_year_month": (
         f"{STAR_PREFIX} SELECT year_number, month_number,"
         " CAST(GROUPING(year_number, month_number) AS INTEGER) AS gid,"

@@ -145,6 +145,54 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time interval join: purchases join views of
+    the same user within the preceding hour, inside the streaming
+    engine. Both sides carry watermarks and the join condition bounds
+    event time on both, so state is evictable — the canonical bounded
+    stream-stream join (attribution / conversion tracking shape).
+
+    availableNow drain ⇒ emitted pairs equal the batch time-bounded
+    self-join, which is the oracle."""
+    from ..streaming.watermark import (
+        events_stream_dir,
+        run_to_memory_sink,
+        stream_events,
+    )
+
+    name = f"stream_ssj_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_ssij_")
+    src = events_stream_dir(sf_dir)
+    purchases = (
+        stream_events(spark, src)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    views = (
+        stream_events(spark, src)
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    joined = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+    ).select("purchase_id", "view_id")
+    run_to_memory_sink(joined, name, ckpt, output_mode="append")
+    return spark.table(name)
+
+
 def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed-warehouse co-located join: write orders and customer
     ``bucketBy(8, custkey)`` (hash-bucketed + per-bucket sorted files),
@@ -572,6 +620,7 @@ QUERIES = {
     "mm_features": mm_features,
     "mm_frame_sample_checked": mm_frame_sample_checked,
     "stream_static_join": stream_static_join,
+    "stream_interval_join": stream_interval_join,
     "sink_partitioned_roundtrip": sink_partitioned_roundtrip,
     "sink_csv_roundtrip": sink_csv_roundtrip,
     "sink_orc_roundtrip": sink_orc_roundtrip,
@@ -586,6 +635,13 @@ SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
 FROM documents GROUP BY lang
 """,
     "stream_dedup": "SELECT DISTINCT user_id, event_type FROM events",
+    "stream_interval_join": """
+SELECT p.event_id AS purchase_id, v.event_id AS view_id
+FROM events p JOIN events v
+  ON p.user_id = v.user_id
+ AND p.event_type = 'purchase' AND v.event_type = 'view'
+ AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+""",
     "stream_static_join": """
 SELECT c_mktsegment, count(*) AS n_events,
        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(24,6)) AS sum_value
