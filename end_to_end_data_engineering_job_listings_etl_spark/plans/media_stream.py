@@ -493,6 +493,50 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def src_jdbc_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S6 as a REAL JDBC source (not the parquet stand-in): load
+    orders into an embedded Derby database (the landing-zone RDBMS
+    analog of the reference's Postgres, ``dags/spark_etl_script.py:
+    65-72``), then read it back as a PARTITIONED JDBC scan — 4
+    parallel range-bounded queries on o_orderkey, the way a real
+    cluster divides a JDBC table — with an incremental-style predicate
+    that Spark pushes into the remote SQL (PushedFilters, reference
+    S6's hand-built subquery done by Catalyst). Aggregate afterwards
+    so the oracle checks the whole transport."""
+    url = "jdbc:derby:memory:landing_db;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    (
+        orders.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "ORDERS_LANDING")
+        .option("driver", driver)
+        .mode("overwrite")
+        .save()
+    )
+    hi = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "ORDERS_LANDING")
+        .option("driver", driver)
+        .option("partitionColumn", "o_orderkey")
+        .option("lowerBound", "1")
+        .option("upperBound", str(hi))
+        .option("numPartitions", "4")
+        .load()
+        .filter(F.col("o_totalprice") > 100_000)
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(24,2)")
+        .alias("sum_price"),
+    )
+
+
 def src_json_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4 JSON list-of-records source (the raw_jobs.json transport,
     ``dags/test_extraction.py:96-97``): stage the first 200 documents
@@ -624,6 +668,7 @@ QUERIES = {
     "sink_partitioned_roundtrip": sink_partitioned_roundtrip,
     "sink_csv_roundtrip": sink_csv_roundtrip,
     "sink_orc_roundtrip": sink_orc_roundtrip,
+    "src_jdbc_landing": src_jdbc_landing,
     "src_json_records": src_json_records,
     "agg_approx_distinct_checked": agg_approx_distinct_checked,
     "text_winnow_fingerprints": text_winnow_fingerprints,
@@ -647,6 +692,12 @@ SELECT c_mktsegment, count(*) AS n_events,
        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(24,6)) AS sum_value
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment
+""",
+    "src_jdbc_landing": """
+SELECT o_orderstatus, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(24,2)) AS sum_price
+FROM orders WHERE o_totalprice > 100000
+GROUP BY o_orderstatus
 """,
     "sink_orc_roundtrip": """
 SELECT o_orderstatus, count(*) AS n_orders,
