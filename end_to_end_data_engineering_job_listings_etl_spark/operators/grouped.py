@@ -54,3 +54,44 @@ def grouped_sequence(
         )
 
     return narrow.groupBy(key_col).applyInPandas(seq_group, out_schema)
+
+
+def cogrouped_balance(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    amount_col: str,
+) -> DataFrame:
+    """Cogrouped-map ``applyInPandas``: both inputs are hash-partitioned
+    on their keys and each key's two group frames arrive TOGETHER in
+    one Python call — the custom-merge shape (per-key reconciliation,
+    as-of alignment, interleaved merges) that a join + groupBy can't
+    express when the merge logic is imperative.
+
+    This instance computes a per-key balance (row counts from both
+    sides + an exact integer amount total) so the cogroup machinery
+    itself sits under the value-hash gate; keys missing on either side
+    still emit (empty frame on that side), matching a FULL OUTER join
+    oracle."""
+    from ..session import ship_package
+
+    ship_package(left.sparkSession)
+    out_schema = "key bigint, n_left bigint, n_right bigint, total_amount bigint"
+
+    def merge(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        total = int(lpdf[amount_col].sum()) if len(lpdf) else 0
+        return pd.DataFrame(
+            {
+                "key": [int(key[0])],
+                "n_left": [len(lpdf)],
+                "n_right": [len(rpdf)],
+                "total_amount": [total],
+            }
+        )
+
+    return (
+        left.groupBy(left_key)
+        .cogroup(right.groupBy(right_key))
+        .applyInPandas(merge, out_schema)
+    )

@@ -179,6 +179,57 @@ def op_grouped_seq_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_sequence(ev, "user_id", ["ts", "event_id"], "event_id")
 
 
+def op_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map ``applyInPandas`` under the gate: per-key order /
+    event reconciliation — both tables hash-partition on the key and
+    each key's two pandas frames arrive together in one Python call.
+    Output is integer-exact (counts + cents total), so the cogroup
+    exchange machinery itself is value-hash-checked against a FULL
+    OUTER join oracle."""
+    from ..operators.grouped import cogrouped_balance
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    events = load_table(spark, sf_dir, "events").select("user_id")
+    return cogrouped_balance(orders, events, "o_custkey", "user_id", "cents")
+
+
+def op_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) applied laterally per input row —
+    the UDTF analog of explode for logic a set-returning expression
+    can't state. Splits each document on '.' and emits (idx, piece)
+    for non-empty pieces.
+
+    Slow-path discipline: UDTFs run Python per row; this one is
+    Arrow-batched (``useArrow=True``) and kept off hot paths — the
+    registry's explode/posexplode forms are the scale path. It exists
+    to cover the API surface with exact (string/int) output under the
+    hash gate."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, idx int, piece string", useArrow=True)
+    class SentenceSplit:
+        def eval(self, doc_id: int, text: str):
+            i = 0
+            for part in (text or "").split("."):
+                if part != "":
+                    i += 1
+                    yield doc_id, i, part
+
+    spark.udtf.register("sentence_split", SentenceSplit)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT s.doc_id, s.idx, s.piece
+        FROM __udtf_docs d, LATERAL sentence_split(d.doc_id, d.text) s
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Binned range join under the gate
 # ---------------------------------------------------------------------------
@@ -313,6 +364,8 @@ QUERIES = {
     "ml_kmeans_step": ml_kmeans_step,
     "src_rest_ingest": src_rest_ingest,
     "op_grouped_seq_pandas": op_grouped_seq_pandas,
+    "op_cogroup_pandas": op_cogroup_pandas,
+    "op_udtf_sentences": op_udtf_sentences,
     "op_range_join": op_range_join,
 }
 
@@ -321,5 +374,28 @@ ORACLES = {
     "ml_kmeans_step": _KM_ORACLE,
     "src_rest_ingest": _REST_ORACLE,
     "op_grouped_seq_pandas": _GROUPED_SEQ_ORACLE,
+    "op_cogroup_pandas": """
+        WITH oc AS (
+          SELECT o_custkey AS key, count(*) AS n_left,
+                 sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS total
+          FROM orders GROUP BY o_custkey
+        ), ec AS (
+          SELECT user_id AS key, count(*) AS n_right FROM events GROUP BY user_id
+        )
+        SELECT coalesce(oc.key, ec.key) AS key,
+               coalesce(n_left, 0) AS n_left,
+               coalesce(n_right, 0) AS n_right,
+               CAST(coalesce(total, 0) AS BIGINT) AS total_amount
+        FROM oc FULL OUTER JOIN ec ON oc.key = ec.key
+    """,
+    "op_udtf_sentences": """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, '.'), x -> x != '') AS parts
+          FROM documents
+        )
+        SELECT doc_id, CAST(i AS INTEGER) AS idx, parts[i] AS piece
+        FROM t, UNNEST(range(1, len(parts) + 1)) AS u(i)
+    """,
     "op_range_join": _RANGE_JOIN_ORACLE,
 }
