@@ -72,3 +72,29 @@ def test_sorted_layout_prunes_row_groups(spark):
     )
     assert r_rows == total
     assert s_rows < 0.5 * r_rows, (s_rows, r_rows)
+
+
+def test_zorder_layout_prunes_on_both_dimensions(spark):
+    """A z-ordered (bit-interleaved) layout skips row groups for
+    narrow predicates on EITHER participating column; a single-sort
+    layout only prunes its own sort column (asserted above)."""
+    from end_to_end_data_engineering_job_listings_etl_spark.functions.layout import write_zordered
+
+    orders = load_table(spark, SF_DIR, "orders")
+    total = orders.count()
+    ok_hi = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    ck_hi = orders.agg(F.max("o_custkey")).collect()[0][0]
+    path = os.path.join(tempfile.mkdtemp(prefix="layout_z_"), "zord")
+    write_zordered(orders, path, ["o_orderkey", "o_custkey"], [ok_hi, ck_hi])
+
+    back = spark.read.parquet(path)
+    assert back.count() == total
+
+    def decoded(col, lo, hi):
+        df = spark.read.parquet(path).filter(F.col(col).between(lo, hi))
+        return _scan_metrics(df)[0]["numOutputRows"]
+
+    ok_rows = decoded("o_orderkey", int(ok_hi * 0.40), int(ok_hi * 0.50))
+    ck_rows = decoded("o_custkey", int(ck_hi * 0.40), int(ck_hi * 0.50))
+    assert ok_rows < 0.8 * total, (ok_rows, total)
+    assert ck_rows < 0.8 * total, (ck_rows, total)
