@@ -122,8 +122,44 @@ def bi_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bi_daily_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-free daily series: a generated date spine (sequence +
+    explode over the observed min/max — no driver collect, no
+    hand-written calendar) left-joins the daily counts so missing
+    days surface as explicit zeros. The reference's DIM_DATE only
+    contains observed dates (``dags/spark_etl_script.py:112-120``), so
+    its daily charts silently skip empty days; this is the
+    warehouse-correct form.
+
+    Scale shape: the spine derives from a 1-row aggregate and explodes
+    to #days rows (tiny forever); the daily counts are one shuffle on
+    the date; the spine join broadcasts."""
+    from ..catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    counts = (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    spine = (
+        orders.agg(
+            F.to_date(F.min("o_orderdate")).alias("mn"),
+            F.to_date(F.max("o_orderdate")).alias("mx"),
+        )
+        .select(
+            F.explode(
+                F.sequence("mn", "mx", F.expr("INTERVAL 1 DAY"))
+            ).alias("day")
+        )
+    )
+    return spine.join(counts, "day", "left").select(
+        "day", F.coalesce("n", F.lit(0)).alias("n_orders")
+    )
+
+
 QUERIES = {
     "bi_top15_employers": bi_top15_employers,
+    "bi_daily_spine": bi_daily_spine,
     "bi_daily_counts": bi_daily_counts,
     "bi_monthly_trend": bi_monthly_trend,
     "bi_year_month": bi_year_month,
@@ -136,6 +172,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "bi_daily_spine": """
+        WITH b AS (SELECT CAST(min(o_orderdate) AS DATE) AS mn,
+                          CAST(max(o_orderdate) AS DATE) AS mx FROM orders),
+             spine AS (SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day
+                       FROM b),
+             c AS (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n
+                   FROM orders GROUP BY 1)
+        SELECT spine.day, coalesce(c.n, 0) AS n_orders
+        FROM spine LEFT JOIN c USING (day)
+    """,
     "bi_top15_employers": (
         f"{STAR_PREFIX} SELECT employer_name, count(*) AS postings FROM star_wide"
         " GROUP BY employer_name ORDER BY postings DESC, employer_name LIMIT 15"

@@ -218,6 +218,29 @@ def inc_scd2_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_map_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: per-user event profile built as a real map
+    column (map_from_entries over collected (type, count) structs —
+    the engine-native form of the reference's VARIANT-ish
+    ``job_highlights`` object, SURVEY.md §1.2), then consumed with
+    map_keys / element_at. Output flattens to arrays + scalars so the
+    cross-engine hash stays exact; the map itself lives in the plan."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    profile = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+        ).alias("profile")
+    )
+    return profile.select(
+        "user_id",
+        F.array_sort(F.map_keys("profile")).alias("types_seen"),
+        F.element_at("profile", "click").alias("n_click"),
+        F.element_at("profile", "view").alias("n_view"),
+        F.size("profile").cast("int").alias("n_types"),
+    )
+
+
 def fn_json_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F12 faithful + corrected parse modes (SURVEY.md §7.3).
 
@@ -263,6 +286,7 @@ QUERIES = {
     "inc_upsert_dim": inc_upsert_dim,
     "inc_scd1_merge": inc_scd1_merge,
     "inc_scd2_status": inc_scd2_status,
+    "fn_map_column": fn_map_column,
     "fn_json_modes": fn_json_modes,
     "fn_json_roundtrip": fn_json_roundtrip,
 }
@@ -390,6 +414,16 @@ ORACLES = {
           FROM fresh
         )
         SELECT * FROM existing UNION ALL SELECT * FROM numbered
+    """,
+    "fn_map_column": """
+        SELECT user_id,
+               list_sort(list(event_type)) AS types_seen,
+               CAST(sum(CASE WHEN event_type = 'click' THEN n END) AS BIGINT) AS n_click,
+               CAST(sum(CASE WHEN event_type = 'view' THEN n END) AS BIGINT) AS n_view,
+               CAST(count(*) AS INTEGER) AS n_types
+        FROM (SELECT user_id, event_type, count(*) AS n
+              FROM events GROUP BY user_id, event_type)
+        GROUP BY user_id
     """,
     "inc_scd1_merge": """
         SELECT user_id, event_type AS last_event_type FROM (
