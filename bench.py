@@ -56,6 +56,10 @@ HEADLINE = [
     "li_late_shipment_priority",
     "inc_scd2_status",
     "w_moving_sum_30d",
+    "src_jdbc_landing",
+    "op_cogroup_pandas",
+    "bi_daily_spine",
+    "agg_argmax_event",
 ]
 
 

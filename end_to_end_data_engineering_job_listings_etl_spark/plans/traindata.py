@@ -372,8 +372,47 @@ ORACLES["samp_mixture"] = f"""
     FROM documents
 """
 
+_RESERVOIR_K = 50
+
+
+def samp_reservoir_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum 'reservoir': the k documents with the
+    smallest md5(doc_id) per language. Equivalent in distribution to
+    uniform-without-replacement sampling (a hash of a unique id is an
+    exchangeable random tie-break) but reproducible, order-independent,
+    and stable under appends of non-smaller hashes — the property a
+    resumable 100 TB sampling job needs (true reservoir sampling is
+    stream-order-dependent and not replayable).
+
+    One shuffle on the stratum key; the window top-k never materializes
+    more than k rows per stratum past the sort."""
+    from pyspark.sql import Window
+
+    docs = load_table_dist(spark, sf_dir, "documents", cols=("doc_id", "lang"))
+    h = F.md5(F.col("doc_id").cast("string")).alias("h")
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", "lang", h)
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= _RESERVOIR_K)
+        .select("doc_id", "lang", "rk")
+    )
+
+
+ORACLES["samp_reservoir_per_stratum"] = f"""
+    SELECT doc_id, lang, CAST(rk AS INTEGER) AS rk FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= {_RESERVOIR_K}
+"""
+
 QUERIES = {
     "samp_hash_split": samp_hash_split,
+    "samp_reservoir_per_stratum": samp_reservoir_per_stratum,
     "samp_mixture": samp_mixture,
     "text_pack_batches": text_pack_batches,
     "dd_duplicate_clusters": dd_duplicate_clusters,
