@@ -73,25 +73,53 @@ def cogrouped_balance(
     sides + an exact integer amount total) so the cogroup machinery
     itself sits under the value-hash gate; keys missing on either side
     still emit (empty frame on that side), matching a FULL OUTER join
-    oracle."""
+    oracle.
+
+    Cogrouping on the raw key costs one Python invocation PER DISTINCT
+    KEY (~1 ms each) — ruinous when keys are numerous and groups small
+    (millions of calls at 100 TB). So both sides cogroup on
+    ``hash(key) % n_buckets`` instead: each call receives a bucket's
+    worth of both tables and runs the per-key merges vectorized in
+    pandas. Python invocations drop from O(distinct keys) to
+    O(n_buckets) while every key's rows still meet in exactly one
+    call. Size n_buckets so a bucket (~rows/n_buckets) fits executor
+    memory; a genuinely pathological single key needs pre-splitting
+    regardless of bucketing."""
+    from pyspark.sql import functions as F
+
     from ..session import ship_package
 
     ship_package(left.sparkSession)
     out_schema = "key bigint, n_left bigint, n_right bigint, total_amount bigint"
+    n_buckets = max(left.sparkSession.sparkContext.defaultParallelism, 32)
 
-    def merge(key, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
-        total = int(lpdf[amount_col].sum()) if len(lpdf) else 0
+    lb = left.withColumn("_b", F.pmod(F.hash(F.col(left_key)), F.lit(n_buckets)))
+    rb = right.withColumn("_b", F.pmod(F.hash(F.col(right_key)), F.lit(n_buckets)))
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        empty_idx = pd.Index([], dtype="int64")
+        lagg = (
+            lpdf.groupby(left_key)[amount_col].agg(["size", "sum"])
+            if len(lpdf)
+            else pd.DataFrame({"size": [], "sum": []}, dtype="int64", index=empty_idx)
+        )
+        ragg = (
+            rpdf.groupby(right_key).size().to_frame("n_right")
+            if len(rpdf)
+            else pd.DataFrame({"n_right": []}, dtype="int64", index=empty_idx)
+        )
+        m = lagg.join(ragg, how="outer")
         return pd.DataFrame(
             {
-                "key": [int(key[0])],
-                "n_left": [len(lpdf)],
-                "n_right": [len(rpdf)],
-                "total_amount": [total],
+                "key": m.index.astype("int64"),
+                "n_left": m["size"].fillna(0).astype("int64"),
+                "n_right": m["n_right"].fillna(0).astype("int64"),
+                "total_amount": m["sum"].fillna(0).astype("int64"),
             }
         )
 
     return (
-        left.groupBy(left_key)
-        .cogroup(right.groupBy(right_key))
+        lb.groupBy("_b")
+        .cogroup(rb.groupBy("_b"))
         .applyInPandas(merge, out_schema)
     )
