@@ -26,6 +26,7 @@ from .plans import (
     pricing,
     sqlviews,
     star,
+    tpch_more,
     traindata,
     windowfns,
 )
@@ -37,6 +38,7 @@ _MODULES = [
     corpus,
     extended,
     pricing,
+    tpch_more,
     sqlviews,
     joblistings,
     media_stream,
