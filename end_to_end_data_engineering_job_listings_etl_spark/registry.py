@@ -24,6 +24,7 @@ from .plans import (
     media_stream,
     mlx,
     pricing,
+    relational,
     sqlviews,
     star,
     tpch_more,
@@ -39,6 +40,7 @@ _MODULES = [
     extended,
     pricing,
     tpch_more,
+    relational,
     sqlviews,
     joblistings,
     media_stream,
