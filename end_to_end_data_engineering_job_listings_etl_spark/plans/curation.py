@@ -1,0 +1,284 @@
+"""Training-corpus curation, round 2: the document-interior and
+embedding-space filters a 100 TB pretraining pipeline runs after the
+round-1 layers (exact/MinHash/SimHash dedup, lang-ID, quality,
+decontamination — plans/corpus.py, plans/traindata.py).
+
+- Repetition metrics (Gopher-style): within-document duplicate-token /
+  duplicate-bigram fractions — the strongest single predictor of
+  degenerate machine-generated text.
+- Chunk-level dedup (CCNet-style): the corpus-wide first-occurrence
+  filter at sub-document granularity, so boilerplate shared across
+  documents dies without killing the documents.
+- Semantic dedup (SemDeDup-style): cluster-bucketed embedding
+  near-duplicate removal — candidate pairs only form inside a
+  centroid cell, turning O(n²) cosine pairs into O(n²/k).
+
+Determinism: ratios are floor(1e6·num/den) integers over exact counts
+(the shared e6 idiom); chunk identity is md5 text hashing; cosine uses
+the index-ordered fold that is bit-identical between Spark's
+F.aggregate and DuckDB's list_aggregate (plans/corpus.py oracle
+machinery, reused here).
+
+Scale shapes: token/bigram metrics are explode → two-level partial
+aggs (shuffle on (doc_id, gram) then doc_id); chunk dedup shuffles
+once on the chunk hash; SemDeDup shuffles on centroid_id and the
+within-cell pair join is quadratic only in cell size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table_dist
+from ..functions.vectors import cosine
+from ..operators.similarity import ivf_assign
+from .corpus import _cos
+
+
+def _e6(num, den):
+    """floor(num * 1e6 / den) as BIGINT — exact cross-engine (both
+    operands < 2^53, identical IEEE op order both sides)."""
+    return (
+        F.floor(num.cast("double") * F.lit(1000000.0) / den.cast("double"))
+        .cast("bigint")
+    )
+
+
+_E6_SQL = "CAST(floor(CAST({num} AS DOUBLE) * 1000000.0 / CAST({den} AS DOUBLE)) AS BIGINT)"
+
+
+def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition profile: distinct-token ratio, top-token
+    fraction, top-bigram fraction (all e6 integers).
+
+    Two explode pipelines (tokens, bigrams), each a two-level partial
+    agg — count per (doc, gram), then max/sum per doc — joined on
+    doc_id. No windows, no driver loops."""
+    docs = load_table_dist(spark, sf_dir, "documents", cols=("doc_id", "text"))
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tok_stats = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").alias("top_tok"),
+        )
+    )
+    # guard: sequence(1, 0) would DESCEND in Spark and index 0 —
+    # single-token docs must drop out here (the oracle's empty
+    # range(1,1) drops them on the DuckDB side).
+    bigrams = docs.filter(F.size(F.split("text", " ")) >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1),"
+                " i -> concat(element_at(split(text, ' '), i), ' ',"
+                " element_at(split(text, ' '), i + 1)))"
+            )
+        ).alias("bg"),
+    )
+    bg_stats = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bg"))
+    )
+    return tok_stats.join(bg_stats, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        _e6(F.col("n_distinct"), F.col("n_tokens")).alias("distinct_ratio_e6"),
+        _e6(F.col("top_tok"), F.col("n_tokens")).alias("top_token_frac_e6"),
+        _e6(F.col("top_bg"), F.col("n_bigrams")).alias("top_bigram_frac_e6"),
+    )
+
+
+_CHUNK = 10  # tokens per dedup chunk
+_ORD_BASE = 100_000  # ord_key = doc_id * base + chunk_idx (idx ≪ base)
+
+
+def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide chunk-level dedup: split every document into
+    10-token chunks, keep each distinct chunk's FIRST occurrence
+    (document order, then position), report per-document survival.
+
+    The only shuffle is the group-by on the chunk hash; first-
+    occurrence is min(ord_key) — no global sort, no window."""
+    docs = load_table_dist(spark, sf_dir, "documents", cols=("doc_id", "text"))
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, (size(split(text, ' ')) + {_CHUNK - 1})"
+                f" div {_CHUNK}),"
+                f" i -> concat_ws(' ', slice(split(text, ' '),"
+                f" (i - 1) * {_CHUNK} + 1, {_CHUNK})))"
+            )
+        ).alias("idx", "chunk"),
+    ).select(
+        "doc_id",
+        "idx",
+        F.md5("chunk").alias("h"),
+        (F.col("doc_id") * _ORD_BASE + F.col("idx")).alias("ord_key"),
+    )
+    first = chunks.groupBy("h").agg(F.min("ord_key").alias("first_key"))
+    return (
+        chunks.join(first, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum((F.col("ord_key") == F.col("first_key")).cast("bigint")).alias(
+                "n_kept"
+            ),
+        )
+    )
+
+
+_SEM_CENTROID_IDS = [0, 7, 13, 42]
+_SEM_THRESHOLD = 0.3
+
+
+def sem_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: assign every embedding to its
+    max-cosine centroid, form candidate pairs only WITHIN a cell, drop
+    the higher vec_id of any pair with cosine ≥ 0.3. Returns per-cell
+    assigned/dropped counts.
+
+    Scale shape: assignment is a narrow map over a literal centroid
+    list; the pair join shuffles once on centroid_id and is quadratic
+    only within a cell (n²/k) — never across the corpus."""
+    emb = load_table_dist(spark, sf_dir, "embeddings", cols=("vec_id", "embedding"))
+    rows = (
+        emb.filter(F.col("vec_id").isin(_SEM_CENTROID_IDS))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    by_id = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
+    centroids = [(i, by_id[vid]) for i, vid in enumerate(_SEM_CENTROID_IDS)]
+
+    assigned = ivf_assign(emb, "embedding", "vec_id", centroids)
+    va = emb.join(assigned, "vec_id").select(
+        "centroid_id",
+        F.col("vec_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    a = va.select(
+        F.col("centroid_id"),
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+    )
+    b = va.select(
+        F.col("centroid_id").alias("cid_b"),
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+    )
+    dropped = (
+        a.join(b, (a.centroid_id == b.cid_b) & (a.id_a < b.id_b))
+        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= _SEM_THRESHOLD)
+        .select("centroid_id", "id_b")
+        .distinct()
+        .groupBy("centroid_id")
+        .agg(F.count("*").alias("n_dropped"))
+    )
+    sizes = va.groupBy("centroid_id").agg(F.count("*").alias("n_assigned"))
+    return sizes.join(dropped, "centroid_id", "left").select(
+        "centroid_id",
+        "n_assigned",
+        F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+    )
+
+
+QUERIES = {
+    "text_repetition_metrics": text_repetition_metrics,
+    "text_chunk_dedup": text_chunk_dedup,
+    "sem_dedup_clusters": sem_dedup_clusters,
+}
+
+_CID_CASE = "CASE vec_id WHEN 0 THEN 0 WHEN 7 THEN 1 WHEN 13 THEN 2 WHEN 42 THEN 3 END"
+
+ORACLES = {
+    "text_repetition_metrics": f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ), tc AS (
+            SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok
+        ), ta AS (
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                   count(*) AS n_distinct, max(c) AS top_tok
+            FROM tc GROUP BY doc_id
+        ), bgi AS (
+            SELECT doc_id, t, unnest(range(1, len(t))) AS i
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        ), bg AS (
+            SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg FROM bgi
+        ), bc AS (
+            SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg
+        ), ba AS (
+            SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, max(c) AS top_bg
+            FROM bc GROUP BY doc_id
+        )
+        SELECT ta.doc_id, n_tokens,
+               {_E6_SQL.format(num="n_distinct", den="n_tokens")} AS distinct_ratio_e6,
+               {_E6_SQL.format(num="top_tok", den="n_tokens")} AS top_token_frac_e6,
+               {_E6_SQL.format(num="top_bg", den="n_bigrams")} AS top_bigram_frac_e6
+        FROM ta JOIN ba ON ta.doc_id = ba.doc_id
+    """,
+    "text_chunk_dedup": f"""
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), ci AS (
+            SELECT doc_id, t,
+                   unnest(range(1, (len(t) + {_CHUNK - 1}) // {_CHUNK} + 1)) AS i
+            FROM d
+        ), c AS (
+            SELECT doc_id, i - 1 AS idx,
+                   md5(array_to_string(
+                       t[(i - 1) * {_CHUNK} + 1 : (i - 1) * {_CHUNK} + {_CHUNK}],
+                       ' ')) AS h,
+                   doc_id * {_ORD_BASE} + (i - 1) AS ord_key
+            FROM ci
+        ), first AS (
+            SELECT h, min(ord_key) AS first_key FROM c GROUP BY h
+        )
+        SELECT doc_id, count(*) AS n_chunks,
+               CAST(sum(CASE WHEN ord_key = first_key THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept
+        FROM c JOIN first USING (h)
+        GROUP BY doc_id
+    """,
+    "sem_dedup_clusters": f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), cents AS (
+            SELECT {_CID_CASE} AS cid, v AS cv
+            FROM e WHERE vec_id IN (0, 7, 13, 42)
+        ), sims AS (
+            SELECT e.vec_id, c.cid, {_cos("e.v", "c.cv")} AS sim
+            FROM e CROSS JOIN cents c
+        ), assigned AS (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY sim DESC, cid DESC) AS rn
+                FROM sims
+            ) WHERE rn = 1
+        ), va AS (
+            SELECT a.cid, e.vec_id, e.v FROM assigned a JOIN e USING (vec_id)
+        ), dropped AS (
+            SELECT cid, count(*) AS n_dropped FROM (
+                SELECT DISTINCT a.cid, b.vec_id
+                FROM va a JOIN va b
+                  ON a.cid = b.cid AND a.vec_id < b.vec_id
+                WHERE round({_cos("a.v", "b.v")}, 6) >= {_SEM_THRESHOLD}
+            ) GROUP BY cid
+        )
+        SELECT va.cid AS centroid_id, count(*) AS n_assigned,
+               COALESCE(any_value(dropped.n_dropped), 0) AS n_dropped
+        FROM va LEFT JOIN dropped ON va.cid = dropped.cid
+        GROUP BY va.cid
+    """,
+}

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .plans import (
     bi,
     corpus,
+    curation,
     extended,
     functional,
     joblistings,
@@ -37,6 +38,7 @@ _MODULES = [
     bi,
     functional,
     corpus,
+    curation,
     extended,
     pricing,
     tpch_more,
