@@ -28,6 +28,7 @@ from .plans import (
     relational,
     sqlviews,
     star,
+    streaming2,
     tpch_more,
     traindata,
     windowfns,
@@ -46,6 +47,7 @@ _MODULES = [
     sqlviews,
     joblistings,
     media_stream,
+    streaming2,
     mlx,
     traindata,
     windowfns,
