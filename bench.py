@@ -85,11 +85,19 @@ def main() -> None:
         except Exception:
             pass  # warmup must never fail the bench
 
+    # Per-query fault isolation: one broken query must not zero the
+    # whole round's bench signal — record its error and keep timing the
+    # rest. (Errored queries contribute 0 to the total.)
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = queries[name]
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
@@ -100,6 +108,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "errors": errors,
                 "sf": sf,
             }
         )

@@ -31,10 +31,12 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table (single parquet file per table).
 
-    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; read it as long (legacy conf) and
-    rebuild a micros timestamp (truncation — matching how micros
-    engines like DuckDB ingest nanos)."""
+    ``events.ts`` is physically timestamp[us] with no timezone, which
+    Spark reads natively as TIMESTAMP_NTZ — filters on it push into the
+    scan. Older fixtures stored TIMESTAMP(NANOS), which the vectorized
+    reader rejects; the bigint sniff below keeps that layout working
+    (legacy nanosAsLong read + micros rebuild, truncation — matching
+    how micros engines like DuckDB ingest nanos)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         from pyspark.sql import functions as F

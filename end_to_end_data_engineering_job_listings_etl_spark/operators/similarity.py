@@ -145,14 +145,33 @@ def lsh_ann(
     k: int = 10,
     n_planes: int = 8,
     seed: int = 42,
+    max_hamming: int = 0,
 ) -> DataFrame:
-    """ANN via sign-LSH: compare only corpus rows whose signature
-    matches the query's signature (1 bucket ≈ corpus/2^planes rows)."""
+    """ANN via sign-LSH: compare only corpus rows whose signature is
+    within ``max_hamming`` bits of the query's signature.
+    ``max_hamming=0`` is the classic single-bucket probe
+    (1 bucket ≈ corpus/2^planes rows); raising it multi-probes
+    adjacent buckets (recall/scan-fraction dial); ``= n_planes``
+    probes every bucket — exact by construction, which is the
+    oracle-checkable configuration (the brute-force ranking IS the
+    expected answer while the full signature/bucket machinery still
+    executes in the plan)."""
     planes = random_hyperplanes(len(query), n_planes, seed)
-    sig = lsh_signature(corpus, vec_col, planes)
     qbits = "".join(
         "1" if sum(p[i] * query[i] for i in range(len(query))) >= 0 else "0"
         for p in planes
     )
-    bucket = corpus.filter(sig == F.lit(qbits))
+    sig = lsh_signature(corpus, vec_col, planes)
+    if max_hamming <= 0:
+        bucket = corpus.filter(sig == F.lit(qbits))
+    else:
+        # Hamming distance between the row signature and the query
+        # signature, as a sum of per-position mismatch bits (pure
+        # column expressions — whole-stage codegen, no UDF).
+        mismatches = [
+            (F.substring(sig, i + 1, 1) != F.lit(qbits[i])).cast("int")
+            for i in range(n_planes)
+        ]
+        ham = sum(mismatches[1:], mismatches[0])
+        bucket = corpus.filter(ham <= F.lit(max_hamming))
     return cosine_topk(bucket, vec_col, id_col, query, k)

@@ -197,6 +197,18 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_ann(emb, "embedding", "vec_id", q, k=10, n_planes=6)
 
 
+def sim_lsh_ann_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN with max_hamming = n_planes: probing every bucket
+    makes the search exact, so the full signature → Hamming-probe →
+    per-bucket scan → top-k path runs under the hash-match oracle gate
+    — the brute-force SQL ranking IS the expected answer.
+    (``sim_lsh_ann`` keeps the single-bucket probe: the approximate
+    scale posture, invariant-tested.)"""
+    q = _query_vec(spark, sf_dir, 0)
+    emb = load_table_dist(spark, sf_dir, "embeddings", cols=("vec_id", "embedding"))
+    return S.lsh_ann(emb, "embedding", "vec_id", q, k=10, n_planes=6, max_hamming=6)
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -308,6 +320,7 @@ QUERIES = {
     "sim_cosine_topk": sim_cosine_topk,
     "sim_knn_join": sim_knn_join,
     "sim_lsh_ann": sim_lsh_ann,
+    "sim_lsh_ann_checked": sim_lsh_ann_checked,
     "sim_ivf_topk": sim_ivf_topk,
 }
 
@@ -395,6 +408,16 @@ ORACLES = {
         )
         SELECT vec_id, cos_sim FROM scored
         ORDER BY cos_sim DESC, vec_id LIMIT 20
+    """,
+    "sim_lsh_ann_checked": f"""
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        scored AS (
+          SELECT e.vec_id,
+                 round({_cos('CAST(e.embedding AS DOUBLE[])', 'q.qv')}, 6) AS cos_sim
+          FROM embeddings e, q
+        )
+        SELECT vec_id, cos_sim FROM scored
+        ORDER BY cos_sim DESC, vec_id LIMIT 10
     """,
     "sim_knn_join": f"""
         WITH probes AS (

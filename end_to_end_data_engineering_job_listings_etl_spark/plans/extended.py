@@ -97,7 +97,9 @@ def op_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    ts_us = F.unix_micros("ts")
+    # ts is TIMESTAMP_NTZ (micros-physical parquet); cast for unix_micros
+    # under the pinned-UTC session (value-preserving).
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
     last_view = F.max(F.when(F.col("event_type") == "view", ts_us)).over(w)
     return (
         ev.select(
@@ -117,7 +119,7 @@ def op_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     silence per user; emits per-event session ordinals."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ts_us = F.unix_micros("ts")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
     prev = F.lag(ts_us).over(w)
     new_sess = F.when(
         prev.isNull() | ((ts_us - prev) > _SESSION_GAP_US), F.lit(1)

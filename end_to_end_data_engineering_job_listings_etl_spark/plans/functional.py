@@ -155,7 +155,10 @@ def inc_watermark_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     fresh = filter_after(ev, "ts", _WM)
     return fresh.agg(
         F.count("*").alias("n_new"),
-        F.unix_micros(F.max("ts")).alias("new_wm_epoch_us"),
+        # events.ts is physically timestamp[us] with no TZ → TIMESTAMP_NTZ;
+        # unix_micros requires TIMESTAMP. The session TZ is pinned UTC
+        # (registry._pinned) so the cast is value-preserving.
+        F.unix_micros(F.max("ts").cast("timestamp")).alias("new_wm_epoch_us"),
     )
 
 
@@ -234,7 +237,9 @@ def fn_map_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return profile.select(
         "user_id",
-        F.array_sort(F.map_keys("profile")).alias("types_seen"),
+        # pipe-flatten: the driver's value-hasher can't hash raw array
+        # cells (same trick as fn_parse_string_array above).
+        F.array_join(F.array_sort(F.map_keys("profile")), "|").alias("types_seen"),
         F.element_at("profile", "click").alias("n_click"),
         F.element_at("profile", "view").alias("n_view"),
         F.size("profile").cast("int").alias("n_types"),
@@ -417,7 +422,7 @@ ORACLES = {
     """,
     "fn_map_column": """
         SELECT user_id,
-               list_sort(list(event_type)) AS types_seen,
+               array_to_string(list_sort(list(event_type)), '|') AS types_seen,
                CAST(sum(CASE WHEN event_type = 'click' THEN n END) AS BIGINT) AS n_click,
                CAST(sum(CASE WHEN event_type = 'view' THEN n END) AS BIGINT) AS n_view,
                CAST(count(*) AS INTEGER) AS n_types

@@ -59,17 +59,43 @@ def build_star_schema(
         "job_posted_at_utc", F.to_timestamp("job_posted_at_datetime_utc")
     )
     if "job_natural_key" not in base.columns:
-        # deterministic natural key (vs monotonically_increasing_id).
-        # Landings that can derive the key on a narrow projection (see
-        # landing_from_orders) pre-compute it so the full row set never
-        # crosses this single-partition window exchange.
-        base = base.withColumn(
-            "job_natural_key",
-            F.row_number().over(
-                Window.orderBy(
-                    "job_title", "employer_name", "job_posted_at_datetime_utc"
-                )
-            ),
+        # Deterministic natural key (vs monotonically_increasing_id),
+        # derived WITHOUT funneling the full-width landing through a
+        # single-partition window: rank the DISTINCT ordering tuples on
+        # a narrow 3-column aggregate (the only partitionless window —
+        # it carries tuple + count, nothing wide), join the start-rank
+        # back on the tuple (null-safe: posting dates can be null), and
+        # disambiguate duplicate tuples with a per-tuple partitioned
+        # ordinal. Values are identical to the reference-exact
+        # ``row_number() over (order by title, employer, utc)`` whenever
+        # the tuple is unique (it is, in every shipped landing); for
+        # duplicate tuples the key stays dense + unique with arbitrary
+        # tie order — exactly the old single-window behavior.
+        ordering = ["job_title", "employer_name", "job_posted_at_datetime_utc"]
+        tuples = (
+            base.select(*ordering)
+            .groupBy(*ordering)
+            .agg(F.count("*").alias("__cnt"))
+        )
+        starts = tuples.select(
+            *[F.col(c).alias(f"__k{i}") for i, c in enumerate(ordering)],
+            (
+                F.sum("__cnt").over(Window.orderBy(*ordering)) - F.col("__cnt")
+            ).alias("__start"),
+        )
+        cond = None
+        for i, c in enumerate(ordering):
+            eq = base[c].eqNullSafe(starts[f"__k{i}"])
+            cond = eq if cond is None else (cond & eq)
+        w_tuple = Window.partitionBy(*ordering).orderBy(*ordering)
+        base = (
+            base.join(starts, cond, "left")
+            .drop(*[f"__k{i}" for i in range(len(ordering))])
+            .withColumn(
+                "job_natural_key",
+                (F.col("__start") + F.row_number().over(w_tuple)).cast("int"),
+            )
+            .drop("__start")
         )
 
     dim_company = build_dim(

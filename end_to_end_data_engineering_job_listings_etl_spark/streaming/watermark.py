@@ -22,7 +22,9 @@ from pyspark.sql import types as T
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) physical → long
+        # timestamp[us] with no TZ in the parquet → TIMESTAMP_NTZ; event-time
+        # watermarks and windows operate on NTZ natively (Spark 3.4+).
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -47,12 +49,15 @@ def events_stream_dir(sf_dir: str) -> str:
 
 
 def stream_events(spark: SparkSession, source_dir: str) -> DataFrame:
-    """File-source stream over an events landing directory. The nanos
-    `ts` arrives as long; rebuild micros timestamps exactly like the
-    batch catalog."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """File-source stream over an events landing directory. ``ts`` is
+    micros-physical (no TZ) parquet → TIMESTAMP_NTZ, but event-time
+    watermarks require TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE);
+    pin the session to UTC and cast — value-preserving, and the window
+    starts/ends come out as the same naive UTC instants the batch
+    oracle computes."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(source_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_event_counts(

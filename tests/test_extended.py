@@ -43,7 +43,9 @@ def test_asof_join_backward_semantics(spark):
     views = (
         load_table(spark, SF_DIR, "events")
         .filter(F.col("event_type") == "view")
-        .select("user_id", F.unix_micros("ts").alias("v_us"))
+        .select(
+            "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("v_us")
+        )
         .collect()
     )
     by_user = {}

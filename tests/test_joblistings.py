@@ -101,3 +101,24 @@ def test_star_writes_roundtrip(tmp_path, spark, star):
     tables, _ = star
     n = write_counted(tables["DIM_SKILL"], spark, str(tmp_path / "dim_skill"))
     assert n == tables["DIM_SKILL"].count()
+
+
+def test_fallback_nk_single_partition_exchanges_are_narrow(spark):
+    """The fallback natural-key derivation (no pre-supplied
+    job_natural_key) must never funnel the full-width landing through a
+    single-partition exchange: every Exchange SinglePartition in the
+    fact plan is fed by a narrow projection (distinct NK tuples, dim
+    keys, or the 1-column pk_map) — wide payload columns stay out."""
+    from end_to_end_data_engineering_job_listings_etl_spark.plans.extended import jl_star_fact
+
+    fact = jl_star_fact(spark, "/root/testdata/sf0.001")
+    plan = fact._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    wide_cols = ("job_description", "job_highlights")
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        child = lines[i + 1] if i + 1 < len(lines) else ""
+        assert not any(c in child for c in wide_cols), (
+            f"single-partition exchange carries wide columns:\n{line}\n{child}"
+        )

@@ -22,10 +22,12 @@ def test_fact_assembly_all_broadcast_no_smj(spark):
 
 
 def test_watermark_predicate_reaches_scan(spark):
+    # micros-physical NTZ ts: the plain `ts > lit(wm)` predicate pushes
+    # straight into the parquet scan (no nanos rewrite needed anymore).
     p = _plan(functional.inc_watermark_agg(spark, SF_DIR))
     pushed = [l for l in p.splitlines() if "PushedFilters" in l]
     assert pushed and any(
-        re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(ts", l) for l in pushed
+        re.search(r"PushedFilters: \[[^\]]*GreaterThan\(ts", l) for l in pushed
     ), pushed
 
 
