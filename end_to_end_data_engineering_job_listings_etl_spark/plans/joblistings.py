@@ -329,6 +329,19 @@ def jl_fact_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jl_star(spark, sf_dir)["FACT_JOB_POSTINGS"]
 
 
+def jl_fact_fallback_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FACT_JOB_POSTINGS with the natural key DERIVED by
+    ``build_star_schema``'s fallback path (the landing arrives without
+    ``job_natural_key``) — proves the scale-safe narrow-tuple
+    derivation produces exactly the reference's
+    ``row_number() over (order by title, employer, utc)`` values, under
+    the DuckDB hash gate. The landing's titles are unique, so the
+    distinct-tuple rank is a total order and the result is
+    deterministic."""
+    landing = landing_from_orders(spark, sf_dir).drop("job_natural_key")
+    return build_star_schema(landing)["FACT_JOB_POSTINGS"]
+
+
 def jl_bridge_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BRIDGE_JOB_SKILL over the parquet-derived landing: serialized
     skills → translate/split parse → explode → initcap dim → fact join
@@ -480,6 +493,7 @@ fact AS (
 
 QUERIES = {
     "jl_fact_checked": jl_fact_checked,
+    "jl_fact_fallback_checked": jl_fact_fallback_checked,
     "jl_bridge_checked": jl_bridge_checked,
     "jl_dim_company_checked": _jl_table("DIM_COMPANY"),
     "jl_dim_publisher_checked": _jl_table("DIM_PUBLISHER"),
@@ -492,6 +506,7 @@ QUERIES = {
 
 ORACLES = {
     "jl_fact_checked": f"{_JL_PREFIX} SELECT * FROM fact",
+    "jl_fact_fallback_checked": f"{_JL_PREFIX} SELECT * FROM fact",
     "jl_bridge_checked": f"""{_JL_PREFIX}
 SELECT DISTINCT f.job_posting_pk, ds.skill_sk
 FROM skills s
