@@ -221,6 +221,31 @@ def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ev_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-cohort retention matrix: users grouped by first-active
+    month; n_active counts how many are active again k months later —
+    the standard warehouse retention triangle. Shape: one distinct on
+    (user, month) — events collapse ~30× before any join — a per-user
+    min, then a broadcast-back join and one grouped count. The month
+    offset is integer year/month arithmetic (no months_between
+    float)."""
+    ev = load_table(spark, sf_dir, "events")
+    months = ev.select(
+        "user_id", F.to_date(F.date_trunc("month", F.col("ts"))).alias("m")
+    ).distinct()
+    cohorts = months.groupBy("user_id").agg(F.min("m").alias("cohort_month"))
+    j = months.join(cohorts, "user_id")
+    offset = (
+        (F.year("m") - F.year("cohort_month")) * 12
+        + (F.month("m") - F.month("cohort_month"))
+    ).cast("int")
+    return (
+        j.groupBy("cohort_month", offset.alias("month_offset"))
+        .agg(F.count("*").alias("n_active"))
+        .orderBy("cohort_month", "month_offset")
+    )
+
+
 _PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -345,6 +370,7 @@ QUERIES = {
     "agg_percentiles": agg_percentiles,
     "agg_approx_percentile_checked": agg_approx_percentile_checked,
     "ev_funnel": ev_funnel,
+    "ev_cohort_retention": ev_cohort_retention,
     "agg_pivot_events": agg_pivot_events,
     "agg_unpivot_events": agg_unpivot_events,
     "dim_company_bucketed": dim_company_bucketed,
@@ -469,6 +495,21 @@ ORACLES = {
     "agg_unpivot_events": """
         SELECT user_id, event_type, count(*) AS n_events
         FROM events GROUP BY user_id, event_type
+    """,
+    "ev_cohort_retention": """
+        WITH m AS (
+          SELECT DISTINCT user_id, CAST(date_trunc('month', ts) AS DATE) AS m
+          FROM events
+        ), cu AS (
+          SELECT user_id, min(m) AS cohort_month FROM m GROUP BY user_id
+        )
+        SELECT cu.cohort_month,
+               CAST((year(m.m) - year(cu.cohort_month)) * 12
+                    + (month(m.m) - month(cu.cohort_month)) AS INTEGER)
+                 AS month_offset,
+               count(*) AS n_active
+        FROM m JOIN cu USING (user_id)
+        GROUP BY 1, 2 ORDER BY 1, 2
     """,
     "ev_funnel": """
         WITH per_user AS (

@@ -20,6 +20,8 @@ the operators that normally dodge the SQL gate, pushed through it.
 
 from __future__ import annotations
 
+from ..util import scratch_dir
+
 import os
 import tempfile
 import uuid
@@ -48,7 +50,7 @@ def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     name = f"stream_counts_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="ckpt_win_")
+    ckpt = scratch_dir(prefix="ckpt_win_")
     agg = windowed_event_counts(stream_events(spark, events_stream_dir(sf_dir)))
     run_to_memory_sink(agg, name, ckpt)
     return spark.table(name)
@@ -68,7 +70,7 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     name = f"stream_totals_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="ckpt_tot_")
+    ckpt = scratch_dir(prefix="ckpt_tot_")
     stream = running_user_totals(stream_events(spark, events_stream_dir(sf_dir)))
     run_to_memory_sink(stream, name, ckpt, output_mode="update")
     # update mode re-emits a user's row per micro-batch; keep the last
@@ -105,7 +107,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="ckpt_dd_")
+    ckpt = scratch_dir(prefix="ckpt_dd_")
     stream = stream_events(spark, events_stream_dir(sf_dir))
     dd = stream.dropDuplicates(["user_id", "event_type"]).select(
         "user_id", "event_type"
@@ -131,7 +133,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="ckpt_ssj_")
+    ckpt = scratch_dir(prefix="ckpt_ssj_")
     stream = stream_events(spark, events_stream_dir(sf_dir))
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     joined = stream.join(cust, stream.user_id == cust.c_custkey)
@@ -161,7 +163,7 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     name = f"stream_ssj_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="ckpt_ssij_")
+    ckpt = scratch_dir(prefix="ckpt_ssij_")
     src = events_stream_dir(sf_dir)
     purchases = (
         stream_events(spark, src)
@@ -262,7 +264,7 @@ def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     name = f"stream_sess_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="ckpt_sess_")
+    ckpt = scratch_dir(prefix="ckpt_sess_")
     stream = stream_events(spark, events_stream_dir(sf_dir))
     agg = (
         stream.withWatermark("ts", "2 hours")
@@ -294,7 +296,7 @@ def stream_upsert_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     target = os.path.join(tempfile.gettempdir(), "stream_dim_type")
     shutil.rmtree(target, ignore_errors=True)
-    ckpt = tempfile.mkdtemp(prefix="ckpt_ud_")
+    ckpt = scratch_dir(prefix="ckpt_ud_")
     stream = stream_events(spark, events_stream_dir(sf_dir)).select(
         F.col("event_type").alias("type_name")
     ).filter(F.col("type_name").isNotNull())
@@ -425,7 +427,7 @@ def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     table, so a broken partition layout, dropped rows, or a bad pruned
     read all fail the value hash. Decimal-cast before summing (exact
     decimal math both engines)."""
-    path = os.path.join(tempfile.mkdtemp(prefix="sink_k5_"), "events_by_type")
+    path = os.path.join(scratch_dir(prefix="sink_k5_"), "events_by_type")
     ev = load_table(spark, sf_dir, "events").withColumn(
         "value_d", F.col("value").cast("decimal(18,6)")
     )
@@ -449,7 +451,7 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sinks.writers import write_csv
     from ..sources.readers import read_csv_landing
 
-    path = os.path.join(tempfile.mkdtemp(prefix="sink_k1_"), "orders_csv")
+    path = os.path.join(scratch_dir(prefix="sink_k1_"), "orders_csv")
     proj = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
@@ -479,7 +481,7 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     and Spark's vectorized ORC reader gives the same predicate
     pushdown / column pruning as parquet. The oracle aggregates the
     source, so dropped rows or type drift fail the hash."""
-    path = os.path.join(tempfile.mkdtemp(prefix="sink_orc_"), "orders_orc")
+    path = os.path.join(scratch_dir(prefix="sink_orc_"), "orders_orc")
     proj = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
     )
@@ -558,7 +560,7 @@ def src_json_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(200)
         .collect()
     )
-    path = os.path.join(tempfile.mkdtemp(prefix="src_s4_"), "docs.json")
+    path = os.path.join(scratch_dir(prefix="src_s4_"), "docs.json")
     with open(path, "w") as f:
         json.dump(
             [{"doc_id": r["doc_id"], "text": r["text"], "lang": r["lang"]} for r in rows],

@@ -22,6 +22,8 @@ O(stream length).
 
 from __future__ import annotations
 
+from ..util import scratch_dir
+
 import tempfile
 import uuid
 
@@ -48,7 +50,7 @@ def stream_chained_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Append mode ⇒ only hourly windows whose end the closing watermark
     passed are emitted; the oracle applies the same cutoff."""
     name = f"stream_chain_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="ckpt_chain_")
+    ckpt = scratch_dir(prefix="ckpt_chain_")
     ev = stream_events(spark, events_stream_dir(sf_dir))
     per_10m = (
         ev.withWatermark("ts", _WM)
@@ -81,9 +83,23 @@ def stream_leftouter_interval_join(spark: SparkSession, sf_dir: str) -> DataFram
     Append emission: null-padded rows appear only for purchases whose
     p_ts the closing watermark passed; matched rows are emitted as
     they join. The oracle is the batch left join restricted to that
-    same watermark-closed left set."""
+    same watermark-closed left set.
+
+    Single-batch invariant: the oracle counts every matched pair with
+    no watermark restriction, which is exact ONLY because
+    events_stream_dir stages one parquet file ⇒ one micro-batch (the
+    watermark is still the init value while every row joins; it
+    advances only at batch end). A multi-file landing could advance
+    the watermark between batches and drop late-arriving matches the
+    oracle still counts — production callers with multi-file input
+    should pin maxFilesPerTrigger/latestFirst or use the inner-join
+    oracle form. Boundary note: Spark's eviction predicates differ per
+    operator (windowed-agg eviction is window.end <= wm; join state
+    eviction is strict <); the fixture's microsecond timestamps never
+    land exactly on max(ts) - delay, so the <= cutoffs in these
+    oracles are safe here."""
     name = f"stream_loj_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="ckpt_loj_")
+    ckpt = scratch_dir(prefix="ckpt_loj_")
     src = events_stream_dir(sf_dir)
     purchases = (
         stream_events(spark, src)
@@ -125,7 +141,7 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     result equals batch DISTINCT; in production the delay caps state
     at the keys seen within the horizon."""
     name = f"stream_ddw_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="ckpt_ddw_")
+    ckpt = scratch_dir(prefix="ckpt_ddw_")
     ev = stream_events(spark, events_stream_dir(sf_dir))
     deduped = (
         ev.select("user_id", "event_type", "ts")

@@ -37,7 +37,14 @@ from ..functions import text as T
 from ..functions.text import word_shingles
 from ..operators import dedup as D
 from ..operators import similarity as S
-from .corpus import _JACCARD_MAX_ID, _SHINGLES, _TOKS, _cos, _query_vec
+from .corpus import (
+    _JACCARD_MAX_ID,
+    _PUNCT_CLASS,
+    _SHINGLES,
+    _TOKS,
+    _cos,
+    _query_vec,
+)
 
 # ---------------------------------------------------------------------------
 # Spark queries
@@ -246,6 +253,67 @@ def sim_ivf_topk_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, "embedding", "vec_id", q, centroids, k=10, nprobe=4)
 
 
+def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column — the standard
+    memory/IO reduction before ANN serving at 100 TB (4 bytes/dim →
+    1). Per vector: ``scale = max|x_i|``, ``code_i = floor(x_i / scale
+    * 127 + 0.5)`` (explicit half-up floor — engine-independent, where
+    ``round``'s tie behavior is not). Pure array expressions — one
+    narrow map, no shuffle, no UDF. Codes flatten to a pipe string for
+    the cross-engine hash."""
+    emb = load_table_dist(spark, sf_dir, "embeddings", cols=("vec_id", "embedding"))
+    v = F.col("embedding").cast("array<double>")
+    scale = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-30)
+    )
+    codes = F.transform(v, lambda x: F.floor(x / scale * 127 + 0.5).cast("bigint"))
+    return emb.select(
+        "vec_id",
+        F.size(v).alias("n_dims"),
+        F.floor(scale * 1_000_000).cast("bigint").alias("scale_e6"),
+        F.array_join(F.transform(codes, lambda c: c.cast("string")), "|").alias(
+            "codes"
+        ),
+    )
+
+
+_QC_W_STOP = 3  # stopword ratio: strongest natural-text signal
+_QC_W_PUNCT = 2  # punctuation excess: negative
+_QC_LEN_BONUS_E6 = 500_000
+_QC_THRESHOLD_E6 = 400_000
+
+
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-weight linear quality classifier (the shape of a
+    fastText/logistic corpus-quality scorer, with the trained weights
+    frozen as literals): integer e6 features → exact BIGINT logit →
+    threshold keep/drop. At 100 TB this is the classifier-inference
+    stage of a curation funnel — a narrow map with no shuffle; a real
+    model swaps the literal weights for broadcast ones, same plan.
+    Exactness: every feature is a floor(ratio*1e6) integer (the
+    text_stats trick), so the logit is integer arithmetic and the
+    decision boundary is hash-stable cross-engine."""
+    docs = load_table_dist(spark, sf_dir, "documents", cols=("doc_id", "text"))
+    e6 = lambda c: F.floor(c * 1_000_000).cast("long")  # noqa: E731
+    n_chars = T.char_count("text")
+    stop_e6 = e6(T.stopword_ratio("text"))
+    punct_e6 = e6(T.punct_ratio("text"))
+    len_band = F.when(
+        (n_chars >= 100) & (n_chars <= 20_000), F.lit(_QC_LEN_BONUS_E6)
+    ).otherwise(F.lit(0))
+    logit_e6 = (
+        F.lit(_QC_W_STOP) * stop_e6 - F.lit(_QC_W_PUNCT) * punct_e6 + len_band
+    )
+    return docs.select(
+        "doc_id",
+        stop_e6.alias("stop_e6"),
+        punct_e6.alias("punct_e6"),
+        len_band.cast("long").alias("len_bonus_e6"),
+        logit_e6.cast("long").alias("logit_e6"),
+        (logit_e6 >= _QC_THRESHOLD_E6).alias("keep"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -419,4 +487,41 @@ QUERIES = {
     "text_decontaminate": text_decontaminate,
     "text_redact": text_redact,
     "sim_ivf_topk_checked": sim_ivf_topk_checked,
+    "emb_int8_quantize": emb_int8_quantize,
+    "text_quality_classifier": text_quality_classifier,
 }
+
+ORACLES["emb_int8_quantize"] = """
+    SELECT vec_id,
+           CAST(len(v) AS INTEGER) AS n_dims,
+           CAST(floor(scale * 1000000) AS BIGINT) AS scale_e6,
+           array_to_string(list_transform(v,
+             x -> CAST(CAST(floor(x / scale * 127 + 0.5) AS BIGINT) AS VARCHAR)),
+             '|') AS codes
+    FROM (
+      SELECT vec_id, v,
+             greatest(list_aggregate(list_transform(v, x -> abs(x)), 'max'),
+                      1e-30) AS scale
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    )
+"""
+
+ORACLES["text_quality_classifier"] = f"""
+    SELECT doc_id, stop_e6, punct_e6, len_bonus_e6,
+           {_QC_W_STOP} * stop_e6 - {_QC_W_PUNCT} * punct_e6 + len_bonus_e6
+             AS logit_e6,
+           ({_QC_W_STOP} * stop_e6 - {_QC_W_PUNCT} * punct_e6 + len_bonus_e6)
+             >= {_QC_THRESHOLD_E6} AS keep
+    FROM (
+      SELECT doc_id,
+        CAST(floor((len(list_filter({_TOKS.format(e='text')},
+               t -> lower(t) IN ('the', 'a', 'of', 'and')))
+             / greatest(len({_TOKS.format(e='text')}), 1)) * 1000000) AS BIGINT)
+          AS stop_e6,
+        CAST(floor(((length(text) - length(regexp_replace(text, '{_PUNCT_CLASS}', '', 'g')))
+             / greatest(length(text), 1)) * 1000000) AS BIGINT) AS punct_e6,
+        CAST(CASE WHEN length(text) BETWEEN 100 AND 20000
+                  THEN {_QC_LEN_BONUS_E6} ELSE 0 END AS BIGINT) AS len_bonus_e6
+      FROM documents
+    )
+"""

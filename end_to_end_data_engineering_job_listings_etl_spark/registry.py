@@ -29,6 +29,7 @@ from .plans import (
     sqlviews,
     star,
     streaming2,
+    tpch3,
     tpch_more,
     traindata,
     windowfns,
@@ -51,6 +52,7 @@ _MODULES = [
     mlx,
     traindata,
     windowfns,
+    tpch3,
 ]
 
 

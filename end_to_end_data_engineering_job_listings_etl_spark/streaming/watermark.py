@@ -15,6 +15,8 @@ groupBy under complete processing (tested in tests/test_streaming.py).
 
 from __future__ import annotations
 
+from ..util import scratch_dir
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -41,7 +43,7 @@ def events_stream_dir(sf_dir: str) -> str:
     import os
     import tempfile
 
-    d = tempfile.mkdtemp(prefix="events_stream_")
+    d = scratch_dir(prefix="events_stream_")
     os.symlink(
         os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet")
     )
