@@ -253,6 +253,45 @@ def sim_ivf_topk_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, "embedding", "vec_id", q, centroids, k=10, nprobe=4)
 
 
+_SHUF_SEED = "epoch7"
+_SHUF_BUCKETS_HEX = 2  # 256 buckets from the md5 hex prefix
+
+
+def samp_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle with DENSE ranks and
+    no single-partition stage: shuffle key = md5(seed || doc_id)
+    (re-seedable per epoch, stable under retries/repartitioning —
+    rand() is neither), rank = within-bucket row_number + cumulative
+    bucket offset. The bucket is the key's OWN hex prefix, so bucket
+    order is consistent with key order and the two-phase rank equals
+    the global ``row_number() over (order by key)`` exactly. The only
+    partitionless window runs over 256 (bucket, count) rows. This is
+    how a 100 TB corpus gets a reproducible epoch permutation without
+    funneling through one reducer."""
+    docs = load_table_dist(spark, sf_dir, "documents", cols=("doc_id",))
+    key = F.md5(F.concat(F.lit(_SHUF_SEED), F.col("doc_id").cast("string")))
+    keyed = docs.select("doc_id", key.alias("shuffle_key")).withColumn(
+        "__b", F.substring("shuffle_key", 1, _SHUF_BUCKETS_HEX)
+    )
+    counts = keyed.groupBy("__b").count()
+    offsets = counts.select(
+        "__b",
+        (F.sum("count").over(Window.orderBy("__b")) - F.col("count")).alias(
+            "__off"
+        ),
+    )
+    w_in = Window.partitionBy("__b").orderBy("shuffle_key", "doc_id")
+    return (
+        keyed.withColumn("__rn", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), "__b")
+        .select(
+            "doc_id",
+            "shuffle_key",
+            (F.col("__off") + F.col("__rn")).cast("bigint").alias("shuffle_rank"),
+        )
+    )
+
+
 def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization of the embedding column — the standard
     memory/IO reduction before ANN serving at 100 TB (4 bytes/dim →
@@ -489,7 +528,17 @@ QUERIES = {
     "sim_ivf_topk_checked": sim_ivf_topk_checked,
     "emb_int8_quantize": emb_int8_quantize,
     "text_quality_classifier": text_quality_classifier,
+    "samp_global_shuffle": samp_global_shuffle,
 }
+
+ORACLES["samp_global_shuffle"] = f"""
+    SELECT doc_id, shuffle_key,
+           CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT)
+             AS shuffle_rank
+    FROM (SELECT doc_id,
+                 md5('{_SHUF_SEED}' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+          FROM documents)
+"""
 
 ORACLES["emb_int8_quantize"] = """
     SELECT vec_id,
