@@ -495,6 +495,43 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sink_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustered parquet layout under the oracle gate:
+    orders written range-partitioned + sorted on the interleaved
+    (o_orderkey, o_custkey) key (functions/layout.py), re-read, and
+    aggregated with 10% range slices on BOTH z dimensions — the
+    predicates multi-dim clustering exists to serve. The hash proves
+    the layout rewrite lost/duplicated nothing and both slices count
+    exactly; the row-group pruning the layout buys is measured in
+    tests/test_layout.py. Max-key normalization uses one 1-row
+    collect (bounded; at 100 TB keep table stats instead)."""
+    from ..functions.layout import write_zordered
+
+    path = os.path.join(scratch_dir(prefix="sink_z_"), "orders_z")
+    proj = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    hi = proj.agg(
+        F.max("o_orderkey").alias("k"), F.max("o_custkey").alias("c")
+    ).collect()[0]
+    write_zordered(
+        proj, path, ["o_orderkey", "o_custkey"], [hi["k"], hi["c"]], num_files=8
+    )
+    back = spark.read.parquet(path)
+    return back.agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(24,2)")
+        .alias("sum_price"),
+        F.sum((F.col("o_orderkey") * 10 <= F.lit(int(hi["k"]))).cast("long")).alias(
+            "n_low_orderkey"
+        ),
+        F.sum((F.col("o_custkey") * 10 <= F.lit(int(hi["c"]))).cast("long")).alias(
+            "n_low_custkey"
+        ),
+    )
+
+
 def src_jdbc_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5/S6 as a REAL JDBC source (not the parquet stand-in): load
     orders into an embedded Derby database (the landing-zone RDBMS
@@ -670,6 +707,7 @@ QUERIES = {
     "sink_partitioned_roundtrip": sink_partitioned_roundtrip,
     "sink_csv_roundtrip": sink_csv_roundtrip,
     "sink_orc_roundtrip": sink_orc_roundtrip,
+    "sink_zorder_roundtrip": sink_zorder_roundtrip,
     "src_jdbc_landing": src_jdbc_landing,
     "src_json_records": src_json_records,
     "agg_approx_distinct_checked": agg_approx_distinct_checked,
@@ -705,6 +743,15 @@ GROUP BY o_orderstatus
 SELECT o_orderstatus, count(*) AS n_orders,
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(24,2)) AS sum_price
 FROM orders GROUP BY o_orderstatus
+""",
+    "sink_zorder_roundtrip": """
+SELECT count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(24,2)) AS sum_price,
+       CAST(sum(CASE WHEN o_orderkey * 10 <= (SELECT max(o_orderkey) FROM orders)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_low_orderkey,
+       CAST(sum(CASE WHEN o_custkey * 10 <= (SELECT max(o_custkey) FROM orders)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_low_custkey
+FROM orders
 """,
     "stream_upsert_dim": """
 SELECT CAST(row_number() OVER (ORDER BY type_name) AS INTEGER) AS type_sk,
