@@ -11,6 +11,8 @@ from tests.conftest import SF_DIR
 
 
 def _plan(df) -> str:
+    # default maxMetadataStringLength=100 truncates PushedFilters lists
+    df.sparkSession.conf.set("spark.sql.maxMetadataStringLength", "2000")
     return df._jdf.queryExecution().executedPlan().toString()
 
 
@@ -63,3 +65,26 @@ def test_lsh_no_global_pair_explosion(spark):
     p = _plan(corpus.dd_lsh_candidates(spark, SF_DIR))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_tpch3_q6_filters_reach_scan(spark):
+    from end_to_end_data_engineering_job_listings_etl_spark.plans import tpch3
+
+    p = _plan(tpch3.q6_forecast_revenue(spark, SF_DIR))
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert any("GreaterThanOrEqual(l_shipdate" in l for l in pushed), pushed
+    assert any("LessThan(l_quantity" in l for l in pushed), pushed
+    # projection pruned to the four columns the query touches
+    scans = [l for l in p.splitlines() if "ReadSchema" in l]
+    assert any(
+        "l_quantity" in l and "l_orderkey" not in l and "l_partkey" not in l
+        for l in scans
+    ), scans
+
+
+def test_tpch3_q4_quarter_filter_reaches_scan(spark):
+    from end_to_end_data_engineering_job_listings_etl_spark.plans import tpch3
+
+    p = _plan(tpch3.q4_order_priority(spark, SF_DIR))
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert any("GreaterThanOrEqual(o_orderdate" in l for l in pushed), pushed
