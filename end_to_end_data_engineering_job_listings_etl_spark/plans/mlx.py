@@ -114,6 +114,30 @@ def ml_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def src_rest_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2/S3 through the Spark 4 Python DataSource API
+    (``spark.read.format("rest_jobs")``): one input partition per
+    country, pages fetched ON EXECUTORS with the same retry/backoff
+    and 429 path — the distributed form of ``src_rest_ingest``'s
+    driver-side loop, same pinned-literal oracle."""
+    from ..sources.rest_datasource import register
+
+    register(spark)
+    df = (
+        spark.read.format("rest_jobs")
+        .option("countries", "us,in,jp,ru")
+        .option("num_pages", "5")
+        .load()
+    )
+    return df.groupBy("job_country").agg(
+        F.count("*").alias("n_records"),
+        F.countDistinct("employer_name").alias("n_employers"),
+        F.sum(F.col("job_publisher").isNotNull().cast("long")).alias(
+            "n_publisher_nonnull"
+        ),
+    )
+
+
 def src_rest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's extraction front door end to end
     (``dags/test_extraction.py:17-84``): 4 countries × 5 pages through
@@ -363,6 +387,7 @@ QUERIES = {
     "text_tfidf_top_terms": text_tfidf_top_terms,
     "ml_kmeans_step": ml_kmeans_step,
     "src_rest_ingest": src_rest_ingest,
+    "src_rest_datasource": src_rest_datasource,
     "op_grouped_seq_pandas": op_grouped_seq_pandas,
     "op_cogroup_pandas": op_cogroup_pandas,
     "op_udtf_sentences": op_udtf_sentences,
@@ -373,6 +398,7 @@ ORACLES = {
     "text_tfidf_top_terms": _TFIDF_ORACLE,
     "ml_kmeans_step": _KM_ORACLE,
     "src_rest_ingest": _REST_ORACLE,
+    "src_rest_datasource": _REST_ORACLE,
     "op_grouped_seq_pandas": _GROUPED_SEQ_ORACLE,
     "op_cogroup_pandas": """
         WITH oc AS (

@@ -69,3 +69,22 @@ def test_extract_paginated_tags_and_conforms(spark):
         f.name for f in JOB_LISTINGS_SCHEMA.fields
     ]
     assert all(r["job_publisher"] is None for r in rows)
+
+
+def test_rest_datasource_partitions_per_country(spark):
+    """The DataSource form parallelizes ingest: one input partition
+    per country, fetched executor-side."""
+    from end_to_end_data_engineering_job_listings_etl_spark.sources.rest_datasource import register
+
+    register(spark)
+    df = (
+        spark.read.format("rest_jobs")
+        .option("countries", "us,in")
+        .option("num_pages", "2")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 2
+    rows = df.collect()
+    assert len(rows) == 2 * 2 * 10
+    assert {r["job_country"] for r in rows} == {"US", "IN"}
+    assert all(r["job_publisher"] is None for r in rows)
