@@ -79,11 +79,64 @@ def sql_q8_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q8_SQL)
 
 
+# Recursive month spine: WITH RECURSIVE was the one ANSI construct the
+# SQL surface lacked (Spark 4 supports it). The spine is tiny
+# (84 rows) — the fact join stays the only real work; at 100 TB this
+# shape is how calendar gap-filling avoids a generator UDF.
+_RECURSIVE_SPINE_SQL = """
+WITH RECURSIVE spine(month_start) AS (
+  SELECT CAST('1995-01-01' AS DATE)
+  UNION ALL
+  SELECT add_months(month_start, 1) FROM spine
+  WHERE month_start < CAST('2001-12-01' AS DATE)
+)
+SELECT s.month_start,
+       count(w.order_pk) AS postings
+FROM spine s
+LEFT JOIN v_star_wide w
+  ON CAST(date_trunc('month', w.full_date) AS DATE) = s.month_start
+GROUP BY s.month_start
+"""
+
+# LATERAL correlated subquery: per region, its top-2 nations by
+# customer count — the correlated top-n shape Superset users write.
+_LATERAL_TOPN_SQL = """
+SELECT r.region_name, t.nation_name, t.n_postings
+FROM (SELECT DISTINCT region_name FROM v_star_wide) r,
+LATERAL (
+  SELECT w.nation_name, count(*) AS n_postings
+  FROM v_star_wide w
+  WHERE w.region_name = r.region_name
+  GROUP BY w.nation_name
+  ORDER BY n_postings DESC, w.nation_name
+  LIMIT 2
+) t
+"""
+
+
+def sql_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar spine via WITH RECURSIVE joined to the star — months
+    with zero postings appear with count 0 (the gap-filling upgrade of
+    Q8's month rollup)."""
+    create_star_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SPINE_SQL)
+
+
+def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 nations per region through a LATERAL correlated subquery
+    (decorrelated by Catalyst into a ranked window — no per-row
+    re-execution)."""
+    create_star_views(spark, sf_dir)
+    return spark.sql(_LATERAL_TOPN_SQL)
+
+
 QUERIES = {
     "sql_v1_star": sql_v1_star,
     "sql_v2_star_dates": sql_v2_star_dates,
     "sql_v3_bridge_flat": sql_v3_bridge_flat,
     "sql_q8_monthly": sql_q8_monthly,
+    "sql_recursive_month_spine": sql_recursive_month_spine,
+    "sql_lateral_topn": sql_lateral_topn,
 }
 
 ORACLES = {
@@ -106,4 +159,22 @@ ORACLES = {
         f"{STAR_PREFIX} SELECT CAST(date_trunc('month', full_date) AS DATE) AS month,"
         " count(*) AS postings FROM star_wide GROUP BY 1"
     ),
+    "sql_recursive_month_spine": f"""{STAR_PREFIX},
+spine AS (
+  SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '2001-12-01',
+                                     INTERVAL 1 MONTH)) AS DATE) AS month_start
+)
+SELECT s.month_start, count(w.order_pk) AS postings
+FROM spine s
+LEFT JOIN star_wide w
+  ON CAST(date_trunc('month', w.full_date) AS DATE) = s.month_start
+GROUP BY s.month_start""",
+    "sql_lateral_topn": f"""{STAR_PREFIX}
+SELECT region_name, nation_name, n_postings FROM (
+  SELECT region_name, nation_name,
+         count(*) AS n_postings,
+         row_number() OVER (PARTITION BY region_name
+                            ORDER BY count(*) DESC, nation_name) AS rn
+  FROM star_wide GROUP BY region_name, nation_name
+) WHERE rn <= 2""",
 }
