@@ -188,6 +188,54 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Overlap-coefficient (containment) pairs: ``n_inter / min(|A|,
+    |B|)`` over token sets, via the same inverted-index join as
+    ``jaccard_pairs``. Catches near-SUBSET duplicates — a short doc
+    fully contained in a long one scores ~1.0 here but low on Jaccard
+    (the union is dominated by the long doc). The standard complement
+    to Jaccard in corpus dedup; same ``max_df`` stop-token cap keeps
+    the index join from going quadratic at scale."""
+    from ..functions.text import tokens
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(F.lower(F.col(text_col))))).alias("tok"),
+    )
+    if max_df is not None:
+        rare = toks.groupBy("tok").count().filter(F.col("count") <= max_df).select("tok")
+        toks = toks.join(rare, "tok", "left_semi")
+    sizes = toks.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter") / F.least(F.col("sz_a"), F.col("sz_b")), 6
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str,

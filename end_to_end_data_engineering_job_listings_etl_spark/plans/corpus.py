@@ -84,6 +84,18 @@ def dd_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
 
 
+def dd_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-subset duplicates by overlap coefficient (n_inter /
+    min(|A|,|B|)) — the Jaccard complement that catches a short doc
+    contained in a long one. Same bounded demo slice as
+    dd_jaccard_pairs; the scale path is the same inverted index +
+    max_df cap."""
+    docs = load_table_dist(spark, sf_dir, "documents", cols=("doc_id", "text")).filter(
+        F.col("doc_id") < _JACCARD_MAX_ID
+    )
+    return D.containment_pairs(docs, "text", "doc_id", threshold=0.8)
+
+
 def dd_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table_dist(spark, sf_dir, "documents", cols=("doc_id", "text"))
     return D.minhash_signature(docs, "text", "doc_id", _MINHASH_K, _SHINGLE_K)
@@ -312,6 +324,7 @@ QUERIES = {
     "text_langid": text_langid,
     "dd_dedup_stats": dd_dedup_stats,
     "dd_jaccard_pairs": dd_jaccard_pairs,
+    "dd_containment_pairs": dd_containment_pairs,
     "dd_minhash_signatures": dd_minhash_signatures,
     "dd_lsh_candidates": dd_lsh_candidates,
     "dd_simhash": dd_simhash,
@@ -369,6 +382,25 @@ ORACLES = {
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE round(n_inter / (sa.sz + sb.sz - n_inter), 6) >= 0.5
+    """,
+    "dd_containment_pairs": f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_distinct({_TOKS_LOWER.format(e='text')})) AS tok
+          FROM documents WHERE doc_id < {_JACCARD_MAX_ID}
+        ), sizes AS (
+          SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+          FROM toks a JOIN toks b USING (tok)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(n_inter / least(sa.sz, sb.sz), 6) AS containment
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE round(n_inter / least(sa.sz, sb.sz), 6) >= 0.8
     """,
     "dd_minhash_signatures": f"WITH {_SHINGLED_CTE}, {_MINHASH_CTE} SELECT * FROM signatures",
     "dd_lsh_candidates": f"""
