@@ -109,6 +109,43 @@ def ml_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def graph_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One fixed-point PageRank iteration over the customer→supplier
+    purchase graph (edges = DISTINCT (c_custkey, s_suppkey) via
+    lineitem⋈orders). Exact integer arithmetic end to end: uniform
+    init rank 1.0 ≡ 1e6; each customer's contribution is
+    ``1_000_000 div out_degree`` (integer division — identical in
+    both engines, where float division sums would drift with
+    aggregation order); damped rank_e6 = 150000 + (85 * Σcontrib)
+    div 100. Suppliers with no inlinks keep the teleport rank.
+    Iterating = feeding rank_e6 back as the next init; each step is
+    two hash aggregations and one join — the textbook distributed
+    PR shape with none of the float nondeterminism."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    outdeg = edges.groupBy("o_custkey").agg(F.count("*").alias("deg"))
+    contrib = edges.join(outdeg, "o_custkey").select(
+        "l_suppkey", F.expr("1000000 div deg").alias("c")
+    )
+    inflow = contrib.groupBy("l_suppkey").agg(F.sum("c").alias("sum_c"))
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+    return (
+        supplier.join(inflow, supplier.s_suppkey == inflow.l_suppkey, "left")
+        .select(
+            "s_suppkey",
+            (
+                F.lit(150000)
+                + F.expr("(85 * coalesce(sum_c, 0)) div 100")
+            ).cast("bigint").alias("rank_e6"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # REST paginated ingest (S1+S2+S3) with an offline deterministic transport
 # ---------------------------------------------------------------------------
@@ -388,6 +425,7 @@ QUERIES = {
     "ml_kmeans_step": ml_kmeans_step,
     "src_rest_ingest": src_rest_ingest,
     "src_rest_datasource": src_rest_datasource,
+    "graph_pagerank_step": graph_pagerank_step,
     "op_grouped_seq_pandas": op_grouped_seq_pandas,
     "op_cogroup_pandas": op_cogroup_pandas,
     "op_udtf_sentences": op_udtf_sentences,
@@ -399,6 +437,22 @@ ORACLES = {
     "ml_kmeans_step": _KM_ORACLE,
     "src_rest_ingest": _REST_ORACLE,
     "src_rest_datasource": _REST_ORACLE,
+    "graph_pagerank_step": """
+        WITH edges AS (
+          SELECT DISTINCT o.o_custkey, l.l_suppkey
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ), outdeg AS (
+          SELECT o_custkey, count(*) AS deg FROM edges GROUP BY o_custkey
+        ), inflow AS (
+          SELECT e.l_suppkey, sum(1000000 // d.deg) AS sum_c
+          FROM edges e JOIN outdeg d USING (o_custkey)
+          GROUP BY e.l_suppkey
+        )
+        SELECT s.s_suppkey,
+               CAST(150000 + (85 * coalesce(i.sum_c, 0)) // 100 AS BIGINT)
+                 AS rank_e6
+        FROM supplier s LEFT JOIN inflow i ON s.s_suppkey = i.l_suppkey
+    """,
     "op_grouped_seq_pandas": _GROUPED_SEQ_ORACLE,
     "op_cogroup_pandas": """
         WITH oc AS (
