@@ -68,3 +68,52 @@ def test_stateful_running_totals_match_batch(spark):
         n, t = got[r["user_id"]]
         assert n == r["n"]
         assert math.isclose(t, r["t"], rel_tol=1e-9)
+
+
+def test_checkpoint_resume_two_batches_exactly_once(spark, tmp_path):
+    """Restarting an availableNow drain from the SAME checkpoint after
+    a second file lands must process only the new file (exactly-once):
+    final complete-mode counts equal one batch aggregation over the
+    union, with no double-counting of batch 1."""
+    import os
+
+    from pyspark.sql import types as T
+
+    src = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    os.symlink(
+        os.path.join(SF_DIR, "events.parquet"),
+        os.path.join(src, "events.parquet"),
+    )
+    agg = windowed_event_counts(stream_events(spark, src))
+    run_to_memory_sink(agg, "resume_counts", ckpt)
+    n1 = spark.sql("SELECT sum(n_events) AS s FROM resume_counts").collect()[0]["s"]
+
+    # a second micro-batch: 7 fresh events in one already-seen window
+    base = load_table(spark, SF_DIR, "events")
+    late_ts = base.agg(F.max("ts")).collect()[0][0]
+    extra = spark.createDataFrame(
+        [(10_000_000 + i, late_ts, 1, "view", 1.0, "{}") for i in range(7)],
+        T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.TimestampNTZType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+                T.StructField("props", T.StringType()),
+            ]
+        ),
+    )
+    staging = str(tmp_path / "staging")
+    extra.coalesce(1).write.parquet(staging)
+    part = next(
+        f for f in os.listdir(staging) if f.endswith(".parquet")
+    )
+    os.rename(os.path.join(staging, part), os.path.join(src, "extra.parquet"))
+
+    agg2 = windowed_event_counts(stream_events(spark, src))
+    run_to_memory_sink(agg2, "resume_counts", ckpt)
+    n2 = spark.sql("SELECT sum(n_events) AS s FROM resume_counts").collect()[0]["s"]
+    assert n2 == n1 + 7
