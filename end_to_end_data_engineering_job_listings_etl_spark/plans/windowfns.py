@@ -165,8 +165,60 @@ def fn_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w_locf_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF forward fill via last_value(... IGNORE NULLS): the priority
+    column is synthetically nulled on every 7th order key; each row
+    takes the most recent non-null value in its customer's order
+    history — the standard gap-fill for sparse attributes (sensor
+    readings, slowly-arriving dimensions). One partitioned window, no
+    self-join."""
+    orders = load_table(spark, sf_dir, "orders")
+    sparse = F.when(F.col("o_orderkey") % 7 != 0, F.col("o_orderpriority"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        sparse.alias("sparse_priority"),
+        F.last(sparse, ignorenulls=True).over(w).alias("filled_priority"),
+    )
+
+
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression surface: TRY_CAST over a dirty numeric
+    string column (every 3rd value 'n/a', every 3rd+1 empty) and
+    try_divide's null-on-zero — the ingest-hardening idioms that keep
+    one malformed record from failing a 100 TB job. Decimal sums keep
+    the aggregate exact."""
+    part = load_table(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    dirty = (
+        F.when(k % 3 == 0, F.lit("n/a"))
+        .when(k % 3 == 1, F.lit(""))
+        .otherwise(F.col("p_retailprice").cast("string"))
+    )
+    parsed = F.expr(
+        "try_cast(CASE WHEN p_partkey % 3 = 0 THEN 'n/a' "
+        "WHEN p_partkey % 3 = 1 THEN '' "
+        "ELSE CAST(p_retailprice AS STRING) END AS DECIMAL(12,2))"
+    )
+    return part.select(
+        dirty.alias("dirty"), parsed.alias("v"), F.try_divide(F.lit(10), k % 5).alias("d")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("v").isNull().cast("long")).alias("n_unparseable"),
+        F.sum("v").cast("decimal(24,2)").alias("sum_parsed"),
+        F.sum(F.col("d").isNull().cast("long")).alias("n_div_by_zero"),
+    )
+
+
 QUERIES = {
     "w_topk_per_group": w_topk_per_group,
+    "w_locf_forward_fill": w_locf_forward_fill,
+    "fn_try_arithmetic": fn_try_arithmetic,
     "w_moving_sum_30d": w_moving_sum_30d,
     "w_ntile_buckets": w_ntile_buckets,
     "agg_grouping_sets": agg_grouping_sets,
@@ -177,6 +229,33 @@ QUERIES = {
 _DTOKS = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x != '')"
 
 ORACLES = {
+    "w_locf_forward_fill": """
+        SELECT o_custkey, o_orderkey,
+               CASE WHEN o_orderkey % 7 != 0 THEN o_orderpriority END
+                 AS sparse_priority,
+               last_value(CASE WHEN o_orderkey % 7 != 0 THEN o_orderpriority END
+                          IGNORE NULLS) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS filled_priority
+        FROM orders
+    """,
+    "fn_try_arithmetic": """
+        SELECT count(*) AS n_rows,
+               CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_unparseable,
+               CAST(sum(v) AS DECIMAL(24,2)) AS sum_parsed,
+               CAST(sum(CASE WHEN p_partkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_div_by_zero
+        FROM (
+          SELECT p_partkey,
+                 TRY_CAST(CASE WHEN p_partkey % 3 = 0 THEN 'n/a'
+                               WHEN p_partkey % 3 = 1 THEN ''
+                               ELSE CAST(p_retailprice AS VARCHAR) END
+                          AS DECIMAL(12,2)) AS v
+          FROM part
+        )
+    """,
     "w_topk_per_group": """
         SELECT o_custkey, o_orderkey, price, CAST(rk AS INTEGER) AS rk FROM (
           SELECT o_custkey, o_orderkey,
