@@ -97,6 +97,56 @@ def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BG_EXPR = (
+    "transform(sequence(1, size(split(text, ' ')) - 1),"
+    " i -> concat(element_at(split(text, ' '), i), ' ',"
+    " element_at(split(text, ' '), i + 1)))"
+)
+
+
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-LM fluency scoring: per document, the mean corpus
+    bigram transition likelihood — the count-based stand-in for the
+    perplexity filter a pretraining pipeline runs (low scores flag
+    token soup / shuffled text; high scores flag natural word order).
+
+    Model and scoring in exact integer math (no log/exp — libm differs
+    across engines): transition score of bigram (w1,w2) is
+    ``(1e6 * C(w1,w2)) div C(w1·)`` where C(w1·) counts w1 as a bigram
+    prefix; a document's lm_score_e6 is the integer mean over its
+    bigram occurrences.
+
+    Scale shape: the model IS a DataFrame (bigram counts + prefix
+    counts — two hash aggs over one explode), joined back to the
+    corpus on the bigram key (hash shuffle, no broadcast assumption:
+    a real corpus model has billions of rows); per-doc rollup is one
+    more hash agg. Everything is count-based and embarrassingly
+    parallel."""
+    docs = load_table_dist(spark, sf_dir, "documents", cols=("doc_id", "text"))
+    bigrams = docs.filter(F.size(F.split("text", " ")) >= 2).select(
+        "doc_id", F.explode(F.expr(_BG_EXPR)).alias("bg")
+    )
+    c2 = bigrams.groupBy("bg").agg(F.count("*").alias("c2"))
+    c1 = (
+        bigrams.select(F.substring_index("bg", " ", 1).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c1"))
+    )
+    model = c2.join(
+        c1, F.substring_index(c2.bg, " ", 1) == c1.w1
+    ).select("bg", F.expr("(1000000 * c2) div c1").alias("s"))
+    return (
+        bigrams.join(model, "bg")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("s").alias("sum_s"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.expr("sum_s div n_bigrams").cast("bigint").alias("lm_score_e6"),
+        )
+    )
+
+
 _CHUNK = 10  # tokens per dedup chunk
 _ORD_BASE = 100_000  # ord_key = doc_id * base + chunk_idx (idx ≪ base)
 
@@ -194,6 +244,7 @@ def sem_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "text_repetition_metrics": text_repetition_metrics,
+    "text_bigram_lm_score": text_bigram_lm_score,
     "text_chunk_dedup": text_chunk_dedup,
     "sem_dedup_clusters": sem_dedup_clusters,
 }
@@ -226,6 +277,26 @@ ORACLES = {
                {_E6_SQL.format(num="top_tok", den="n_tokens")} AS top_token_frac_e6,
                {_E6_SQL.format(num="top_bg", den="n_bigrams")} AS top_bigram_frac_e6
         FROM ta JOIN ba ON ta.doc_id = ba.doc_id
+    """,
+    "text_bigram_lm_score": """
+        WITH bgi AS (
+            SELECT doc_id, t, unnest(range(1, len(t))) AS i
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        ), bg AS (
+            SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg FROM bgi
+        ), c2 AS (
+            SELECT bg, count(*) AS c2 FROM bg GROUP BY bg
+        ), c1 AS (
+            SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1
+            FROM bg GROUP BY 1
+        ), model AS (
+            SELECT c2.bg, (1000000 * c2.c2) // c1.c1 AS s
+            FROM c2 JOIN c1 ON split_part(c2.bg, ' ', 1) = c1.w1
+        )
+        SELECT doc_id, count(*) AS n_bigrams,
+               CAST(sum(m.s) // count(*) AS BIGINT) AS lm_score_e6
+        FROM bg JOIN model m USING (bg)
+        GROUP BY doc_id
     """,
     "text_chunk_dedup": f"""
         WITH d AS (
