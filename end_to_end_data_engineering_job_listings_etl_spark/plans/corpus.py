@@ -106,6 +106,70 @@ def dd_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(docs, "text", "doc_id", _MINHASH_K, _LSH_BANDS, _SHINGLE_K)
 
 
+def dd_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator calibration for the MinHash pipeline: for every LSH
+    candidate pair, the signature-agreement Jaccard ESTIMATE
+    (matching positions / k, exactly n_match·125000 in e6) next to the
+    EXACT shingle-set Jaccard — the measurement a production dedup
+    runs to tune k/bands/threshold. All joins are key-equi (candidate
+    pairs from band buckets, shingle intersections from the inverted
+    index); nothing is all-pairs."""
+    from ..functions.text import word_shingles
+
+    docs = load_table_dist(spark, sf_dir, "documents", cols=("doc_id", "text"))
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles("text", _SHINGLE_K)).alias("sh")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "sh")
+    b = sh.select(F.col("doc_id").alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    cands = D.minhash_lsh_pairs(
+        docs, "text", "doc_id", _MINHASH_K, _LSH_BANDS, _SHINGLE_K
+    )
+    sigs = D.minhash_signature(docs, "text", "doc_id", _MINHASH_K, _SHINGLE_K)
+    sa = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh_{i}").alias(f"ma_{i}") for i in range(_MINHASH_K)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh_{i}").alias(f"mb_{i}") for i in range(_MINHASH_K)],
+    )
+    n_match = sum(
+        (F.col(f"ma_{i}") == F.col(f"mb_{i}")).cast("int")
+        for i in range(_MINHASH_K)
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    ni = F.coalesce(F.col("n_inter"), F.lit(0))
+    jacc_e6 = F.floor(
+        ni.cast("double")
+        * F.lit(1000000.0)
+        / (F.col("sz_a") + F.col("sz_b") - ni).cast("double")
+    ).cast("bigint")
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .join(inter, ["id_a", "id_b"], "left")
+        .join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_bands_shared",
+            n_match.alias("n_match_k"),
+            (n_match.cast("bigint") * F.lit(125000)).alias("est_e6"),
+            jacc_e6.alias("jacc_e6"),
+        )
+    )
+
+
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table_dist(spark, sf_dir, "documents", cols=("doc_id", "text"))
     return D.simhash60(docs, "text", "doc_id")
@@ -325,6 +389,7 @@ QUERIES = {
     "dd_dedup_stats": dd_dedup_stats,
     "dd_jaccard_pairs": dd_jaccard_pairs,
     "dd_containment_pairs": dd_containment_pairs,
+    "dd_minhash_estimate": dd_minhash_estimate,
     "dd_minhash_signatures": dd_minhash_signatures,
     "dd_lsh_candidates": dd_lsh_candidates,
     "dd_simhash": dd_simhash,
@@ -414,6 +479,41 @@ ORACLES = {
         FROM stacked a JOIN stacked b USING (bucket)
         WHERE a.doc_id < b.doc_id
         GROUP BY 1, 2
+    """,
+    "dd_minhash_estimate": f"""
+        WITH {_SHINGLED_CTE}, {_MINHASH_CTE},
+        banded AS (SELECT doc_id, {_BAND_EXPRS} FROM signatures),
+        stacked AS (
+          SELECT doc_id, unnest([{", ".join(f"band_{b}" for b in range(_LSH_BANDS))}]) AS bucket
+          FROM banded
+        ),
+        cands AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands_shared
+          FROM stacked a JOIN stacked b USING (bucket)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM shingled GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+          FROM shingled a JOIN shingled b USING (sh)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT c.id_a, c.id_b, c.n_bands_shared,
+               CAST({" + ".join(f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END" for i in range(_MINHASH_K))} AS INTEGER)
+                 AS n_match_k,
+               CAST(({" + ".join(f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END" for i in range(_MINHASH_K))}) * 125000 AS BIGINT)
+                 AS est_e6,
+               CAST(floor(CAST(coalesce(i.n_inter, 0) AS DOUBLE) * 1000000.0
+                    / CAST(za.sz + zb.sz - coalesce(i.n_inter, 0) AS DOUBLE)) AS BIGINT)
+                 AS jacc_e6
+        FROM cands c
+        JOIN signatures sa ON sa.doc_id = c.id_a
+        JOIN signatures sb ON sb.doc_id = c.id_b
+        LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+        JOIN sizes za ON za.doc_id = c.id_a
+        JOIN sizes zb ON zb.doc_id = c.id_b
     """,
     "dd_simhash": f"""
         WITH {_SIMHASH_TOKS_CTE},
