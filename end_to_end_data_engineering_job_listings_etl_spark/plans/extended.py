@@ -221,6 +221,63 @@ def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_filtered_bools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregate surface: count_if / bool_and / bool_or /
+    min-as-deterministic-any per order status — the FILTER(WHERE ...)
+    idiom family. One grouped pass, no second scan for the
+    conditions."""
+    orders = load_table(spark, sf_dir, "orders")
+    big = F.col("o_totalprice") > 100_000
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.count_if(big).alias("n_big"),
+            F.bool_and(big).alias("all_big"),
+            F.bool_or(big).alias("any_big"),
+            F.min("o_orderpriority").alias("first_priority"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_ER_MAX_LEV = 2
+
+
+def er_name_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution record linkage with BLOCKING: a second
+    'source' of customer names carries deterministic typos (every 3rd
+    key: trailing char replaced; every 3rd+1: trailing char doubled);
+    candidate (clean, dirty) pairs form only inside a block keyed on
+    four STABLE digit positions of the name (untouched by the typo
+    model), then Levenshtein ≤ 2 confirms the link. Blocking is what
+    keeps fuzzy matching sub-quadratic at 100 TB — candidates per
+    record stay O(block size) regardless of corpus size — at the
+    standard recall trade (a typo inside the blocking key would be
+    missed). Both engines implement classic Levenshtein, so the
+    distance is oracle-exact."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.lower(F.trim("c_name")).alias("name")
+    )
+    k = F.col("c_custkey")
+    dirty = (
+        F.when(k % 3 == 0, F.concat(F.expr("substring(name, 1, length(name) - 1)"), F.lit("x")))
+        .when(k % 3 == 1, F.concat(F.col("name"), F.expr("substring(name, length(name), 1)")))
+        .otherwise(F.col("name"))
+    )
+    blk = F.substring("name", 14, 4)  # digits 5-8 of the 9-digit id: typo-stable
+    a = cust.select(
+        F.col("c_custkey").alias("id_a"), F.col("name").alias("name_a"), blk.alias("blk")
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("id_b"), dirty.alias("name_b"), blk.alias("blk")
+    )
+    return (
+        a.join(b, "blk")
+        .select("id_a", "id_b", F.levenshtein("name_a", "name_b").alias("lev"))
+        .filter(F.col("lev") <= _ER_MAX_LEV)
+    )
+
+
 def ev_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Month-cohort retention matrix: users grouped by first-active
     month; n_active counts how many are active again k months later —
@@ -371,6 +428,8 @@ QUERIES = {
     "agg_approx_percentile_checked": agg_approx_percentile_checked,
     "ev_funnel": ev_funnel,
     "ev_cohort_retention": ev_cohort_retention,
+    "agg_filtered_bools": agg_filtered_bools,
+    "er_name_blocking_pairs": er_name_blocking_pairs,
     "agg_pivot_events": agg_pivot_events,
     "agg_unpivot_events": agg_unpivot_events,
     "dim_company_bucketed": dim_company_bucketed,
@@ -495,6 +554,33 @@ ORACLES = {
     "agg_unpivot_events": """
         SELECT user_id, event_type, count(*) AS n_events
         FROM events GROUP BY user_id, event_type
+    """,
+    "agg_filtered_bools": """
+        SELECT o_orderstatus,
+               count(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+               bool_and(o_totalprice > 100000) AS all_big,
+               bool_or(o_totalprice > 100000) AS any_big,
+               min(o_orderpriority) AS first_priority
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "er_name_blocking_pairs": """
+        WITH c AS (
+          SELECT c_custkey, lower(trim(c_name)) AS name,
+                 substr(lower(trim(c_name)), 14, 4) AS blk
+          FROM customer
+        ), d AS (
+          SELECT c_custkey, blk,
+                 CASE WHEN c_custkey % 3 = 0
+                        THEN substr(name, 1, length(name) - 1) || 'x'
+                      WHEN c_custkey % 3 = 1
+                        THEN name || substr(name, length(name), 1)
+                      ELSE name END AS name
+          FROM c
+        )
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               CAST(levenshtein(a.name, b.name) AS INTEGER) AS lev
+        FROM c a JOIN d b USING (blk)
+        WHERE levenshtein(a.name, b.name) <= 2
     """,
     "ev_cohort_retention": """
         WITH m AS (
