@@ -60,6 +60,20 @@ HEADLINE = [
     "op_cogroup_pandas",
     "bi_daily_spine",
     "agg_argmax_event",
+    # round-2 representatives (first driver-recorded bench is r2, so
+    # these enter the recorded baseline from the start)
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q17_small_quantity",
+    "samp_global_shuffle",
+    "emb_int8_quantize",
+    "text_bigram_lm_score",
+    "dd_minhash_estimate",
+    "graph_pagerank_step",
+    "er_name_blocking_pairs",
+    "sink_zorder_roundtrip",
+    "jl_fact_fallback_checked",
+    "sql_recursive_month_spine",
 ]
 
 

@@ -117,7 +117,20 @@ def dd_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import word_shingles
 
     docs = load_table_dist(spark, sf_dir, "documents", cols=("doc_id", "text"))
-    sh = docs.select(
+    cands = D.minhash_lsh_pairs(
+        docs, "text", "doc_id", _MINHASH_K, _LSH_BANDS, _SHINGLE_K
+    )
+    # Exact-Jaccard machinery runs ONLY over docs that appear in a
+    # candidate pair: at scale |candidates| ≪ |corpus|, so the
+    # shingle inverted-index join is bounded by the candidate set, not
+    # the corpus (semantics unchanged — non-candidate intersections
+    # are never read).
+    cand_docs = (
+        cands.select(F.col("id_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = docs.join(cand_docs, "doc_id", "left_semi").select(
         "doc_id", F.explode(word_shingles("text", _SHINGLE_K)).alias("sh")
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
@@ -128,9 +141,6 @@ def dd_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_inter"))
-    )
-    cands = D.minhash_lsh_pairs(
-        docs, "text", "doc_id", _MINHASH_K, _LSH_BANDS, _SHINGLE_K
     )
     sigs = D.minhash_signature(docs, "text", "doc_id", _MINHASH_K, _SHINGLE_K)
     sa = sigs.select(
