@@ -1,0 +1,50 @@
+"""Registry consistency guards: the driver contract depends on these
+invariants, so breaking them should fail fast in CI rather than in
+the driver's round-end run."""
+
+from __future__ import annotations
+
+from end_to_end_data_engineering_job_listings_etl_spark import registry
+
+
+def test_every_oracle_has_a_query():
+    qs = registry.all_queries()
+    orphans = [n for n in registry.all_oracles() if n not in qs]
+    assert not orphans, f"oracles without queries: {orphans}"
+
+
+def test_window_is_exactly_fifty_and_fully_oracled():
+    """The driver checks the FIRST 50 of all_queries(); every slot must
+    be oracle-backed (a rows-only entry would waste a slot on the
+    weaker check)."""
+    qs = list(registry.all_queries())
+    oracles = registry.all_oracles()
+    assert len(registry._WINDOW) == 50
+    assert qs[:50] == registry._WINDOW
+    missing = [n for n in registry._WINDOW if n not in oracles]
+    assert not missing, f"window entries without oracle: {missing}"
+
+
+def test_rows_only_queries_each_have_a_checked_twin():
+    """Approximate operators keep rows-only registry entries by design,
+    but each must ship an oracle-gated exactness twin."""
+    qs = registry.all_queries()
+    oracles = registry.all_oracles()
+    rows_only = {n for n in qs if n not in oracles}
+    twins = {
+        "sim_lsh_ann": "sim_lsh_ann_checked",
+        "sim_ivf_topk": "sim_ivf_topk_checked",
+        "agg_approx_distinct": "agg_approx_distinct_checked",
+        "jl_star_fact": "jl_fact_fallback_checked",
+    }
+    assert rows_only == set(twins), f"unexpected rows-only set: {rows_only}"
+    for twin in twins.values():
+        assert twin in oracles, f"missing checked twin {twin}"
+
+
+def test_bench_headline_names_are_registered():
+    import bench
+
+    qs = registry.all_queries()
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert not missing, f"bench headline references unknown queries: {missing}"
