@@ -253,6 +253,55 @@ def sim_ivf_topk_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, "embedding", "vec_id", q, centroids, k=10, nprobe=4)
 
 
+def text_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — the first-stage filter of a
+    web-corpus pipeline (C4/RefinedWeb/FineWeb run it before any
+    content dedup because it's free: no text is read). Each doc gets a
+    deterministic synthetic URL with realistic dirt — upper-case
+    scheme/host, explicit default port, tracking params (utm_*/ref),
+    param-order variants, fragments. Canonicalize with pure column
+    expressions (lowercase, strip :443 and fragment, drop tracking
+    params, sort the rest), then keep the first doc per canonical URL.
+    One narrow map + one hash agg on the canonical key — shuffle
+    volume is |URLs|, never |bytes|."""
+    docs = load_table_dist(spark, sf_dir, "documents", cols=("doc_id",))
+    k = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTPS://WWW.Example"),
+        (k % 50).cast("string"),
+        F.lit(".com:443/Path"),
+        (k % 7).cast("string"),
+        F.lit("/?utm_source=feed&ref="),
+        k.cast("string"),
+        F.when(k % 3 == 0, F.lit("&a=1&b=2"))
+        .when(k % 3 == 1, F.lit("&b=2&a=1"))
+        .otherwise(F.lit("")),
+        F.lit("#sec"),
+        k.cast("string"),
+    )
+    lowered = F.lower(F.regexp_replace(url, "#.*$", ""))
+    base = F.regexp_replace(
+        F.substring_index(lowered, "?", 1), ":443/", "/"
+    )
+    params = F.array_sort(
+        F.filter(
+            F.split(F.substring_index(lowered, "?", -1), "&"),
+            lambda p: ~p.startswith("utm_") & ~p.startswith("ref="),
+        )
+    )
+    canon = F.concat(
+        base,
+        F.when(F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))).otherwise(
+            F.lit("")
+        ),
+    )
+    return (
+        docs.select(canon.alias("canon_url"), "doc_id")
+        .groupBy("canon_url")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
 _SHUF_SEED = "epoch7"
 _SHUF_BUCKETS_HEX = 2  # 256 buckets from the md5 hex prefix
 
@@ -529,7 +578,38 @@ QUERIES = {
     "emb_int8_quantize": emb_int8_quantize,
     "text_quality_classifier": text_quality_classifier,
     "samp_global_shuffle": samp_global_shuffle,
+    "text_url_dedup": text_url_dedup,
 }
+
+ORACLES["text_url_dedup"] = """
+    WITH u AS (
+      SELECT doc_id,
+             'HTTPS://WWW.Example' || CAST(doc_id % 50 AS VARCHAR)
+               || '.com:443/Path' || CAST(doc_id % 7 AS VARCHAR)
+               || '/?utm_source=feed&ref=' || CAST(doc_id AS VARCHAR)
+               || CASE WHEN doc_id % 3 = 0 THEN '&a=1&b=2'
+                       WHEN doc_id % 3 = 1 THEN '&b=2&a=1'
+                       ELSE '' END
+               || '#sec' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents
+    ), low AS (
+      SELECT doc_id, lower(regexp_replace(url, '#.*$', '')) AS l FROM u
+    ), parts AS (
+      SELECT doc_id,
+             replace(split_part(l, '?', 1), ':443/', '/') AS base,
+             list_sort(list_filter(string_split(split_part(l, '?', 2), '&'),
+               p -> NOT starts_with(p, 'utm_') AND NOT starts_with(p, 'ref=')))
+               AS params
+      FROM low
+    )
+    SELECT base || CASE WHEN len(params) > 0
+                        THEN '?' || array_to_string(params, '&')
+                        ELSE '' END AS canon_url,
+           count(*) AS n_docs,
+           min(doc_id) AS keep_doc_id
+    FROM parts
+    GROUP BY 1
+"""
 
 ORACLES["samp_global_shuffle"] = f"""
     SELECT doc_id, shuffle_key,
