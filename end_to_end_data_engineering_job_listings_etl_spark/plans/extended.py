@@ -278,6 +278,60 @@ def er_name_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed statistical moments in EXACT integer math: per
+    order status, n / Σx / Σy / Σx² / Σy² / Σxy over e2-scaled price
+    and e0 quantity-proxy columns — the single-pass mergeable form
+    from which mean, variance, covariance, and correlation all derive
+    driver-side. The float corr()/covar_samp() aggregates are
+    aggregation-order dependent (can't hash-gate); the moments are
+    not, and at 100 TB this is how you compute them anyway: one pass,
+    partials merge associatively."""
+    orders = load_table(spark, sf_dir, "orders")
+    x = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+    y = F.col("o_custkey").cast("bigint")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(x).alias("sum_x"),
+            F.sum(y).alias("sum_y"),
+            F.sum(x * x).alias("sum_x2"),
+            F.sum(y * y).alias("sum_y2"),
+            F.sum(x * y).alias("sum_xy"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_HIST_BIN = 50_000  # price histogram bin width
+
+
+def agg_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (integer bucket = price
+    div bin-width) — the distribution profile a warehouse computes
+    before choosing partition bounds / salting thresholds. One grouped
+    pass on the bucket key; bucket count is bounded by the value
+    domain, not the row count."""
+    orders = load_table(spark, sf_dir, "orders")
+    # integer div end to end (float / then truncate could mis-bucket a
+    # boundary value)
+    bucket = F.expr(
+        f"cast(cast(o_totalprice as decimal(12,2)) * 100 as bigint)"
+        f" div {_HIST_BIN * 100}"
+    )
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n_orders"))
+        .select(
+            "bucket",
+            (F.col("bucket") * _HIST_BIN).alias("bin_low"),
+            "n_orders",
+        )
+        .orderBy("bucket")
+    )
+
+
 def ev_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Month-cohort retention matrix: users grouped by first-active
     month; n_active counts how many are active again k months later —
@@ -429,6 +483,8 @@ QUERIES = {
     "ev_funnel": ev_funnel,
     "ev_cohort_retention": ev_cohort_retention,
     "agg_filtered_bools": agg_filtered_bools,
+    "agg_exact_moments": agg_exact_moments,
+    "agg_price_histogram": agg_price_histogram,
     "er_name_blocking_pairs": er_name_blocking_pairs,
     "agg_pivot_events": agg_pivot_events,
     "agg_unpivot_events": agg_unpivot_events,
@@ -562,6 +618,28 @@ ORACLES = {
                bool_or(o_totalprice > 100000) AS any_big,
                min(o_orderpriority) AS first_priority
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "agg_exact_moments": """
+        SELECT o_orderstatus, count(*) AS n,
+               sum(x) AS sum_x, sum(y) AS sum_y,
+               sum(x * x) AS sum_x2, sum(y * y) AS sum_y2,
+               sum(x * y) AS sum_xy
+        FROM (
+          SELECT o_orderstatus,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
+                 CAST(o_custkey AS BIGINT) AS y
+          FROM orders
+        )
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "agg_price_histogram": """
+        SELECT bucket, bucket * 50000 AS bin_low, count(*) AS n_orders
+        FROM (
+          SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   // 5000000 AS bucket
+          FROM orders
+        )
+        GROUP BY bucket ORDER BY bucket
     """,
     "er_name_blocking_pairs": """
         WITH c AS (
