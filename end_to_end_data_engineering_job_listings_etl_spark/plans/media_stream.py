@@ -85,6 +85,60 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same per-user running totals through Spark 4's
+    ``transformWithStateInPandas`` (StatefulProcessor + typed
+    ValueState, RocksDB state store) — the arbitrary-stateful-operator
+    API that supersedes applyInPandasWithState. Drained availableNow;
+    final state equals the batch GROUP BY, totals rounded in both
+    engines to absorb float-association noise.
+
+    NOT registered in QUERIES: the API's Python state protocol needs
+    ``google.protobuf``, absent from this container (no installs) —
+    raises NotImplementedError here; the operator itself
+    (streaming/stateful.py::running_user_totals_tws) is real and runs
+    wherever protobuf exists. applyInPandasWithState
+    (stream_user_totals) is the oracle-gated stateful path."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "transformWithStateInPandas needs google.protobuf"
+        ) from exc
+    from ..streaming.stateful import running_user_totals_tws
+    from ..streaming.watermark import (
+        events_stream_dir,
+        run_to_memory_sink,
+        stream_events,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        name = f"stream_tws_{uuid.uuid4().hex[:8]}"
+        ckpt = scratch_dir(prefix="ckpt_tws_")
+        stream = running_user_totals_tws(
+            stream_events(spark, events_stream_dir(sf_dir))
+        )
+        run_to_memory_sink(stream, name, ckpt, output_mode="update")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    totals = spark.table(name)
+    latest = totals.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("total_value").alias("total_value"),
+    )
+    return latest.select(
+        "user_id", "n_events", F.round("total_value", 2).alias("total_value_r")
+    )
+
+
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming deduplication: ``dropDuplicates`` on (user_id,
     event_type) over the event stream, drained with availableNow — the

@@ -117,3 +117,30 @@ def test_checkpoint_resume_two_batches_exactly_once(spark, tmp_path):
     run_to_memory_sink(agg2, "resume_counts", ckpt)
     n2 = spark.sql("SELECT sum(n_events) AS s FROM resume_counts").collect()[0]["s"]
     assert n2 == n1 + 7
+
+
+def test_tws_operator_gated_without_protobuf(spark):
+    """transformWithStateInPandas is implemented but its Python state
+    protocol needs google.protobuf; this container lacks it, so the
+    plan-level wrapper must raise NotImplementedError (and run for
+    real wherever protobuf exists)."""
+    import pytest
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        has_protobuf = True
+    except ImportError:
+        has_protobuf = False
+    from end_to_end_data_engineering_job_listings_etl_spark.plans.media_stream import stream_tws_user_totals
+
+    if has_protobuf:
+        got = {
+            r["user_id"]: r["n_events"]
+            for r in stream_tws_user_totals(spark, SF_DIR).collect()
+        }
+        batch = load_table(spark, SF_DIR, "events").groupBy("user_id").count().collect()
+        assert got == {r["user_id"]: r["count"] for r in batch}
+    else:
+        with pytest.raises(NotImplementedError):
+            stream_tws_user_totals(spark, SF_DIR)
