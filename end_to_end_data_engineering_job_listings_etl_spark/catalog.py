@@ -65,6 +65,7 @@ def load_table_dist(
     sf_dir: str,
     name: str,
     cols: tuple[str, ...] | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """``load_table`` for map-heavy consumers (hashing, shingling,
     keyword scans): if the scan yields fewer partitions than the
@@ -83,7 +84,7 @@ def load_table_dist(
     table would silently defeat column pruning — the plan-quality
     tests check this).
     """
-    key = (spark, sf_dir, name, cols)
+    key = (spark, sf_dir, name, cols, persist)
     hit = _DIST_CACHE.get(key)
     if hit is not None:
         return hit
@@ -99,7 +100,12 @@ def load_table_dist(
         spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b")
     )
     if -(-n_bytes // max_split) < slots:
-        df = df.repartition(slots).persist()
+        df = df.repartition(slots)
+        # persist=False: the caller materializes a derived frame
+        # immediately (e.g. star.landing persists the joined landing) —
+        # caching the repartitioned input too would double-materialize.
+        if persist:
+            df = df.persist()
     _DIST_CACHE[key] = df
     return df
 

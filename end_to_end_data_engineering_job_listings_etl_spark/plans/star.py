@@ -88,7 +88,7 @@ def landing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dim build and the fact join would then run single-threaded off
     # the cache. load_table_dist pre-spreads narrow scans; on big
     # inputs (many row groups) it is a plain load_table.
-    orders = load_table_dist(spark, sf_dir, "orders")
+    orders = load_table_dist(spark, sf_dir, "orders", persist=False)
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
