@@ -586,6 +586,36 @@ def sink_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sink_observed_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality metrics attached to a production write via the
+    Observation API: row count, exact decimal total, and null counter
+    accumulate DURING the parquet write — no second scan of the data
+    (the naive pattern re-aggregates after writing, doubling IO at
+    100 TB). The observed metrics come back as a 1-row frame the
+    oracle recomputes from the source, so a write that dropped or
+    mutated rows fails the hash."""
+    from pyspark.sql import Observation
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    obs = Observation("write_quality")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint"))
+        .alias("sum_price_e2"),
+        F.sum(F.col("o_orderstatus").isNull().cast("long")).alias("n_null_status"),
+    )
+    path = os.path.join(scratch_dir(prefix="sink_obs_"), "orders_observed")
+    observed.write.mode("overwrite").parquet(path)
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["sum_price_e2"], m["n_null_status"])],
+        "n_rows bigint, sum_price_e2 bigint, n_null_status bigint",
+    )
+
+
 def src_jdbc_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5/S6 as a REAL JDBC source (not the parquet stand-in): load
     orders into an embedded Derby database (the landing-zone RDBMS
@@ -762,6 +792,7 @@ QUERIES = {
     "sink_csv_roundtrip": sink_csv_roundtrip,
     "sink_orc_roundtrip": sink_orc_roundtrip,
     "sink_zorder_roundtrip": sink_zorder_roundtrip,
+    "sink_observed_write": sink_observed_write,
     "src_jdbc_landing": src_jdbc_landing,
     "src_json_records": src_json_records,
     "agg_approx_distinct_checked": agg_approx_distinct_checked,
@@ -797,6 +828,14 @@ GROUP BY o_orderstatus
 SELECT o_orderstatus, count(*) AS n_orders,
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(24,2)) AS sum_price
 FROM orders GROUP BY o_orderstatus
+""",
+    "sink_observed_write": """
+SELECT count(*) AS n_rows,
+       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT)
+         AS sum_price_e2,
+       CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_status
+FROM orders
 """,
     "sink_zorder_roundtrip": """
 SELECT count(*) AS n_orders,
