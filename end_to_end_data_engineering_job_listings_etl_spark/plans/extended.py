@@ -278,6 +278,30 @@ def er_name_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_listagg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG / string_agg surface with a deterministic order:
+    comma-joined sorted nation names per region. collect_list's
+    arrival order is partition-dependent, so the sort inside the
+    aggregate is what makes string aggregation reproducible — the
+    same discipline every distinct-order-sensitive aggregate needs at
+    scale."""
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    j = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    )
+    return (
+        j.groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+            F.count("*").alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
+
+
 def agg_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed statistical moments in EXACT integer math: per
     order status, n / Σx / Σy / Σx² / Σy² / Σxy over e2-scaled price
@@ -483,6 +507,7 @@ QUERIES = {
     "ev_funnel": ev_funnel,
     "ev_cohort_retention": ev_cohort_retention,
     "agg_filtered_bools": agg_filtered_bools,
+    "agg_listagg_nations": agg_listagg_nations,
     "agg_exact_moments": agg_exact_moments,
     "agg_price_histogram": agg_price_histogram,
     "er_name_blocking_pairs": er_name_blocking_pairs,
@@ -618,6 +643,13 @@ ORACLES = {
                bool_or(o_totalprice > 100000) AS any_big,
                min(o_orderpriority) AS first_priority
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    "agg_listagg_nations": """
+        SELECT r.r_name,
+               array_to_string(list_sort(list(n.n_name)), ',') AS nations,
+               count(*) AS n_nations
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name ORDER BY r.r_name
     """,
     "agg_exact_moments": """
         SELECT o_orderstatus, count(*) AS n,
