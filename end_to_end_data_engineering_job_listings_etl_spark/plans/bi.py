@@ -116,7 +116,9 @@ def bi_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         star_wide(spark, sf_dir)
         .groupBy("segment_name")
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+            ).alias("revenue_e2"),
             F.count("*").alias("postings"),
         )
     )
@@ -223,7 +225,8 @@ ORACLES = {
     ),
     "bi_revenue_by_segment": (
         f"{STAR_PREFIX} SELECT segment_name,"
-        " sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue,"
+        " CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))"
+        " AS BIGINT) AS revenue_e2,"
         " count(*) AS postings FROM star_wide GROUP BY segment_name"
     ),
 }

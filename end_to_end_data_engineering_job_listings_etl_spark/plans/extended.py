@@ -653,9 +653,10 @@ ORACLES = {
     """,
     "agg_exact_moments": """
         SELECT o_orderstatus, count(*) AS n,
-               sum(x) AS sum_x, sum(y) AS sum_y,
-               sum(x * x) AS sum_x2, sum(y * y) AS sum_y2,
-               sum(x * y) AS sum_xy
+               CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+               CAST(sum(x * x) AS BIGINT) AS sum_x2,
+               CAST(sum(y * y) AS BIGINT) AS sum_y2,
+               CAST(sum(x * y) AS BIGINT) AS sum_xy
         FROM (
           SELECT o_orderstatus,
                  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,

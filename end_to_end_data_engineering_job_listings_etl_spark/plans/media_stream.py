@@ -76,9 +76,14 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # update mode re-emits a user's row per micro-batch; keep the last
     # (= max n_events) state per user so multi-batch drains stay exact.
     totals = spark.table(name)
+    # Update-mode emits one row per state version; pick total_value
+    # FROM the max-n_events row (max_by), not an independent column
+    # max — with negative event values total_value is non-monotone
+    # and column-wise maxes could pair a final count with a non-final
+    # total.
     latest = totals.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
-        F.max("total_value").alias("total_value"),
+        F.expr("max_by(total_value, n_events)").alias("total_value"),
     )
     return latest.select(
         "user_id", "n_events", F.round("total_value", 2).alias("total_value_r")
@@ -130,9 +135,14 @@ def stream_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
     totals = spark.table(name)
+    # Update-mode emits one row per state version; pick total_value
+    # FROM the max-n_events row (max_by), not an independent column
+    # max — with negative event values total_value is non-monotone
+    # and column-wise maxes could pair a final count with a non-final
+    # total.
     latest = totals.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
-        F.max("total_value").alias("total_value"),
+        F.expr("max_by(total_value, n_events)").alias("total_value"),
     )
     return latest.select(
         "user_id", "n_events", F.round("total_value", 2).alias("total_value_r")
@@ -193,9 +203,9 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = stream.join(cust, stream.user_id == cust.c_custkey)
     agg = joined.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,6)"))
-        .cast("decimal(24,6)")
-        .alias("sum_value"),
+        F.sum(
+            (F.col("value").cast("decimal(18,6)") * 1000000).cast("bigint")
+        ).alias("sum_value_e6"),
     )
     run_to_memory_sink(agg, name, ckpt, output_mode="complete")
     return spark.table(name)
@@ -296,9 +306,9 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = ob.hint("merge").join(cb, ob["o_custkey"] == cb["c_custkey"])
     return j.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("decimal(24,2)")
-        .alias("sum_price"),
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+        ).alias("sum_price_e2"),
     )
 
 
@@ -396,7 +406,7 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(compacted)
     return back.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        F.sum("n_chars").alias("sum_chars"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
     )
 
 
@@ -491,7 +501,7 @@ def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return back.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        F.sum("value_d").cast("decimal(24,6)").alias("sum_value"),
+        F.sum((F.col("value_d") * 1000000).cast("bigint")).alias("sum_value_e6"),
     )
 
 
@@ -522,9 +532,9 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = read_csv_landing(spark, path, schema)
     return back.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("decimal(24,2)")
-        .alias("sum_price"),
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+        ).alias("sum_price_e2"),
     )
 
 
@@ -543,9 +553,9 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.orc(path)
     return back.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("decimal(24,2)")
-        .alias("sum_price"),
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+        ).alias("sum_price_e2"),
     )
 
 
@@ -574,9 +584,9 @@ def sink_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(path)
     return back.agg(
         F.count("*").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("decimal(24,2)")
-        .alias("sum_price"),
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+        ).alias("sum_price_e2"),
         F.sum((F.col("o_orderkey") * 10 <= F.lit(int(hi["k"]))).cast("long")).alias(
             "n_low_orderkey"
         ),
@@ -654,9 +664,9 @@ def src_jdbc_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return back.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("decimal(24,2)")
-        .alias("sum_price"),
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+        ).alias("sum_price_e2"),
     )
 
 
@@ -801,7 +811,7 @@ QUERIES = {
 
 ORACLES = {
     "sink_compaction": """
-SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY lang
 """,
     "stream_dedup": "SELECT DISTINCT user_id, event_type FROM events",
@@ -814,19 +824,22 @@ FROM events p JOIN events v
 """,
     "stream_static_join": """
 SELECT c_mktsegment, count(*) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(24,6)) AS sum_value
+       CAST(sum(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT)
+         AS sum_value_e6
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment
 """,
     "src_jdbc_landing": """
 SELECT o_orderstatus, count(*) AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(24,2)) AS sum_price
+       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+         AS sum_price_e2
 FROM orders WHERE o_totalprice > 100000
 GROUP BY o_orderstatus
 """,
     "sink_orc_roundtrip": """
 SELECT o_orderstatus, count(*) AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(24,2)) AS sum_price
+       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+         AS sum_price_e2
 FROM orders GROUP BY o_orderstatus
 """,
     "sink_observed_write": """
@@ -839,7 +852,8 @@ FROM orders
 """,
     "sink_zorder_roundtrip": """
 SELECT count(*) AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(24,2)) AS sum_price,
+       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+         AS sum_price_e2,
        CAST(sum(CASE WHEN o_orderkey * 10 <= (SELECT max(o_orderkey) FROM orders)
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_low_orderkey,
        CAST(sum(CASE WHEN o_custkey * 10 <= (SELECT max(o_custkey) FROM orders)
@@ -875,7 +889,8 @@ FROM sessed GROUP BY user_id, session_id
     "sink_bucketed_join": """
 SELECT c_mktsegment,
        count(*) AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(24,2)) AS sum_price
+       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+         AS sum_price_e2
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """,
@@ -922,15 +937,17 @@ CROSS JOIN (SELECT unnest(generate_series(0, 127, 64)) AS off) t
 WHERE doc_id % 3 = 2""",
     "sink_partitioned_roundtrip": """
 SELECT event_type, COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(24,6)) AS sum_value
+       CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT)
+         AS sum_value_e6
 FROM events WHERE event_type IN ('click', 'purchase')
 GROUP BY event_type""",
     "sink_csv_roundtrip": """
 SELECT o_orderstatus, COUNT(*) AS n_orders,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(24,2)) AS sum_price
+       CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+         AS sum_price_e2
 FROM orders GROUP BY o_orderstatus""",
     "src_json_records": """
-SELECT lang, COUNT(*) AS n_docs, SUM(length(text)) AS sum_chars,
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
        0 AS n_source_nonnull
 FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 200)
 GROUP BY lang""",

@@ -105,7 +105,9 @@ def ml_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = assigned.select("cluster", F.posexplode("vd").alias("dim", "val"))
     return ex.groupBy("cluster", "dim").agg(
         F.count("*").alias("n_members"),
-        F.sum(F.col("val").cast("decimal(18,9)")).cast("decimal(38,9)").alias("sum_val"),
+        F.sum(
+            (F.col("val").cast("decimal(18,9)") * 1000000000).cast("bigint")
+        ).alias("sum_val_e9"),
     )
 
 
@@ -319,15 +321,16 @@ def op_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("o_orderkey").agg(
         F.count("*").alias("n_shipped"),
-        F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
-        .cast("decimal(24,2)")
-        .alias("sum_price"),
+        F.sum(
+            (F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast("bigint")
+        ).alias("sum_price_e2"),
     )
 
 
 _RANGE_JOIN_ORACLE = """
 SELECT o.o_orderkey, COUNT(*) AS n_shipped,
-       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(24,2)) AS sum_price
+       CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT)
+         AS sum_price_e2
 FROM orders o
 JOIN lineitem l
   ON l.l_shipdate >= o.o_orderdate
@@ -380,7 +383,8 @@ ex AS (
   FROM assigned
 )
 SELECT cluster, dim, COUNT(*) AS n_members,
-       CAST(SUM(CAST(val AS DECIMAL(18,9))) AS DECIMAL(38,9)) AS sum_val
+       CAST(SUM(CAST(CAST(val AS DECIMAL(18,9)) * 1000000000 AS BIGINT)) AS BIGINT)
+         AS sum_val_e9
 FROM ex GROUP BY cluster, dim"""
 
 

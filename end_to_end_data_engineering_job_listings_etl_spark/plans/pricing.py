@@ -44,6 +44,9 @@ def li_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     tax = F.col("l_tax").cast("decimal(4,2)")
     disc_price = price * (F.lit(1).cast("decimal(3,2)") - disc)
     charge = disc_price * (F.lit(1).cast("decimal(3,2)") + tax)
+    # Scaled-BIGINT outputs: decimal aggregates are exact in-engine but
+    # the driver hashes the DuckDB side as float64, so money lands as
+    # *_e2/_e4/_e6 integers (exact: the per-row scale is pinned above).
     # raw-column comparison, not to_date(l_shipdate) <= cutoff: the
     # expression-wrapped form cannot reach PushedFilters; date <= d is
     # exactly ts < d+1day on the underlying timestamp.
@@ -51,10 +54,10 @@ def li_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") < F.lit(_CUTOFF_NEXT).cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).cast("decimal(18,2)").alias("sum_qty"),
-            F.sum(price).cast("decimal(18,2)").alias("sum_base_price"),
-            F.sum(disc_price).cast("decimal(24,4)").alias("sum_disc_price"),
-            F.sum(charge).cast("decimal(24,6)").alias("sum_charge"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.sum((price * 100).cast("bigint")).alias("sum_base_price_e2"),
+            F.sum((disc_price * 10000).cast("bigint")).alias("sum_disc_price_e4"),
+            F.sum((charge * 1000000).cast("bigint")).alias("sum_charge_e6"),
             F.count("*").alias("count_order"),
         )
     )
@@ -74,10 +77,10 @@ def li_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy("l_orderkey")
         .agg(
-            F.sum(rev).cast("decimal(24,4)").alias("revenue"),
+            F.sum((rev * 10000).cast("bigint")).alias("revenue_e4"),
             F.count("*").alias("n_items"),
         )
-        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .orderBy(F.desc("revenue_e4"), F.asc("l_orderkey"))
         .limit(10)
     )
 
@@ -98,9 +101,9 @@ def li_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        F.sum((F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("bigint"))
         .over(w)
-        .alias("running_price"),
+        .alias("running_price_e2"),
     )
 
 
@@ -122,7 +125,7 @@ def li_supplier_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.sum(rev).cast("decimal(24,4)").alias("revenue"),
+            F.sum((rev * 10000).cast("bigint")).alias("revenue_e4"),
             F.count("*").alias("n_lineitems"),
         )
     )
@@ -159,8 +162,8 @@ def li_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.sum(rev).cast("decimal(24,4)").alias("revenue"))
-        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .agg(F.sum((rev * 10000).cast("bigint")).alias("revenue_e4"))
+        .orderBy(F.desc("revenue_e4"), F.asc("l_orderkey"))
         .limit(10)
     )
 
@@ -195,9 +198,9 @@ QUERIES = {
 ORACLES = {
     "li_shipping_priority": f"""
         SELECT l_orderkey, o_orderdate,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
-                    AS DECIMAL(24,4)) AS revenue
+               CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                        * 10000 AS BIGINT)) AS BIGINT) AS revenue_e4
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -205,7 +208,7 @@ ORACLES = {
           AND o_orderdate < TIMESTAMP '{_Q3_CUT} 00:00:00'
           AND l_shipdate > TIMESTAMP '{_Q3_CUT} 00:00:00'
         GROUP BY l_orderkey, o_orderdate
-        ORDER BY revenue DESC, l_orderkey
+        ORDER BY revenue_e4 DESC, l_orderkey
         LIMIT 10
     """,
     "li_late_shipment_priority": """
@@ -218,15 +221,16 @@ ORACLES = {
     """,
     "li_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
-               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_qty,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_base_price,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
-                    AS DECIMAL(24,4)) AS sum_disc_price,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS sum_base_price_e2,
+               CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
                         * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
-                        * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2))))
-                    AS DECIMAL(24,6)) AS sum_charge,
+                        * 10000 AS BIGINT)) AS BIGINT) AS sum_disc_price_e4,
+               CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                        * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))
+                        * 1000000 AS BIGINT)) AS BIGINT) AS sum_charge_e6,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate < TIMESTAMP '{_CUTOFF_NEXT} 00:00:00'
@@ -234,29 +238,29 @@ ORACLES = {
     """,
     "li_revenue_topk": """
         SELECT l_orderkey,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
-                    AS DECIMAL(24,4)) AS revenue,
+               CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                        * 10000 AS BIGINT)) AS BIGINT) AS revenue_e4,
                count(*) AS n_items
         FROM lineitem
         JOIN (SELECT o_orderkey FROM orders WHERE year(o_orderdate) = 1995) o
           ON l_orderkey = o.o_orderkey
         GROUP BY l_orderkey
-        ORDER BY revenue DESC, l_orderkey
+        ORDER BY revenue_e4 DESC, l_orderkey
         LIMIT 10
     """,
     "li_running_total": """
         SELECT l_orderkey, l_linenumber,
-               sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+               CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
                  OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
-                       RANGE UNBOUNDED PRECEDING) AS running_price
+                       RANGE UNBOUNDED PRECEDING) AS BIGINT) AS running_price_e2
         FROM lineitem
     """,
     "li_supplier_nation_revenue": """
         SELECT n_name,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
-                    AS DECIMAL(24,4)) AS revenue,
+               CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                        * 10000 AS BIGINT)) AS BIGINT) AS revenue_e4,
                count(*) AS n_lineitems
         FROM lineitem
         JOIN supplier ON l_suppkey = s_suppkey

@@ -154,16 +154,19 @@ def rel_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     what any optimizer must reach); the oracle keeps the correlated
     form, proving the rewrite is semantics-preserving."""
     orders = load_table(spark, sf_dir, "orders").select(
-        "o_custkey", F.col("o_totalprice").cast("decimal(12,2)").alias("price_d")
+        "o_custkey",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("price_e2"),
     )
     max_per_cust = orders.groupBy("o_custkey").agg(
-        F.max("price_d").alias("max_order_price")
+        F.max("price_e2").alias("max_price_e2")
     )
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
-        max_per_cust.filter(F.col("max_order_price") > 400000)
+        max_per_cust.filter(F.col("max_price_e2") > 40000000)
         .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
-        .select("c_custkey", "c_name", "max_order_price")
+        .select("c_custkey", "c_name", "max_price_e2")
     )
 
 
@@ -180,9 +183,9 @@ def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("o_custkey").alias("n_customers"),
         F.count_distinct("o_orderpriority").alias("n_priorities"),
         F.count("*").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
-        .cast("decimal(24,2)")
-        .alias("total_price"),
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+        ).alias("total_price_e2"),
     )
 
 
@@ -261,18 +264,19 @@ ORACLES = {
     """,
     "rel_correlated_scalar": """
         SELECT c_custkey, c_name,
-               (SELECT max(CAST(o_totalprice AS DECIMAL(12,2)))
-                FROM orders WHERE o_custkey = c_custkey) AS max_order_price
+               (SELECT max(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                FROM orders WHERE o_custkey = c_custkey) AS max_price_e2
         FROM customer
-        WHERE (SELECT max(CAST(o_totalprice AS DECIMAL(12,2)))
-               FROM orders WHERE o_custkey = c_custkey) > 400000
+        WHERE (SELECT max(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+               FROM orders WHERE o_custkey = c_custkey) > 40000000
     """,
     "agg_multi_distinct": """
         SELECT o_orderstatus,
                count(DISTINCT o_custkey) AS n_customers,
                count(DISTINCT o_orderpriority) AS n_priorities,
                count(*) AS n_orders,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(24,2)) AS total_price
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS total_price_e2
         FROM orders
         GROUP BY o_orderstatus
     """,

@@ -226,7 +226,7 @@ ORACLES = {
     "q7_volume_shipping": f"""
         SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
                CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
-               sum({_REV_E4_SQL.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}) AS volume_e4
+               CAST(sum({_REV_E4_SQL.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}) AS BIGINT) AS volume_e4
         FROM lineitem l
         JOIN supplier s ON l.l_suppkey = s.s_suppkey
         JOIN nation sn ON s.s_nationkey = sn.n_nationkey
@@ -241,10 +241,10 @@ ORACLES = {
     "q9_product_profit": f"""
         SELECT sn.n_name AS supp_nation,
                CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
-               sum({_REV_E4_SQL.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}
+               CAST(sum({_REV_E4_SQL.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}
                    - CAST(CAST(p.p_retailprice AS DECIMAL(12,2))
                           * CAST(l.l_quantity AS DECIMAL(12,2)) * 1000 AS BIGINT))
-                 AS profit_e4
+                 AS BIGINT) AS profit_e4
         FROM lineitem l
         JOIN part p ON l.l_partkey = p.p_partkey
         JOIN supplier s ON l.l_suppkey = s.s_suppkey

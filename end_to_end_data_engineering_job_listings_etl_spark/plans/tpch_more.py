@@ -189,16 +189,13 @@ def li_returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_name", "c_nationkey"
     )
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
-        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
-    )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(rev).cast("decimal(24,4)").alias("lost_revenue"))
-        .orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+        .agg(F.sum(_rev_e4()).alias("lost_rev_e4"))
+        .orderBy(F.desc("lost_rev_e4"), F.asc("c_custkey"))
         .limit(20)
     )
 
@@ -211,14 +208,15 @@ def li_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     any dim joins — the surviving key set is tiny, so everything
     downstream broadcasts."""
     li = load_table(spark, sf_dir, "lineitem")
+    # l_quantity is integer-valued (1..50) so a bigint sum is exact —
+    # and BIGINT is the cross-engine-stable output type (a DECIMAL
+    # total always ends ".00" here and the driver hashes it as
+    # float64 on the DuckDB side).
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("total_qty_d"))
-        .filter(F.col("total_qty_d") > 250)
-        .select(
-            F.col("l_orderkey").alias("big_orderkey"),
-            F.col("total_qty_d").cast("decimal(18,2)").alias("total_qty"),
-        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+        .select(F.col("l_orderkey").alias("big_orderkey"), "total_qty")
     )
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
@@ -232,7 +230,9 @@ def li_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "o_orderkey",
             "o_orderdate",
-            F.col("o_totalprice").cast("decimal(12,2)").alias("o_totalprice_d"),
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("bigint")
+            .alias("o_totalprice_e2"),
             "total_qty",
         )
     )
@@ -265,14 +265,11 @@ def li_disjunctive_part_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("p_size").between(1, 25)
         & F.col("l_quantity").between(10, 20)
     ) | ((F.col("p_type") == "PROMO") & (F.col("l_quantity") >= 20))
-    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
-        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(4,2)")
-    )
     return (
         li.join(F.broadcast(part_any), li.l_partkey == F.col("p_partkey"))
         .filter(clause)
         .agg(
-            F.sum(rev).cast("decimal(24,4)").alias("revenue"),
+            F.sum(_rev_e4()).alias("revenue_e4"),
             F.count("*").alias("n_lineitems"),
         )
     )
@@ -367,8 +364,8 @@ ORACLES = {
             JOIN nation n ON s_nationkey = n.n_nationkey
         )
         SELECT o_year,
-               sum(CASE WHEN supp_nation = 'NATION_7' THEN rev_e4 ELSE 0 END) AS nation_rev_e4,
-               sum(rev_e4) AS total_rev_e4,
+               CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN rev_e4 ELSE 0 END) AS BIGINT) AS nation_rev_e4,
+               CAST(sum(rev_e4) AS BIGINT) AS total_rev_e4,
                CAST(floor(CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN rev_e4 ELSE 0 END) AS DOUBLE)
                           * 1000000.0
                           / CAST(sum(rev_e4) AS DOUBLE)) AS BIGINT) AS mkt_share_e6
@@ -376,8 +373,8 @@ ORACLES = {
     """,
     "li_promo_share_monthly": f"""
         SELECT month(l_shipdate) AS ship_month,
-               sum(CASE WHEN p_type = 'PROMO' THEN {_REV_E4_SQL} ELSE 0 END) AS promo_rev_e4,
-               sum({_REV_E4_SQL}) AS total_rev_e4,
+               CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_REV_E4_SQL} ELSE 0 END) AS BIGINT) AS promo_rev_e4,
+               CAST(sum({_REV_E4_SQL}) AS BIGINT) AS total_rev_e4,
                CAST(floor(CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_REV_E4_SQL} ELSE 0 END) AS DOUBLE)
                           * 1000000.0
                           / CAST(sum({_REV_E4_SQL}) AS DOUBLE)) AS BIGINT) AS promo_share_e6
@@ -388,8 +385,8 @@ ORACLES = {
     """,
     "li_lateness_by_class": """
         SELECT l_linestatus,
-               sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_priority_count,
-               sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS low_priority_count
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_priority_count
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
         GROUP BY l_linestatus
@@ -405,11 +402,9 @@ ORACLES = {
         )
         GROUP BY c_count
     """,
-    "li_returned_top_customers": """
+    "li_returned_top_customers": f"""
         SELECT c_custkey, c_name, n_name,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
-                    AS DECIMAL(24,4)) AS lost_revenue
+               CAST(sum({_REV_E4_SQL}) AS BIGINT) AS lost_rev_e4
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -418,24 +413,22 @@ ORACLES = {
           AND o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
           AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
         GROUP BY c_custkey, c_name, n_name
-        ORDER BY lost_revenue DESC, c_custkey
+        ORDER BY lost_rev_e4 DESC, c_custkey
         LIMIT 20
     """,
     "li_big_orders": """
         SELECT c_name, c_custkey, o_orderkey, o_orderdate,
-               CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice_d,
-               CAST(big.total_qty_d AS DECIMAL(18,2)) AS total_qty
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS o_totalprice_e2,
+               CAST(big.total_qty AS BIGINT) AS total_qty
         FROM orders
-        JOIN (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty_d
+        JOIN (SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS total_qty
               FROM lineitem GROUP BY l_orderkey
-              HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 250) big
+              HAVING sum(CAST(l_quantity AS BIGINT)) > 250) big
           ON o_orderkey = big.l_orderkey
         JOIN customer ON o_custkey = c_custkey
     """,
-    "li_disjunctive_part_join": """
-        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                        * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
-                    AS DECIMAL(24,4)) AS revenue,
+    "li_disjunctive_part_join": f"""
+        SELECT CAST(sum({_REV_E4_SQL}) AS BIGINT) AS revenue_e4,
                count(*) AS n_lineitems
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
@@ -453,7 +446,8 @@ ORACLES = {
             SELECT CAST(floor(CAST(sum(bal_cents) AS DOUBLE) / count(*)) AS BIGINT) AS avg_cents
             FROM bal WHERE bal_cents > 0
         )
-        SELECT c_nationkey, count(*) AS n_customers, sum(bal_cents) AS total_bal_cents
+        SELECT c_nationkey, count(*) AS n_customers,
+               CAST(sum(bal_cents) AS BIGINT) AS total_bal_cents
         FROM bal, thresh
         WHERE bal_cents > avg_cents
           AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -467,7 +461,7 @@ ORACLES = {
               AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
             GROUP BY l_suppkey
         )
-        SELECT s_suppkey, s_name, total_rev_e4
+        SELECT s_suppkey, s_name, CAST(total_rev_e4 AS BIGINT) AS total_rev_e4
         FROM per_supp JOIN supplier ON l_suppkey = s_suppkey
         WHERE total_rev_e4 = (SELECT max(total_rev_e4) FROM per_supp)
     """,

@@ -51,7 +51,7 @@ def w_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select(
             "o_custkey",
             "o_orderkey",
-            _price().alias("price"),
+            (_price() * 100).cast("bigint").alias("price_e2"),
             F.row_number().over(w).cast("int").alias("rk"),
         )
         .filter(F.col("rk") <= 3)
@@ -73,7 +73,9 @@ def w_moving_sum_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(_price()).over(w).cast("decimal(18,2)").alias("trailing_30d_spend"),
+        F.sum((_price() * 100).cast("bigint"))
+        .over(w)
+        .alias("trailing_30d_spend_e2"),
     )
 
 
@@ -210,7 +212,7 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count("*").alias("n_rows"),
         F.sum(F.col("v").isNull().cast("long")).alias("n_unparseable"),
-        F.sum("v").cast("decimal(24,2)").alias("sum_parsed"),
+        F.sum((F.col("v") * 100).cast("bigint")).alias("sum_parsed_e2"),
         F.sum(F.col("d").isNull().cast("long")).alias("n_div_by_zero"),
     )
 
@@ -244,7 +246,7 @@ ORACLES = {
         SELECT count(*) AS n_rows,
                CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_unparseable,
-               CAST(sum(v) AS DECIMAL(24,2)) AS sum_parsed,
+               CAST(sum(CAST(v * 100 AS BIGINT)) AS BIGINT) AS sum_parsed_e2,
                CAST(sum(CASE WHEN p_partkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_div_by_zero
         FROM (
@@ -257,9 +259,9 @@ ORACLES = {
         )
     """,
     "w_topk_per_group": """
-        SELECT o_custkey, o_orderkey, price, CAST(rk AS INTEGER) AS rk FROM (
+        SELECT o_custkey, o_orderkey, price_e2, CAST(rk AS INTEGER) AS rk FROM (
           SELECT o_custkey, o_orderkey,
-                 CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS price_e2,
                  row_number() OVER (
                    PARTITION BY o_custkey
                    ORDER BY CAST(o_totalprice AS DECIMAL(12,2)) DESC, o_orderkey
@@ -269,10 +271,10 @@ ORACLES = {
     """,
     "w_moving_sum_30d": """
         SELECT o_custkey, o_orderkey,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) OVER (
                  PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
                  RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW
-               ) AS DECIMAL(18,2)) AS trailing_30d_spend
+               ) AS BIGINT) AS trailing_30d_spend_e2
         FROM orders
     """,
     "w_ntile_buckets": """

@@ -36,11 +36,14 @@ def test_moving_sum_includes_self(spark):
     from end_to_end_data_engineering_job_listings_etl_spark.catalog import load_table
 
     orders = load_table(spark, SF_DIR, "orders").select(
-        "o_orderkey", F.col("o_totalprice").cast("decimal(12,2)").alias("price")
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("price_e2"),
     )
     bad = (
         orders_sum.join(orders, "o_orderkey")
-        .filter(F.col("trailing_30d_spend") < F.col("price"))
+        .filter(F.col("trailing_30d_spend_e2") < F.col("price_e2"))
         .count()
     )
     assert bad == 0
