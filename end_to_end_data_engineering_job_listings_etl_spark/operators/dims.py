@@ -7,15 +7,21 @@ Reference analog: the seven dimension subplans at
 ``row_number().over(Window.orderBy(key))`` for the surrogate key
 (:95,:100,:105,:110,:130,:144).
 
-Two SK modes (SURVEY.md §7.3):
-- ``mode="global"``  : reference-exact ``row_number`` over a global
-  ORDER BY. Semantically a total order → one-partition exchange. Fine
-  for dims ≤ ~10M distinct values (every real dim here), and the only
-  mode an ANSI-SQL oracle can reproduce.
-- ``mode="bucketed"``: scale path — row_number within hash buckets plus
-  per-bucket offsets (two narrow shuffles, no single-partition stage).
-  Keys are dense and deterministic for a given (data, n_buckets) but
-  NOT in global sort order.
+Three SK modes (SURVEY.md §7.3):
+- ``mode="range"`` (default): the scale path with reference-exact
+  VALUES — ``operators.ids.ranked_ids`` computes the same global
+  ``row_number`` via range repartition + in-partition windows +
+  prefix offsets, so no single-partition exchange exists anywhere in
+  the plan and every ANSI-SQL ``row_number() OVER (ORDER BY key)``
+  oracle still matches cell-for-cell.
+- ``mode="global"``  : the literal reference plan — ``row_number``
+  over a global ORDER BY, i.e. a one-partition WindowExec. Kept as
+  the opt-in parity mode; do not use above ~10M distinct keys.
+- ``mode="bucketed"``: md5-hash-bucketed dense ids (two narrow
+  shuffles). Keys are dense and deterministic for a given
+  (data, n_buckets) but NOT in global sort order — the variant for
+  engines whose oracle must reproduce bucket assignment instead of a
+  sort (kept oracle-checkable via the portable md5 bucket hash).
 """
 
 from __future__ import annotations
@@ -25,12 +31,14 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .ids import ranked_ids
+
 
 def build_dim(
     df: DataFrame,
     key_exprs: Sequence[Column],
     sk_name: str,
-    mode: str = "global",
+    mode: str = "range",
     n_buckets: int = 256,
 ) -> DataFrame:
     """Build a dimension from normalized natural-key expressions.
@@ -43,6 +51,10 @@ def build_dim(
     projected = df.select(*key_exprs)
     key_names = list(projected.columns)
     distinct = projected.filter(F.col(key_names[0]).isNotNull()).distinct()
+    if mode == "range":
+        return ranked_ids(distinct, key_names, sk_name).select(
+            sk_name, *key_names
+        )
     if mode == "global":
         w = Window.orderBy(*key_names)
         return distinct.select(
@@ -61,11 +73,12 @@ def build_dim(
         bucketed = distinct.select(bucket, *key_names)
         w_in = Window.partitionBy("__bucket").orderBy(*key_names)
         counts = bucketed.groupBy("__bucket").count()
+        # ≤ n_buckets rows: run the cumulative window partitioned by a
+        # constant — bounded, and not the "No Partition Defined" shape.
+        w_cum = Window.partitionBy(F.lit(0)).orderBy("__bucket")
         offsets = counts.select(
             "__bucket",
-            (F.sum("count").over(Window.orderBy("__bucket")) - F.col("count")).alias(
-                "__offset"
-            ),
+            (F.sum("count").over(w_cum) - F.col("count")).alias("__offset"),
         )
         return (
             bucketed.withColumn("__rn", F.row_number().over(w_in))

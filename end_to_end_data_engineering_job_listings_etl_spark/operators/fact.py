@@ -18,8 +18,10 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from .ids import ranked_ids
 
 
 def join_dim(
@@ -36,8 +38,11 @@ def join_dim(
 
 def with_fact_pk(fact: DataFrame, order_cols: Sequence[str], pk_name: str) -> DataFrame:
     """Reference-exact fact primary key: row_number over a declared
-    natural ordering (``dags/spark_etl_script.py:168``). Deterministic
+    natural ordering (``dags/spark_etl_script.py:168``), computed with
+    the range/two-phase plan (``operators.ids.ranked_ids``) so the
+    fact never funnels through a one-partition window. Deterministic
     (unlike the reference's monotonically_increasing_id natural key,
     F17 — documented deviation, SURVEY.md §7.3)."""
-    w = Window.orderBy(*order_cols)
-    return fact.select(F.row_number().over(w).alias(pk_name), "*")
+    return ranked_ids(fact, list(order_cols), pk_name).select(
+        pk_name, *fact.columns
+    )

@@ -1,0 +1,146 @@
+"""Distributed global ordinals: ``row_number() OVER (ORDER BY ...)``
+values WITHOUT the single-partition window exchange.
+
+The reference assigns surrogate/primary keys with a global
+``row_number`` (``dags/spark_etl_script.py:95-168``), which Spark
+executes as a one-partition WindowExec ("No Partition Defined") — a
+funnel that caps at one task regardless of cluster size. At 100 TB a
+fact PK assignment would push every key through that task.
+
+The scale path here keeps the VALUES identical (so every existing
+ANSI-SQL oracle still matches) and removes the funnel:
+
+1. ``repartitionByRange`` on the ordering key — partitions become
+   ordered, non-overlapping key ranges (Spark samples boundaries;
+   where they land does not affect the final ordinal).
+2. ``row_number`` / running-sum *within* each partition — parallel,
+   whole-stage-codegen windows partitioned by ``spark_partition_id``.
+3. Per-partition totals (one tiny agg, ≤ #partitions rows) turned
+   into exclusive prefix offsets and broadcast back.
+
+Ordinal = within-partition number + offset of all lower ranges — the
+exact global ``row_number`` (ties co-locate: range partitioning sends
+equal keys to one partition, matching the global window's
+arbitrary-within-ties semantics).
+
+Cost: one extra narrow shuffle (the range exchange) plus a sampling
+pass, both O(rows/partitions) per task. At 1000 executors the old plan
+is 1 task wide; this one is cluster-wide.
+
+Correctness hinge: ``spark_partition_id`` is only meaningful per
+MATERIALIZATION — two plan subtrees consuming the same
+``repartitionByRange`` can see DIFFERENT physical layouts (AQE
+coalesces each query stage independently; exchange reuse is not
+guaranteed), which silently mis-aligns the offsets and yields
+duplicate/gapped ordinals. The ranged+pid frame is therefore
+``localCheckpoint``-pinned before fan-out: one materialization, both
+consumers read the same pids, and lineage truncation makes loss
+fail-stop instead of silently renumbering. (The checkpointed frame is
+the NARROW key projection, not the caller's wide rows.)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "__range_pid"
+
+
+def _as_sort_exprs(order_cols: Sequence[Column | str]) -> list[Column]:
+    # Spark's Window.orderBy defaults to ASC NULLS FIRST; pin the same
+    # order explicitly so the range exchange and the in-partition
+    # window agree (and the contract is visible, not incidental).
+    return [
+        (F.col(c) if isinstance(c, str) else c).asc_nulls_first()
+        for c in order_cols
+    ]
+
+
+def _n_parts(df: DataFrame) -> int:
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+
+
+def _ranged_with_pid(
+    df: DataFrame,
+    order_cols: Sequence[Column | str],
+    n_parts: int | None,
+) -> tuple[DataFrame, list[Column]]:
+    """Range-repartition on the ordering key and PIN the resulting
+    (pid, row) assignment with a lazy localCheckpoint — see module
+    docstring for why an unpinned pid is a correctness bug."""
+    sort_exprs = _as_sort_exprs(order_cols)
+    ranged = (
+        df.repartitionByRange(n_parts or _n_parts(df), *sort_exprs)
+        .select(F.spark_partition_id().alias(_PID), "*")
+        .localCheckpoint(eager=False)
+    )
+    return ranged, sort_exprs
+
+
+def _with_offsets(ranged: DataFrame, weight: Column) -> DataFrame:
+    """Per-partition exclusive prefix totals of ``weight``, broadcast
+    back onto ``ranged`` as ``__offset``. The offsets frame is at most
+    #partitions rows, so its own cumulative window runs partitioned by
+    a constant — bounded, and never the "No Partition Defined" shape."""
+    totals = ranged.groupBy(_PID).agg(F.sum(weight).alias("__total"))
+    w_off = (
+        Window.partitionBy(F.lit(0))
+        .orderBy(_PID)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        _PID,
+        F.coalesce(F.sum("__total").over(w_off), F.lit(0)).alias("__offset"),
+    )
+    return ranged.join(F.broadcast(offsets), _PID)
+
+
+def ranked_ids(
+    df: DataFrame,
+    order_cols: Sequence[Column | str],
+    id_name: str,
+    start: int = 0,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """``start + row_number() OVER (ORDER BY order_cols)`` as an INT
+    column, computed with the range/two-phase plan above. Output
+    columns: ``df``'s columns plus ``id_name``."""
+    ranged, sort_exprs = _ranged_with_pid(df, order_cols, n_parts)
+    w_in = Window.partitionBy(_PID).orderBy(*sort_exprs)
+    numbered = ranged.select("*", F.row_number().over(w_in).alias("__rn"))
+    out = _with_offsets(numbered, F.lit(1))
+    return out.select(
+        *df.columns,
+        (F.col("__rn") + F.col("__offset") + F.lit(start))
+        .cast("int")
+        .alias(id_name),
+    )
+
+
+def exclusive_prefix_sum(
+    df: DataFrame,
+    order_cols: Sequence[Column | str],
+    weight_col: str,
+    out_name: str,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """``sum(weight) OVER (ORDER BY order_cols ROWS UNBOUNDED
+    PRECEDING AND 1 PRECEDING)`` (0 for the first row) via the same
+    two-phase plan — the running-start form used to seed dense key
+    blocks (e.g. first ordinal of each duplicate-tuple group)."""
+    ranged, sort_exprs = _ranged_with_pid(df, order_cols, n_parts)
+    w_in = (
+        Window.partitionBy(_PID)
+        .orderBy(*sort_exprs)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = ranged.select(
+        "*", F.coalesce(F.sum(weight_col).over(w_in), F.lit(0)).alias("__local")
+    )
+    out = _with_offsets(local, F.col(weight_col))
+    return out.select(
+        *df.columns, (F.col("__local") + F.col("__offset")).alias(out_name)
+    )

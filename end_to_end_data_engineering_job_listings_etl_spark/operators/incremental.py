@@ -71,16 +71,18 @@ def upsert_dim(
     sk_name: str,
 ) -> DataFrame:
     """Append-only dimension upsert: new natural keys get surrogate
-    keys continuing after max(existing sk). Returns the unioned dim."""
-    from pyspark.sql import Window
+    keys continuing after max(existing sk) — assigned via the
+    range/two-phase rank (``operators.ids``), so a large backfill of
+    new keys never funnels through a one-partition window. Returns the
+    unioned dim."""
+    from .ids import ranked_ids
 
     new_rows = anti_join_new(incoming.select(*keys).distinct(), existing, keys)
     start = existing.agg(F.coalesce(F.max(sk_name), F.lit(0)).alias("m")).collect()[0][
         "m"
     ]
-    w = Window.orderBy(*keys)
-    new_with_sk = new_rows.select(
-        (F.row_number().over(w) + F.lit(start)).cast("int").alias(sk_name), *keys
+    new_with_sk = ranked_ids(new_rows, list(keys), sk_name, start=start).select(
+        sk_name, *keys
     )
     return existing.select(sk_name, *keys).unionByName(new_with_sk)
 

@@ -173,10 +173,11 @@ def inc_upsert_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type_name").isNotNull())
         .distinct()
     )
-    existing_dim = existing.select(
-        F.row_number().over(Window.orderBy("event_type_name")).alias("event_type_sk"),
-        "event_type_name",
-    )
+    from ..operators.ids import ranked_ids
+
+    existing_dim = ranked_ids(
+        existing, ["event_type_name"], "event_type_sk"
+    ).select("event_type_sk", "event_type_name")
     incoming = filter_after(ev, "ts", _WM).select(
         norm_upper("event_type").alias("event_type_name")
     )

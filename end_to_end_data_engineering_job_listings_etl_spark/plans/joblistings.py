@@ -34,6 +34,7 @@ from ..functions.keywords import extract_keywords
 from ..functions.normalize import norm_initcap, norm_upper, parse_string_array
 from ..functions.relative_time import parse_relative_time
 from ..operators.dims import build_dim
+from ..operators.ids import exclusive_prefix_sum, ranked_ids
 
 SKILL_KEYWORDS = (
     "sql", "python", "spark", "aws", "excel", "tableau", "java", "airflow",
@@ -77,11 +78,15 @@ def build_star_schema(
             .groupBy(*ordering)
             .agg(F.count("*").alias("__cnt"))
         )
-        starts = tuples.select(
+        # Exclusive running start per distinct tuple via the
+        # range/two-phase plan (operators.ids) — same values as the
+        # old partitionless cumulative window (ASC NULLS FIRST pinned
+        # on both, and in the oracle SQL), no one-partition stage.
+        starts = exclusive_prefix_sum(
+            tuples, ordering, "__cnt", "__start"
+        ).select(
             *[F.col(c).alias(f"__k{i}") for i, c in enumerate(ordering)],
-            (
-                F.sum("__cnt").over(Window.orderBy(*ordering)) - F.col("__cnt")
-            ).alias("__start"),
+            "__start",
         )
         cond = None
         for i, c in enumerate(ordering):
@@ -180,14 +185,12 @@ def build_star_schema(
         F.to_date(j["job_posted_at_utc"]) == dim_date["full_date"],
         "left",
     )
-    # fact PK on a narrow projection of the (unique) natural key,
-    # broadcast-joined back: the wide joined frame stays parallel
-    # instead of funneling through the PK window's single partition.
-    pk_map = base.select("job_natural_key").select(
-        "job_natural_key",
-        F.row_number()
-        .over(Window.orderBy("job_natural_key"))
-        .alias("job_posting_pk"),
+    # fact PK on a narrow projection of the (unique) natural key via
+    # the range/two-phase rank (operators.ids — no single-partition
+    # window), broadcast-joined back: neither the wide joined frame
+    # nor the keys funnel through one task.
+    pk_map = ranked_ids(
+        base.select("job_natural_key"), ["job_natural_key"], "job_posting_pk"
     )
     j = j.join(F.broadcast(pk_map), "job_natural_key")
     fact = j.select(
@@ -254,7 +257,7 @@ def landing_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # back on the unique order key: build_star_schema then skips its
     # full-width single-partition window (same values — row_number over
     # the same (title, employer, utc) ordering).
-    nk_map = (
+    nk_map = ranked_ids(
         l.select(
             "o_orderkey",
             F.concat(F.lit("Engineer "), k.cast("string")).alias("__t"),
@@ -264,14 +267,10 @@ def landing_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(k % 7 != 0, F.date_format("o_orderdate", "yyyy-MM-dd")).alias(
                 "__u"
             ),
-        )
-        .select(
-            "o_orderkey",
-            F.row_number()
-            .over(Window.orderBy("__t", "__e", "__u"))
-            .alias("job_natural_key"),
-        )
-    )
+        ),
+        ["__t", "__e", "__u"],
+        "job_natural_key",
+    ).select("o_orderkey", "job_natural_key")
     l = l.join(F.broadcast(nk_map), "o_orderkey")
     return l.select(
         F.col("job_natural_key"),
@@ -421,7 +420,8 @@ jl AS (
 base AS (
   SELECT jl.*,
     CAST(row_number() OVER (
-      ORDER BY job_title, employer_name, job_posted_at_datetime_utc
+      ORDER BY job_title NULLS FIRST, employer_name NULLS FIRST,
+               job_posted_at_datetime_utc NULLS FIRST
     ) AS INT) AS job_natural_key,
     CAST(job_posted_at_datetime_utc AS TIMESTAMP) AS job_posted_at_utc
   FROM jl

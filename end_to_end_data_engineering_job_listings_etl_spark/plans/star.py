@@ -22,14 +22,15 @@ Scale notes: dims are broadcast at assembly (they are distincts of
 low-cardinality keys); the landing enrichment joins broadcast the
 customer/nation/region side (at true 100 TB the customer join flips to
 sort-merge automatically when it exceeds the broadcast threshold — the
-code does not pin it). The single-partition ``row_number`` SKs are the
-reference-exact mode; ``operators.dims.build_dim(mode="bucketed")`` is
-the scale path (SURVEY.md §7.3).
+code does not pin it). Surrogate keys default to the range/two-phase
+``row_number`` (``operators.ids`` — reference-exact values, no
+single-partition window); ``build_dim(mode="global")`` remains the
+literal one-partition reference plan, opt-in (SURVEY.md §7.3).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, load_table_dist
@@ -38,6 +39,7 @@ from ..functions.keywords import DEFAULT_KEYWORDS, extract_keywords
 from ..functions.normalize import norm_initcap, norm_upper
 from ..operators.dims import build_dim
 from ..operators.fact import join_dim
+from ..operators.ids import ranked_ids
 
 # ---------------------------------------------------------------------------
 # Spark builders
@@ -232,15 +234,13 @@ def star_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = j.join(F.broadcast(dd), j["__odate"] == dd["full_date"], "left")
     # order_pk = row_number over o_orderkey, but computed on a narrow
-    # single-column projection and broadcast-joined back (1:1 on the
-    # unique key): the wide join output never crosses the
-    # single-partition window exchange — only 150k longs do. Same
-    # values as a global window over the joined frame (the oracle's
+    # single-column projection with the range/two-phase plan
+    # (operators.ids.ranked_ids — no single-partition window anywhere)
+    # and broadcast-joined back 1:1 on the unique key: the wide join
+    # output never funnels, and neither do the keys. Same values as a
+    # global window over the joined frame (the oracle's
     # row_number() OVER (ORDER BY o_orderkey)).
-    keymap = base.select("o_orderkey").select(
-        "o_orderkey",
-        F.row_number().over(Window.orderBy("o_orderkey")).alias("order_pk"),
-    )
+    keymap = ranked_ids(base.select("o_orderkey"), ["o_orderkey"], "order_pk")
     j = j.join(F.broadcast(keymap), "o_orderkey")
     return j.select(
         F.col("order_pk"),

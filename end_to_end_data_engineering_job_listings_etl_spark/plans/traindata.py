@@ -323,11 +323,12 @@ def samp_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__b", F.substring("shuffle_key", 1, _SHUF_BUCKETS_HEX)
     )
     counts = keyed.groupBy("__b").count()
+    # 256 rows: run the cumulative window partitioned by a constant —
+    # bounded, and not the "No Partition Defined" plan shape.
+    w_cum = Window.partitionBy(F.lit(0)).orderBy("__b")
     offsets = counts.select(
         "__b",
-        (F.sum("count").over(Window.orderBy("__b")) - F.col("count")).alias(
-            "__off"
-        ),
+        (F.sum("count").over(w_cum) - F.col("count")).alias("__off"),
     )
     w_in = Window.partitionBy("__b").orderBy("shuffle_key", "doc_id")
     return (
