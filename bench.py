@@ -114,12 +114,19 @@ def main() -> None:
             continue
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # An errored query contributes 0 to the sum, which would silently
+    # *improve* the headline total — publish the timed denominator
+    # alongside so totals are only comparable at equal n_timed, and
+    # null the headline entirely when any query errored.
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_total_wall",
-                "value": total,
+                "value": total if not errors else None,
+                "total_timed": total,
+                "n_timed": len(timings),
+                "n_queries": len(HEADLINE),
                 "unit": "sec",
                 "queries": timings,
                 "errors": errors,

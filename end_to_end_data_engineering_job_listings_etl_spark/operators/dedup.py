@@ -106,13 +106,17 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_k: int = 3,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: docs sharing any band
     of the signature. Returns (id_a, id_b, n_bands_shared), id_a<id_b.
 
     Scale shape: the self-join happens per band-bucket (tiny groups),
-    never across the whole corpus."""
-    sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_k)
+    never across the whole corpus. Pass a precomputed (persisted)
+    ``sig`` frame when the caller also consumes the signatures — the
+    corpus-wide signature shuffle then runs once, not per consumer."""
+    if sig is None:
+        sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_k)
     rows_per_band = num_hashes // bands
     band_cols = [
         "md5(concat_ws('|', '{b}', {cols})) AS band_{b}".format(
@@ -201,17 +205,23 @@ def containment_pairs(
     fully contained in a long one scores ~1.0 here but low on Jaccard
     (the union is dominated by the long doc). The standard complement
     to Jaccard in corpus dedup; same ``max_df`` stop-token cap keeps
-    the index join from going quadratic at scale."""
+    the index join from going quadratic at scale.
+
+    ``max_df`` drops stop tokens from the INTERSECTION counting only;
+    denominators stay the true unfiltered set sizes |A|/|B| (so with a
+    cap the score can only undercount, never exceed, the real overlap
+    coefficient — a conservative candidate filter)."""
     from ..functions.text import tokens
 
     toks = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(tokens(F.lower(F.col(text_col))))).alias("tok"),
     )
+    # sizes BEFORE the stop-token cap: the docstring's |A|/|B|.
+    sizes = toks.groupBy(id_col).agg(F.count("*").alias("sz"))
     if max_df is not None:
         rare = toks.groupBy("tok").count().filter(F.col("count") <= max_df).select("tok")
         toks = toks.join(rare, "tok", "left_semi")
-    sizes = toks.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = toks.alias("a")
     b = toks.alias("b")
     inter = (

@@ -117,8 +117,15 @@ def dd_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import word_shingles
 
     docs = load_table_dist(spark, sf_dir, "documents", cols=("doc_id", "text"))
+    # ONE corpus-wide signature pass, persisted and shared by the LSH
+    # banding AND the per-pair agreement join below (previously each
+    # consumer recomputed the signatures — the slowest query in the
+    # round-2 bench by 1.7×).
+    sigs = D.minhash_signature(
+        docs, "text", "doc_id", _MINHASH_K, _SHINGLE_K
+    ).persist()
     cands = D.minhash_lsh_pairs(
-        docs, "text", "doc_id", _MINHASH_K, _LSH_BANDS, _SHINGLE_K
+        docs, "text", "doc_id", _MINHASH_K, _LSH_BANDS, _SHINGLE_K, sig=sigs
     )
     # Exact-Jaccard machinery runs ONLY over docs that appear in a
     # candidate pair: at scale |candidates| ≪ |corpus|, so the
@@ -142,7 +149,6 @@ def dd_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_inter"))
     )
-    sigs = D.minhash_signature(docs, "text", "doc_id", _MINHASH_K, _SHINGLE_K)
     sa = sigs.select(
         F.col("doc_id").alias("id_a"),
         *[F.col(f"mh_{i}").alias(f"ma_{i}") for i in range(_MINHASH_K)],

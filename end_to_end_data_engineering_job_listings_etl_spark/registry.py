@@ -75,61 +75,77 @@ def _pinned(fn: Callable[[SparkSession, str], DataFrame]):
 # not-yet-driver-checked surface into the window (every name here has a
 # DuckDB oracle — no rows-only checks waste a slot).
 #
-# Round 2 window: the two round-1 FAIL rows (now fixed), the whole
-# reference-shaped jl_* warehouse, the literal-SQL views, the
-# exactness-gated ANN pair, TPC-H shapes, relational edge semantics,
-# and the streaming/sink/multimodal core.
+# Round 3 window: the 13 round-2 hash_match-red rows (output types now
+# canonicalized — scaled-BIGINT money, no DECIMAL/HUGEINT cells — each
+# re-verified against the reverse-engineered driver hasher in
+# tests/oracle_check.py), plus the never-checked LLM-training-data
+# pipeline layer: traindata (sampling/packing/decontamination/
+# redaction/quantization/URL-dedup), mlx (TF-IDF, k-means, PageRank,
+# REST ingest, pandas-grouped ops, range join), curation, window
+# functions, corpus estimator calibration, round-2 streaming
+# (chained aggs, left-outer interval join, bounded-state dedup), the
+# scale-mode fact fallback, and ER blocking.
+# Still unbanked for round 4: extended (23), media_stream (6),
+# pricing (6), tpch3 (5), sqlviews (2).
 _WINDOW = [
-    "inc_watermark_agg",
-    "fn_map_column",
-    "jl_fact_checked",
-    "jl_bridge_checked",
-    "jl_dim_company_checked",
-    "jl_dim_publisher_checked",
-    "jl_dim_employment_type_checked",
-    "jl_dim_location_checked",
-    "jl_dim_date_checked",
-    "jl_dim_skill_checked",
-    "jl_dim_job_details_checked",
-    "sql_v1_star",
-    "sql_v2_star_dates",
-    "sql_v3_bridge_flat",
-    "sql_q8_monthly",
-    "sim_lsh_ann_checked",
-    "sim_ivf_topk_checked",
+    # round-2 red rows, fixed — re-check first
     "li_market_share",
     "li_promo_share_monthly",
     "li_lateness_by_class",
-    "cust_order_distribution",
     "li_returned_top_customers",
     "li_big_orders",
-    "li_disjunctive_part_join",
-    "cust_idle_above_avg",
     "li_top_supplier",
-    "set_except_all_priority",
-    "set_intersect_all_priority",
-    "rel_nullsafe_join",
-    "rel_not_in_plain",
-    "rel_not_in_null_poison",
-    "rel_anti_null_semantics",
-    "rel_division_all_priorities",
     "rel_correlated_scalar",
     "agg_multi_distinct",
-    "stream_window_counts",
-    "stream_user_totals",
-    "stream_dedup",
-    "stream_session_counts",
-    "stream_upsert_dim",
-    "sink_bucketed_join",
     "sink_compaction",
-    "mm_meta_checked",
-    "mm_features",
-    "mm_frame_sample_checked",
-    "stream_static_join",
-    "stream_interval_join",
     "sink_partitioned_roundtrip",
     "sink_csv_roundtrip",
     "sink_orc_roundtrip",
+    "stream_static_join",
+    # traindata: the training-data pipeline layer
+    "samp_hash_split",
+    "samp_reservoir_per_stratum",
+    "samp_mixture",
+    "text_pack_batches",
+    "dd_duplicate_clusters",
+    "text_decontaminate",
+    "text_redact",
+    "emb_int8_quantize",
+    "text_quality_classifier",
+    "samp_global_shuffle",
+    "text_url_dedup",
+    # mlx
+    "text_tfidf_top_terms",
+    "ml_kmeans_step",
+    "src_rest_ingest",
+    "src_rest_datasource",
+    "graph_pagerank_step",
+    "op_grouped_seq_pandas",
+    "op_cogroup_pandas",
+    "op_udtf_sentences",
+    "op_range_join",
+    # curation
+    "text_bigram_lm_score",
+    "sem_dedup_clusters",
+    # window functions
+    "w_topk_per_group",
+    "w_locf_forward_fill",
+    "fn_try_arithmetic",
+    "w_moving_sum_30d",
+    "w_ntile_buckets",
+    "agg_grouping_sets",
+    "fn_array_hof",
+    "fn_posexplode_tokens",
+    # corpus estimator calibration
+    "dd_containment_pairs",
+    "dd_minhash_estimate",
+    # streaming round 2
+    "stream_chained_window_agg",
+    "stream_leftouter_interval_join",
+    "stream_dedup_within_watermark",
+    # scale-mode fact fallback + ER blocking
+    "jl_fact_fallback_checked",
+    "er_name_blocking_pairs",
 ]
 
 

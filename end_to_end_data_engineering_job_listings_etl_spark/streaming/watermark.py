@@ -54,11 +54,31 @@ def stream_events(spark: SparkSession, source_dir: str) -> DataFrame:
     """File-source stream over an events landing directory. ``ts`` is
     micros-physical (no TZ) parquet → TIMESTAMP_NTZ, but event-time
     watermarks require TIMESTAMP (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE);
-    pin the session to UTC and cast — value-preserving, and the window
-    starts/ends come out as the same naive UTC instants the batch
-    oracle computes."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(source_dir)
+    the NTZ→TIMESTAMP cast is value-preserving only under a UTC
+    session. The session owns that setting (session.py pins it;
+    registry._pinned re-pins per query) — ASSERT rather than mutate
+    it here, so building a stream can never silently flip the
+    timezone under an unrelated caller."""
+    tz = spark.conf.get("spark.sql.session.timeZone", "")
+    if tz != "UTC":
+        raise ValueError(
+            "stream_events requires spark.sql.session.timeZone=UTC "
+            f"(got {tz!r}): the NTZ→TIMESTAMP event-time cast is only "
+            "value-preserving under UTC. Set it at session build "
+            "(session.get_spark) instead of relying on this function."
+        )
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        # Pin the per-trigger file budget high enough that an
+        # availableNow drain of any landing this engine stages is ONE
+        # micro-batch. plans/streaming2.py's left-outer interval-join
+        # oracle depends on that invariant (the watermark must not
+        # advance mid-drain and evict matches the oracle counts) — a
+        # multi-file landing without this option could silently split
+        # into watermark-advancing batches.
+        .option("maxFilesPerTrigger", 1_000_000)
+        .parquet(source_dir)
+    )
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
