@@ -73,12 +73,16 @@ def build_dim(
         bucketed = distinct.select(bucket, *key_names)
         w_in = Window.partitionBy("__bucket").orderBy(*key_names)
         counts = bucketed.groupBy("__bucket").count()
-        # ≤ n_buckets rows: run the cumulative window partitioned by a
-        # constant — bounded, and not the "No Partition Defined" shape.
-        w_cum = Window.partitionBy(F.lit(0)).orderBy("__bucket")
-        offsets = counts.select(
-            "__bucket",
-            (F.sum("count").over(w_cum) - F.col("count")).alias("__offset"),
+        # ≤ n_buckets rows: exclusive prefix counts via a broadcast
+        # triangular self-join — a cumulative window here would plan a
+        # single-partition exchange (constant partition keys fold away).
+        ca, cb = counts.alias("ca"), counts.alias("cb")
+        offsets = (
+            ca.join(
+                F.broadcast(cb), F.col("cb.__bucket") < F.col("ca.__bucket"), "left"
+            )
+            .groupBy(F.col("ca.__bucket").alias("__bucket"))
+            .agg(F.coalesce(F.sum("cb.count"), F.lit(0)).alias("__offset"))
         )
         return (
             bucketed.withColumn("__rn", F.row_number().over(w_in))

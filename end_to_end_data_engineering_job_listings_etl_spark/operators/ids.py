@@ -83,17 +83,17 @@ def _ranged_with_pid(
 def _with_offsets(ranged: DataFrame, weight: Column) -> DataFrame:
     """Per-partition exclusive prefix totals of ``weight``, broadcast
     back onto ``ranged`` as ``__offset``. The offsets frame is at most
-    #partitions rows, so its own cumulative window runs partitioned by
-    a constant — bounded, and never the "No Partition Defined" shape."""
+    #partitions rows; its prefix sum is a broadcast triangular
+    self-join (O(P²) on ≤ a few hundred rows) rather than a cumulative
+    window — a constant-partitioned window gets its foldable key
+    optimized away and regenerates the exact single-partition exchange
+    this module exists to remove."""
     totals = ranged.groupBy(_PID).agg(F.sum(weight).alias("__total"))
-    w_off = (
-        Window.partitionBy(F.lit(0))
-        .orderBy(_PID)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = totals.select(
-        _PID,
-        F.coalesce(F.sum("__total").over(w_off), F.lit(0)).alias("__offset"),
+    a, b = totals.alias("a"), totals.alias("b")
+    offsets = (
+        a.join(F.broadcast(b), F.col(f"b.{_PID}") < F.col(f"a.{_PID}"), "left")
+        .groupBy(F.col(f"a.{_PID}").alias(_PID))
+        .agg(F.coalesce(F.sum("b.__total"), F.lit(0)).alias("__offset"))
     )
     return ranged.join(F.broadcast(offsets), _PID)
 

@@ -43,7 +43,7 @@ SKILL_KEYWORDS = (
 
 
 def build_star_schema(
-    landing: DataFrame, now: Column | None = None, sk_mode: str = "global"
+    landing: DataFrame, now: Column | None = None, sk_mode: str = "range"
 ) -> dict[str, DataFrame]:
     """Landing job_listings → the 9 warehouse tables (reference
     ``dags/spark_etl_script.py:92-189``).

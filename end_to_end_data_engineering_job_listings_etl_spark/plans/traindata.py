@@ -323,12 +323,14 @@ def samp_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__b", F.substring("shuffle_key", 1, _SHUF_BUCKETS_HEX)
     )
     counts = keyed.groupBy("__b").count()
-    # 256 rows: run the cumulative window partitioned by a constant —
-    # bounded, and not the "No Partition Defined" plan shape.
-    w_cum = Window.partitionBy(F.lit(0)).orderBy("__b")
-    offsets = counts.select(
-        "__b",
-        (F.sum("count").over(w_cum) - F.col("count")).alias("__off"),
+    # 256 rows: exclusive prefix counts via a broadcast triangular
+    # self-join — a cumulative window here would plan a
+    # single-partition exchange (constant partition keys fold away).
+    ca, cb = counts.alias("ca"), counts.alias("cb")
+    offsets = (
+        ca.join(F.broadcast(cb), F.col("cb.__b") < F.col("ca.__b"), "left")
+        .groupBy(F.col("ca.__b").alias("__b"))
+        .agg(F.coalesce(F.sum("cb.count"), F.lit(0)).alias("__off"))
     )
     w_in = Window.partitionBy("__b").orderBy("shuffle_key", "doc_id")
     return (

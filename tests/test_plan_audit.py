@@ -2,10 +2,9 @@
 plan must be free of the two unconditional scale killers —
 CartesianProduct and row-at-a-time Python evaluation (BatchEvalPython;
 Arrow-batched pandas operators are fine). SinglePartition exchanges
-are allowed only because the engine's policy restricts them to scalar
-aggregates and narrow key projections (see operators/dims.py and the
-keymap pattern in plans/star.py); spot checks for those live in
-test_plans.py."""
+are allowed only for scalar aggregates (1-row results); the
+surrogate-key paths that used to need them now run the range/two-phase
+rank (operators/ids.py) and are asserted funnel-free below."""
 
 from __future__ import annotations
 
@@ -30,3 +29,23 @@ def test_no_cartesian_no_row_python(spark, name):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, f"{name}: cartesian product"
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python"
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "fact_orders",
+        "star_wide",
+        "jl_fact_checked",
+        "jl_fact_fallback_checked",
+    ],
+)
+def test_fact_paths_have_no_single_partition_stage(spark, name):
+    """The 100 TB hazard the range/two-phase SK path removes: a fact
+    or dimension build must never funnel through an
+    `Exchange SinglePartition` (the physical form of a partitionless
+    window). Scalar-aggregate queries legitimately have one; these
+    fact plans have none at all."""
+    df = registry.all_queries()[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, f"{name}: single-partition stage"
