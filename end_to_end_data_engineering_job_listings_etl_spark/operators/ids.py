@@ -72,8 +72,14 @@ def _ranged_with_pid(
     (pid, row) assignment with a lazy localCheckpoint — see module
     docstring for why an unpinned pid is a correctness bug."""
     sort_exprs = _as_sort_exprs(order_cols)
+    # Pin the (narrow) input too: repartitionByRange's boundary-sampling
+    # pass and the exchange itself would otherwise EACH recompute the
+    # caller's upstream (typically a distinct over a join chain) — with
+    # the input checkpointed, upstream runs once and both passes read
+    # the materialized keys.
+    pinned = df.localCheckpoint(eager=False)
     ranged = (
-        df.repartitionByRange(n_parts or _n_parts(df), *sort_exprs)
+        pinned.repartitionByRange(n_parts or _n_parts(df), *sort_exprs)
         .select(F.spark_partition_id().alias(_PID), "*")
         .localCheckpoint(eager=False)
     )

@@ -310,7 +310,14 @@ def agg_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side. The float corr()/covar_samp() aggregates are
     aggregation-order dependent (can't hash-gate); the moments are
     not, and at 100 TB this is how you compute them anyway: one pass,
-    partials merge associatively."""
+    partials merge associatively.
+
+    Domain bound: sum(x*x) with e2-scaled prices reaches ~4e18 at
+    sf0.01 — within BIGINT but not with much headroom. Past ~sf0.1,
+    drop the price scale (e0) or accumulate x² in DECIMAL(38,0)
+    internally and emit per-partition partials; the single-pass
+    mergeable SHAPE is the scale story, the e2 output scale is the
+    sf-bounded exactness gate."""
     orders = load_table(spark, sf_dir, "orders")
     x = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
     y = F.col("o_custkey").cast("bigint")
