@@ -10,8 +10,11 @@ discipline:
 - k-means distances are double arithmetic over arrays in fixed element
   order (identical IEEE operation sequence in Spark's ``aggregate`` and
   DuckDB's list fold → bit-equal), and centroid accumulation is exact
-  decimal sums; the query returns (sum, count) per dimension rather
-  than a divided mean so no engine-specific decimal division rounds.
+  integer sums of floor(val·1e9) — one IEEE multiply plus floor, both
+  bit-identical across engines (a double→DECIMAL(…,9) cast is NOT: the
+  9th-digit rounding is engine-specific); the query returns
+  (sum, count) per dimension rather than a divided mean so no
+  engine-specific division rounds.
 - REST ingest runs the reference's retry/backoff + projection pipeline
   against a deterministic offline transport (a 429 on one page
   exercises the S2 retry path); the oracle pins the expected
@@ -103,11 +106,14 @@ def ml_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assigned = emb.select(cluster.alias("cluster"), v.alias("vd"))
     ex = assigned.select("cluster", F.posexplode("vd").alias("dim", "val"))
+    # floor(val*1e9), not a decimal(…,9) cast: double→decimal rounding
+    # is engine-specific at the 9th digit (diverged by 1 at sf0.1),
+    # while the single IEEE multiply and floor are bit-identical.
     return ex.groupBy("cluster", "dim").agg(
         F.count("*").alias("n_members"),
-        F.sum(
-            (F.col("val").cast("decimal(18,9)") * 1000000000).cast("bigint")
-        ).alias("sum_val_e9"),
+        F.sum(F.floor(F.col("val") * 1000000000).cast("bigint")).alias(
+            "sum_val_e9"
+        ),
     )
 
 
@@ -383,7 +389,7 @@ ex AS (
   FROM assigned
 )
 SELECT cluster, dim, COUNT(*) AS n_members,
-       CAST(SUM(CAST(CAST(val AS DECIMAL(18,9)) * 1000000000 AS BIGINT)) AS BIGINT)
+       CAST(SUM(CAST(floor(val * 1000000000) AS BIGINT)) AS BIGINT)
          AS sum_val_e9
 FROM ex GROUP BY cluster, dim"""
 
