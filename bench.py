@@ -74,6 +74,17 @@ HEADLINE = [
     "sink_zorder_roundtrip",
     "jl_fact_fallback_checked",
     "sql_recursive_month_spine",
+    # round-3 representatives: the newly window-verified LLM-pipeline
+    # layer enters the recorded baseline the same round it is banked
+    # (totals are comparable only at equal n_timed — recorded since r3)
+    "sem_dedup_clusters",
+    "text_quality_classifier",
+    "samp_mixture",
+    "stream_chained_window_agg",
+    "w_ntile_buckets",
+    "op_range_join",
+    "ml_kmeans_step",
+    "dd_containment_pairs",
 ]
 
 

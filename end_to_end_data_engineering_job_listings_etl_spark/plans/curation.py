@@ -211,24 +211,37 @@ def sem_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = [(i, by_id[vid]) for i, vid in enumerate(_SEM_CENTROID_IDS)]
 
     assigned = ivf_assign(emb, "embedding", "vec_id", centroids)
+    # Per-vector norm ONCE (N rows), dot-only per pair: the
+    # higher-order cosine fold is interpreted (not codegen), so
+    # re-folding BOTH norms inside the quadratic-within-cell pair
+    # stage tripled its dominant cost. Bit-identical to the oracle's
+    # per-pair formula — sqrt(Σv²) is the same expression tree whether
+    # cached on the row or re-folded per pair.
+    from ..functions.vectors import dot, norm as vnorm
+
     va = emb.join(assigned, "vec_id").select(
         "centroid_id",
         F.col("vec_id"),
         F.col("embedding").cast("array<double>").alias("v"),
     )
+    va = va.select("*", vnorm(F.col("v")).alias("nrm"))
     a = va.select(
         F.col("centroid_id"),
         F.col("vec_id").alias("id_a"),
         F.col("v").alias("va"),
+        F.col("nrm").alias("nrm_a"),
     )
     b = va.select(
         F.col("centroid_id").alias("cid_b"),
         F.col("vec_id").alias("id_b"),
         F.col("v").alias("vb"),
+        F.col("nrm").alias("nrm_b"),
     )
+    denom = F.col("nrm_a") * F.col("nrm_b")
+    cos = F.when(denom != 0, dot(F.col("va"), F.col("vb")) / denom)
     dropped = (
         a.join(b, (a.centroid_id == b.cid_b) & (a.id_a < b.id_b))
-        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= _SEM_THRESHOLD)
+        .filter(F.round(cos, 6) >= _SEM_THRESHOLD)
         .select("centroid_id", "id_b")
         .distinct()
         .groupBy("centroid_id")

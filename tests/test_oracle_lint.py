@@ -90,3 +90,45 @@ def test_ranked_ids_matches_global_row_number(spark, mode):
     # distinct non-null keys, ranked 1..n in sort order
     keys = sorted({r[0] for r in rows})
     assert rows == [(k, i + 1) for i, k in enumerate(keys)]
+
+
+def test_ranked_ids_edge_cases(spark):
+    """Dense 1..n ids under: empty input, duplicate keys (ties get
+    arbitrary order but ids stay dense+unique and key-blocks stay
+    ordered), NULL keys first — and the weighted exclusive prefix."""
+    import pyspark.sql.functions as F
+
+    from end_to_end_data_engineering_job_listings_etl_spark.operators.ids import (
+        exclusive_prefix_sum,
+        ranked_ids,
+    )
+
+    empty = spark.range(0).select(F.col("id").cast("string").alias("k"))
+    assert ranked_ids(empty, ["k"], "rk").count() == 0
+
+    dup = spark.range(100).select((F.col("id") % 7).cast("string").alias("k"))
+    rows = ranked_ids(dup, ["k"], "rk").collect()
+    assert sorted(r["rk"] for r in rows) == list(range(1, 101))
+    by_key: dict[str, list[int]] = {}
+    for r in rows:
+        by_key.setdefault(r["k"], []).append(r["rk"])
+    hi = 0
+    for k in sorted(by_key):
+        assert min(by_key[k]) == hi + 1  # contiguous blocks in key order
+        hi = max(by_key[k])
+
+    nulls = spark.range(10).select(
+        F.when(F.col("id") % 2 == 0, F.col("id").cast("string")).alias("k")
+    )
+    rows = ranked_ids(nulls, ["k"], "rk").collect()
+    null_ids = [r["rk"] for r in rows if r["k"] is None]
+    assert null_ids and max(null_ids) < min(
+        r["rk"] for r in rows if r["k"] is not None
+    )
+
+    t = spark.createDataFrame([("a", 2), ("b", 3), ("c", 5)], "k string, w int")
+    got = {
+        r["k"]: r["off"]
+        for r in exclusive_prefix_sum(t, ["k"], "w", "off").collect()
+    }
+    assert got == {"a": 0, "b": 2, "c": 5}
