@@ -230,7 +230,9 @@ def build_star_schema(
     }
 
 
-def landing_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def landing_from_orders(
+    spark: SparkSession, sf_dir: str, with_natural_key: bool = True
+) -> DataFrame:
     """A reference-shaped ``job_listings`` landing derived from the
     driver's parquet tables with pure column expressions — every column
     is reproducible in ANSI SQL, which makes the ENTIRE reference
@@ -255,25 +257,30 @@ def landing_from_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     kw2 = F.element_at(kws, ((k * 5 + 2) % 12 + 1).cast("int"))
     # Natural key on a narrow 4-column projection, broadcast-joined
     # back on the unique order key: build_star_schema then skips its
-    # full-width single-partition window (same values — row_number over
-    # the same (title, employer, utc) ordering).
-    nk_map = ranked_ids(
-        l.select(
-            "o_orderkey",
-            F.concat(F.lit("Engineer "), k.cast("string")).alias("__t"),
-            F.when(k % 3 == 0, F.upper("c_name"))
-            .otherwise(F.lower("c_name"))
-            .alias("__e"),
-            F.when(k % 7 != 0, F.date_format("o_orderdate", "yyyy-MM-dd")).alias(
-                "__u"
+    # full-width derivation (same values — row_number over the same
+    # (title, employer, utc) ordering). Callers exercising the
+    # no-key fallback pass with_natural_key=False so the key machinery
+    # isn't built only to be dropped.
+    key_cols = []
+    if with_natural_key:
+        nk_map = ranked_ids(
+            l.select(
+                "o_orderkey",
+                F.concat(F.lit("Engineer "), k.cast("string")).alias("__t"),
+                F.when(k % 3 == 0, F.upper("c_name"))
+                .otherwise(F.lower("c_name"))
+                .alias("__e"),
+                F.when(k % 7 != 0, F.date_format("o_orderdate", "yyyy-MM-dd")).alias(
+                    "__u"
+                ),
             ),
-        ),
-        ["__t", "__e", "__u"],
-        "job_natural_key",
-    ).select("o_orderkey", "job_natural_key")
-    l = l.join(F.broadcast(nk_map), "o_orderkey")
+            ["__t", "__e", "__u"],
+            "job_natural_key",
+        ).select("o_orderkey", "job_natural_key")
+        l = l.join(F.broadcast(nk_map), "o_orderkey")
+        key_cols = [F.col("job_natural_key")]
     return l.select(
-        F.col("job_natural_key"),
+        *key_cols,
         F.concat(F.lit("Engineer "), k.cast("string")).alias("job_title"),
         F.when(k % 3 == 0, F.upper("c_name"))
         .otherwise(F.lower("c_name"))
@@ -337,7 +344,7 @@ def jl_fact_fallback_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DuckDB hash gate. The landing's titles are unique, so the
     distinct-tuple rank is a total order and the result is
     deterministic."""
-    landing = landing_from_orders(spark, sf_dir).drop("job_natural_key")
+    landing = landing_from_orders(spark, sf_dir, with_natural_key=False)
     return build_star_schema(landing)["FACT_JOB_POSTINGS"]
 
 
