@@ -1,0 +1,429 @@
+"""Fact-scale decision-support shapes, round 3: the remaining TPC-H
+query patterns — local-supplier volume (Q5), min-cost supplier
+selection (Q2), nation stock share vs a global threshold (Q11),
+supplier-variety counts with an exclusion subquery (Q16), dominant
+suppliers over grouped fractions (Q20) and sole-late-supplier blame
+attribution (Q21).
+
+The synthetic schema has no ``partsupp`` table and no
+``l_commitdate``/``l_receiptdate``, so the partsupp-shaped queries are
+adapted over the DISTINCT ``(l_partkey, l_suppkey)`` relation implied
+by lineitem, and "late" is ``l_shipdate > o_orderdate + 365 days`` —
+the shapes (argmin-per-group, exclusion anti-joins, grouped-fraction
+semis, exists/not-exists attribution) are the point, not the
+constants. Reference analog: its BI layer (superset.db rows 8-14)
+stops at single-table group-bys; these are the decision-support
+shapes a 100 TB warehouse actually runs.
+
+Exactness discipline (same as plans/tpch_more.py): money flows
+through decimal casts before arithmetic and lands as scaled-BIGINT
+``*_e2``/``*_e4``; ratios are ``floor(num * 1e6 / den)`` over exact
+integers < 2^53 so the IEEE division and its floor are bit-identical
+cross-engine; quantities are integral doubles cast to BIGINT.
+
+Scale shapes:
+- Q5: the two fact tables join on their natural key (one shuffle
+  each); customer/supplier/nation ride along as broadcasts.
+- Q2/Q16/Q20: the part-supplier relation is ONE distinct over a
+  2-column projection of lineitem (map-side partial dedup), then all
+  further joins broadcast the filtered dims.
+- Q21: blame attribution is two aggregations over the same
+  ``l_orderkey`` grouping — expressed as aggs, not exists/not-exists
+  self-joins, so lineitem is scanned once and shuffled once instead
+  of three self-join passes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .tpch_more import _REV_E4_SQL, _rev_e4
+
+_BAL_CENTS = "CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)"
+
+
+def _bal_cents() -> F.Column:
+    """s_acctbal (a 2-dp double) in exact integer cents — the
+    proven-green cross-engine money pattern (tpch_more.py:289)."""
+    return (F.col("s_acctbal").cast("decimal(12,2)") * 100).cast("bigint")
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: 1997 revenue per customer nation counting only
+    lineitems whose supplier sits in the customer's own nation.
+
+    Plan: orders(1997) ⋈ customer projection, then lineitem joins that
+    on orderkey — the only two shuffles; supplier and nation broadcast
+    and the local-supplier predicate is applied post-join (it compares
+    columns of two dims, so it cannot push below the joins)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o_c = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", _rev_e4().alias("rev_e4"))
+        .join(o_c, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+    )
+    return (
+        li.groupBy("c_nationkey")
+        .agg(F.sum("rev_e4").alias("revenue_e4"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "revenue_e4")
+        .orderBy(F.col("revenue_e4").desc(), "n_name")
+    )
+
+
+def q2_min_balance_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (adapted): for each LARGE part of size ≤ 10, the
+    EUROPE supplier with the LOWEST account balance among suppliers
+    that have shipped it (no partsupp → the relation is the distinct
+    (partkey, suppkey) projection of lineitem; min supplycost →
+    min acctbal, ties broken by suppkey).
+
+    Argmin is one grouped ``min(struct(bal, suppkey, name))`` — no
+    join-back against a min subquery, no window over the fact."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "LARGE") & (F.col("p_size") <= 10))
+        .select("p_partkey", "p_name")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    supp_eu = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region), nation.n_regionkey == region.r_regionkey
+                ).select("n_nationkey")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", _bal_cents().alias("bal_cents"))
+    )
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    cand = pairs.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    ).join(F.broadcast(supp_eu), F.col("l_suppkey") == F.col("s_suppkey"))
+    best = cand.groupBy("p_partkey", "p_name").agg(
+        F.min(F.struct("bal_cents", "s_suppkey", "s_name")).alias("m")
+    )
+    return best.select(
+        "p_partkey",
+        "p_name",
+        F.col("m.s_suppkey").alias("s_suppkey"),
+        F.col("m.s_name").alias("s_name"),
+        F.col("m.bal_cents").alias("bal_cents"),
+    ).orderBy(F.col("bal_cents").desc(), "p_partkey")
+
+
+def q11_nation_stock_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (adapted): shipped inventory value per supplier
+    nation, keeping nations whose share of the global total exceeds
+    4% (the scalar-subquery HAVING shape; availqty*supplycost →
+    quantity*extendedprice over lineitem).
+
+    The global total is a single-row broadcast cross join — the
+    grouped pass is the only fact shuffle."""
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    value_e2 = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * F.col("l_quantity").cast("decimal(4,0)")
+        * 100
+    ).cast("bigint")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_suppkey", value_e2.alias("value_e2"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    per_nation = li.groupBy("s_nationkey").agg(F.sum("value_e2").alias("value_e2"))
+    total = per_nation.agg(F.sum("value_e2").alias("total_e2"))
+    return (
+        per_nation.crossJoin(F.broadcast(total))
+        .withColumn(
+            "share_e6",
+            F.floor(
+                F.col("value_e2").cast("double")
+                * F.lit(1000000.0)
+                / F.col("total_e2").cast("double")
+            ).cast("bigint"),
+        )
+        .filter(F.col("share_e6") > 40000)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "value_e2", "share_e6")
+        .orderBy(F.col("value_e2").desc(), "n_name")
+    )
+
+
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (adapted): distinct-supplier counts per
+    (p_brand, p_size) for non-PROMO parts of the seven Q16 sizes,
+    excluding negative-balance suppliers (the "Customer Complaints"
+    NOT IN analog, expressed as an anti-join).
+
+    The exclusion list is a tiny broadcast anti-join on the distinct
+    pair relation, so the count-distinct is the only wide agg."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    complaints = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(
+            F.broadcast(complaints),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+    )
+    return (
+        pairs.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
+    )
+
+
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (adapted): suppliers who shipped MORE THAN HALF of a
+    small-part's total 1997 volume (availqty > ½ sum(qty) → per-
+    supplier share of the part's shipped quantity), counted per
+    supplier.
+
+    Both aggregations group by l_partkey, so the per-part totals join
+    is partition-local after one shuffle; the >½ predicate is exact
+    integer arithmetic (2*supp ﹥ total), no division."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("small"))
+        .select("p_partkey")
+    )
+    li97 = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_suppkey", F.col("l_quantity").cast("bigint").alias("qty"))
+    )
+    per_supp = li97.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("qty").alias("supp_qty")
+    )
+    per_part = per_supp.groupBy("l_partkey").agg(F.sum("supp_qty").alias("total_qty"))
+    dominant = per_supp.join(per_part, "l_partkey").filter(
+        F.col("supp_qty") * 2 > F.col("total_qty")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        dominant.groupBy("l_suppkey")
+        .agg(F.count("*").alias("n_parts_dominated"), F.sum("supp_qty").alias("qty_dominated"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "n_parts_dominated", "qty_dominated")
+        .orderBy(F.col("n_parts_dominated").desc(), "s_suppkey")
+    )
+
+
+def q21_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (adapted): suppliers who were the ONLY late supplier
+    on a multi-supplier order ("late" = shipped > 365 days after the
+    order date; no receipt/commit dates in this schema), ranked by
+    how many orders they alone delayed. Top 20.
+
+    The original's exists + not-exists lineitem self-joins are
+    re-expressed as two aggregations over the same (orderkey) grouping
+    — lineitem is scanned once, joined to orders once, and the blame
+    predicate (n_suppliers ≥ 2 AND n_late_suppliers = 1 AND this
+    supplier late) is evaluated on the per-(order, supplier) rollup."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 365 DAYS")
+            ).cast("int").alias("is_late"),
+        )
+    )
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("is_late").alias("supp_late")
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"), F.sum("supp_late").alias("n_late")
+    )
+    blamed = (
+        per_os.filter(F.col("supp_late") == 1)
+        .join(per_o, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        blamed.groupBy("l_suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+QUERIES = {
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q2_min_balance_supplier": q2_min_balance_supplier,
+    "q11_nation_stock_share": q11_nation_stock_share,
+    "q16_supplier_variety": q16_supplier_variety,
+    "q20_dominant_suppliers": q20_dominant_suppliers,
+    "q21_sole_late_suppliers": q21_sole_late_suppliers,
+}
+
+ORACLES = {
+    "q5_local_supplier_volume": f"""
+        SELECT n_name, CAST(sum({_REV_E4_SQL}) AS BIGINT) AS revenue_e4
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+        ORDER BY revenue_e4 DESC, n_name
+    """,
+    "q2_min_balance_supplier": f"""
+        WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        eu AS (
+            SELECT s_suppkey, s_name, {_BAL_CENTS} AS bal_cents
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        ),
+        cand AS (
+            SELECT p_partkey, p_name, s_suppkey, s_name, bal_cents
+            FROM pairs
+            JOIN part ON l_partkey = p_partkey
+            JOIN eu ON l_suppkey = s_suppkey
+            WHERE p_type = 'LARGE' AND p_size <= 10
+        )
+        SELECT p_partkey, p_name, s_suppkey, s_name, bal_cents
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY p_partkey ORDER BY bal_cents, s_suppkey
+            ) AS rn FROM cand
+        ) WHERE rn = 1
+        ORDER BY bal_cents DESC, p_partkey
+    """,
+    "q11_nation_stock_share": """
+        WITH per_nation AS (
+            SELECT s_nationkey,
+                   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                       * CAST(l_quantity AS DECIMAL(4,0)) * 100 AS BIGINT))
+                       AS BIGINT) AS value_e2
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_nationkey
+        ),
+        tot AS (SELECT CAST(sum(value_e2) AS BIGINT) AS total_e2 FROM per_nation)
+        SELECT n_name, value_e2,
+               CAST(floor(CAST(value_e2 AS DOUBLE) * 1000000.0
+                          / CAST(total_e2 AS DOUBLE)) AS BIGINT) AS share_e6
+        FROM per_nation, tot
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE CAST(floor(CAST(value_e2 AS DOUBLE) * 1000000.0
+                         / CAST(total_e2 AS DOUBLE)) AS BIGINT) > 40000
+        ORDER BY value_e2 DESC, n_name
+    """,
+    "q16_supplier_variety": """
+        WITH pairs AS (
+            SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+            WHERE l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+            )
+        )
+        SELECT p_brand, p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM pairs JOIN part ON l_partkey = p_partkey
+        WHERE p_type <> 'PROMO' AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        GROUP BY p_brand, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
+    "q20_dominant_suppliers": """
+        WITH li97 AS (
+            SELECT l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS qty
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+              AND p_name LIKE 'small%'
+        ),
+        per_supp AS (
+            SELECT l_partkey, l_suppkey, CAST(sum(qty) AS BIGINT) AS supp_qty
+            FROM li97 GROUP BY l_partkey, l_suppkey
+        ),
+        per_part AS (
+            SELECT l_partkey, CAST(sum(supp_qty) AS BIGINT) AS total_qty
+            FROM per_supp GROUP BY l_partkey
+        )
+        SELECT s_suppkey, s_name,
+               CAST(count(*) AS BIGINT) AS n_parts_dominated,
+               CAST(sum(supp_qty) AS BIGINT) AS qty_dominated
+        FROM per_supp
+        JOIN per_part USING (l_partkey)
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE supp_qty * 2 > total_qty
+        GROUP BY s_suppkey, s_name
+        ORDER BY n_parts_dominated DESC, s_suppkey
+    """,
+    "q21_sole_late_suppliers": """
+        WITH per_os AS (
+            SELECT l_orderkey, l_suppkey,
+                   max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 365 DAY
+                            THEN 1 ELSE 0 END) AS supp_late
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY l_orderkey, l_suppkey
+        ),
+        per_o AS (
+            SELECT l_orderkey, count(*) AS n_supp,
+                   CAST(sum(supp_late) AS BIGINT) AS n_late
+            FROM per_os GROUP BY l_orderkey
+        )
+        SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM per_os
+        JOIN per_o USING (l_orderkey)
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE supp_late = 1 AND n_supp >= 2 AND n_late = 1
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+    """,
+}

@@ -30,6 +30,7 @@ from .plans import (
     star,
     streaming2,
     tpch3,
+    tpch4,
     tpch_more,
     traindata,
     windowfns,
@@ -53,6 +54,7 @@ _MODULES = [
     traindata,
     windowfns,
     tpch3,
+    tpch4,
 ]
 
 
