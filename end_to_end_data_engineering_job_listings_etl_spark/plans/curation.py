@@ -117,20 +117,29 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram occurrences.
 
     Scale shape: the model IS a DataFrame (bigram counts + prefix
-    counts — two hash aggs over one explode), joined back to the
-    corpus on the bigram key (hash shuffle, no broadcast assumption:
-    a real corpus model has billions of rows); per-doc rollup is one
-    more hash agg. Everything is count-based and embarrassingly
-    parallel."""
+    counts), joined back to the corpus on the bigram key (hash
+    shuffle, no broadcast assumption: a real corpus model has
+    billions of rows); per-doc rollup is one more hash agg. The
+    prefix counts are DERIVED from the bigram counts
+    (``C(w1·) = Σ_w2 C(w1,w2)``) — a second agg over the already-
+    reduced model frame instead of a second corpus-wide explode +
+    shuffle; the token array is staged once per doc so the bigram
+    lambda doesn't re-split the text per element access."""
     docs = load_table_dist(spark, sf_dir, "documents", cols=("doc_id", "text"))
-    bigrams = docs.filter(F.size(F.split("text", " ")) >= 2).select(
-        "doc_id", F.explode(F.expr(_BG_EXPR)).alias("bg")
+    toked = docs.select("doc_id", F.split("text", " ").alias("__t"))
+    bigrams = toked.filter(F.size("__t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__t) - 1),"
+                " i -> concat(element_at(__t, i), ' ', element_at(__t, i + 1)))"
+            )
+        ).alias("bg"),
     )
     c2 = bigrams.groupBy("bg").agg(F.count("*").alias("c2"))
     c1 = (
-        bigrams.select(F.substring_index("bg", " ", 1).alias("w1"))
-        .groupBy("w1")
-        .agg(F.count("*").alias("c1"))
+        c2.groupBy(F.substring_index("bg", " ", 1).alias("w1"))
+        .agg(F.sum("c2").alias("c1"))
     )
     model = c2.join(
         c1, F.substring_index(c2.bg, " ", 1) == c1.w1
@@ -217,7 +226,9 @@ def sem_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage tripled its dominant cost. Bit-identical to the oracle's
     # per-pair formula — sqrt(Σv²) is the same expression tree whether
     # cached on the row or re-folded per pair.
-    from ..functions.vectors import dot, norm as vnorm
+    from ..functions.vectors import dot_unrolled, norm as vnorm
+
+    dim = len(centroids[0][1])
 
     va = emb.join(assigned, "vec_id").select(
         "centroid_id",
@@ -238,7 +249,7 @@ def sem_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("nrm_b"),
     )
     denom = F.col("nrm_a") * F.col("nrm_b")
-    cos = F.when(denom != 0, dot(F.col("va"), F.col("vb")) / denom)
+    cos = F.when(denom != 0, dot_unrolled(F.col("va"), F.col("vb"), dim) / denom)
     dropped = (
         a.join(b, (a.centroid_id == b.cid_b) & (a.id_a < b.id_b))
         .filter(F.round(cos, 6) >= _SEM_THRESHOLD)
