@@ -52,9 +52,12 @@ def build_dim(
     key_names = list(projected.columns)
     distinct = projected.filter(F.col(key_names[0]).isNotNull()).distinct()
     if mode == "range":
-        return ranked_ids(distinct, key_names, sk_name).select(
-            sk_name, *key_names
-        )
+        # pin_input=False: the distinct is a shuffle whose map output
+        # Spark reuses across the sampling and exchange jobs (skipped
+        # stages), so checkpointing it first only adds a job.
+        return ranked_ids(
+            distinct, key_names, sk_name, pin_input=False
+        ).select(sk_name, *key_names)
     if mode == "global":
         w = Window.orderBy(*key_names)
         return distinct.select(

@@ -67,6 +67,7 @@ def _ranged_with_pid(
     df: DataFrame,
     order_cols: Sequence[Column | str],
     n_parts: int | None,
+    pin_input: bool = True,
 ) -> tuple[DataFrame, list[Column]]:
     """Range-repartition on the ordering key and PIN the resulting
     (pid, row) assignment with a lazy localCheckpoint — see module
@@ -76,8 +77,11 @@ def _ranged_with_pid(
     # pass and the exchange itself would otherwise EACH recompute the
     # caller's upstream (typically a distinct over a join chain) — with
     # the input checkpointed, upstream runs once and both passes read
-    # the materialized keys.
-    pinned = df.localCheckpoint(eager=False)
+    # the materialized keys. Perf-only (the CORRECTNESS pin is the one
+    # on the ranged+pid frame below): callers whose upstream is already
+    # a persisted frame (dim distincts over the cached landing) pass
+    # pin_input=False and skip this materialization's job entirely.
+    pinned = df.localCheckpoint(eager=False) if pin_input else df
     ranged = (
         pinned.repartitionByRange(n_parts or _n_parts(df), *sort_exprs)
         .select(F.spark_partition_id().alias(_PID), "*")
@@ -110,11 +114,14 @@ def ranked_ids(
     id_name: str,
     start: int = 0,
     n_parts: int | None = None,
+    pin_input: bool = True,
 ) -> DataFrame:
     """``start + row_number() OVER (ORDER BY order_cols)`` as an INT
     column, computed with the range/two-phase plan above. Output
-    columns: ``df``'s columns plus ``id_name``."""
-    ranged, sort_exprs = _ranged_with_pid(df, order_cols, n_parts)
+    columns: ``df``'s columns plus ``id_name``. ``pin_input=False``
+    skips the input checkpoint when the caller's upstream is already
+    persisted (cheap to scan twice)."""
+    ranged, sort_exprs = _ranged_with_pid(df, order_cols, n_parts, pin_input)
     w_in = Window.partitionBy(_PID).orderBy(*sort_exprs)
     numbered = ranged.select("*", F.row_number().over(w_in).alias("__rn"))
     out = _with_offsets(numbered, F.lit(1))

@@ -310,15 +310,36 @@ def op_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join + residual filter (operators/rangejoin.py) — never a
     cartesian/nested-loop (the plan-audit gate enforces it). Probe set
     is every 97th order to bound the pair count; the oracle states the
-    same join as a bare BETWEEN."""
+    same join as a bare BETWEEN.
+
+    Eager-aggregation pushdown: the residual predicate reads ONLY
+    ``l_shipdate`` and both final aggregates are decomposable, so
+    lineitem partial-aggregates on the exact join-relevant column
+    BEFORE the join — the range join then sees one row per distinct
+    ship timestamp (~2.5k) instead of every lineitem (~600k at
+    sf0.1), and the per-order rollup sums the partials. Keying the
+    partial agg on the raw timestamp (not a truncation) keeps it
+    semantics-preserving at any granularity: worst case (all
+    timestamps unique) it degrades to the unaggregated join."""
     from ..operators.rangejoin import range_join_binned
 
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderkey") % 97 == 0
     )
-    li = load_table(spark, sf_dir, "lineitem")
+    li_by_ts = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_shipdate")
+        .agg(
+            F.count("*").alias("__cnt"),
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast(
+                    "bigint"
+                )
+            ).alias("__s_e2"),
+        )
+    )
     joined = range_join_binned(
-        li,
+        li_by_ts,
         orders.select("o_orderkey", "o_orderdate"),
         "l_shipdate",
         F.col("o_orderdate"),
@@ -326,10 +347,8 @@ def op_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         bin_width="month",
     )
     return joined.groupBy("o_orderkey").agg(
-        F.count("*").alias("n_shipped"),
-        F.sum(
-            (F.col("l_extendedprice").cast("decimal(12,2)") * 100).cast("bigint")
-        ).alias("sum_price_e2"),
+        F.sum("__cnt").alias("n_shipped"),
+        F.sum("__s_e2").alias("sum_price_e2"),
     )
 
 
