@@ -42,6 +42,7 @@ from .corpus import (
     _PUNCT_CLASS,
     _SHINGLES,
     _TOKS,
+    _TOKS_LOWER,
     _cos,
     _query_vec,
 )
@@ -569,8 +570,74 @@ ORACLES["samp_reservoir_per_stratum"] = f"""
     ) WHERE rk <= {_RESERVOIR_K}
 """
 
+_SPAN_K = 8  # tokens per exact-duplicate span
+
+
+def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span detection: for every document, how many
+    of its ``_SPAN_K``-token spans occur MORE THAN ONCE in the whole
+    corpus (the corpus-level exact-substring-dedup measurement of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better" — their suffix-array pass re-expressed as
+    positional k-token shingle counting, the form that distributes).
+
+    Per doc: ``n_spans`` (all positional spans, NOT distinct-ed —
+    a span repeated inside one document is still duplicated text),
+    ``n_dup_spans`` (positions whose span hash occurs ≥ 2 times
+    corpus-wide), and ``dup_frac_e6``. Docs shorter than the span
+    width report 0/0/0.
+
+    Scale shape: spans hash to md5 (one per position), the global
+    occurrence count is a window over the span hash (ONE shuffle —
+    no count-then-join-back second pass), the per-doc rollup is one
+    more hash agg. No UDFs, no driver state; the span relation is
+    |tokens| rows per doc, the same order as the corpus itself."""
+    docs = load_table_dist(spark, sf_dir, "documents", cols=("doc_id", "text"))
+    toked = docs.select(
+        "doc_id", T.tokens(F.lower(F.col("text"))).alias("__t")
+    )
+    spans = toked.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("__t") >= _SPAN_K,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__t") - _SPAN_K + 1),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice("__t", i, _SPAN_K))
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("h"),
+    )
+    w_h = Window.partitionBy("h")
+    counted = spans.select(
+        "doc_id", (F.count("*").over(w_h) >= 2).cast("bigint").alias("is_dup")
+    )
+    per_doc = counted.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"), F.sum("is_dup").alias("n_dup_spans")
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.floor(
+                F.coalesce("n_dup_spans", F.lit(0)).cast("double")
+                * F.lit(1000000.0)
+                / F.greatest(F.coalesce("n_spans", F.lit(0)), F.lit(1)).cast(
+                    "double"
+                )
+            ).cast("bigint").alias("dup_frac_e6"),
+        )
+    )
+
+
 QUERIES = {
     "samp_hash_split": samp_hash_split,
+    "text_dup_spans": text_dup_spans,
     "samp_reservoir_per_stratum": samp_reservoir_per_stratum,
     "samp_mixture": samp_mixture,
     "text_pack_batches": text_pack_batches,
@@ -583,6 +650,31 @@ QUERIES = {
     "samp_global_shuffle": samp_global_shuffle,
     "text_url_dedup": text_url_dedup,
 }
+
+ORACLES["text_dup_spans"] = f"""
+    WITH toked AS (
+      SELECT doc_id, {_TOKS_LOWER.format(e='text')} AS t FROM documents
+    ), spans AS (
+      SELECT doc_id, md5(array_to_string(t[i:i+{_SPAN_K - 1}], ' ')) AS h
+      FROM toked, UNNEST(range(1, len(t) - {_SPAN_K - 2})) AS u(i)
+      WHERE len(t) >= {_SPAN_K}
+    ), counted AS (
+      SELECT doc_id,
+             CASE WHEN count(*) OVER (PARTITION BY h) >= 2 THEN 1 ELSE 0 END
+               AS is_dup
+      FROM spans
+    ), per_doc AS (
+      SELECT doc_id, count(*) AS n_spans, sum(is_dup) AS n_dup
+      FROM counted GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+      CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+      CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_spans,
+      CAST(floor(CAST(coalesce(n_dup, 0) AS DOUBLE) * 1000000.0
+                 / CAST(greatest(coalesce(n_spans, 0), 1) AS DOUBLE))
+           AS BIGINT) AS dup_frac_e6
+    FROM documents d LEFT JOIN per_doc USING (doc_id)
+"""
 
 ORACLES["text_url_dedup"] = """
     WITH u AS (
