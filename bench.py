@@ -85,6 +85,15 @@ HEADLINE = [
     "op_range_join",
     "ml_kmeans_step",
     "dd_containment_pairs",
+    # round-3 additions: the remaining TPC-H shapes and the exact
+    # duplicated-span dedup measurement
+    "q5_local_supplier_volume",
+    "q2_min_balance_supplier",
+    "q11_nation_stock_share",
+    "q16_supplier_variety",
+    "q20_dominant_suppliers",
+    "q21_sole_late_suppliers",
+    "text_dup_spans",
 ]
 
 

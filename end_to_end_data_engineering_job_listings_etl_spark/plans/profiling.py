@@ -1,0 +1,217 @@
+"""Data profiling + data-quality expectation checks — the ANALYZE /
+expectations surface of a warehouse engine.
+
+Beyond-reference operators (the reference loads whatever the API
+returns and trusts it; a 100 TB ingest cannot): ``profile_table``
+is the per-column statistics pass an optimizer or a data catalog
+needs (row count, null count, exact NDV), ``dq_expectations`` is the
+rule gate a landing zone runs before publishing a partition (domain,
+uniqueness, referential integrity, range checks — the Great-
+Expectations-style contract, expressed as pure aggregations).
+
+Scale shapes:
+- ``profile_table`` is ONE aggregation pass over the table; the
+  multiple exact count-distincts expand the input (Spark's EXPAND for
+  multi-distinct), which is the documented exact-NDV cost — the
+  approximate path at 100 TB is ``agg_approx_distinct_checked``
+  (plans/media_stream.py), one pass, no expand, with error bounds.
+  The tall (column_name, stats) shape comes from ``stack`` AFTER the
+  aggregate — pivoting 1 row, not the table.
+- ``dq_expectations`` unions six single-row aggregates; the only
+  non-agg rule (referential integrity) is a left-anti join on the FK
+  key projection, counted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile of ``orders``: row count, null count, exact
+    distinct count (nulls excluded, SQL ``count(DISTINCT col)``
+    semantics) — one aggregation pass, stacked to a tall frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__nulls")
+        )
+        aggs.append(F.countDistinct(c).alias(f"{c}__ndv"))
+    row = orders.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__nulls, {c}__ndv" for c in _PROFILE_COLS
+    )
+    return (
+        row.select(
+            "n_rows",
+            F.expr(
+                f"stack({len(_PROFILE_COLS)}, {stack})"
+                " as (column_name, n_nulls, n_distinct)"
+            ),
+        )
+        .select("column_name", "n_rows", "n_nulls", "n_distinct")
+        .orderBy("column_name")
+    )
+
+
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite over orders/lineitem: each rule
+    emits (rule_name, n_checked, n_violations, passed)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def rule(name: str, checked: F.Column, viol: F.Column, src: DataFrame):
+        return src.agg(
+            F.lit(name).alias("rule_name"),
+            checked.alias("n_checked"),
+            viol.cast("bigint").alias("n_violations"),
+        )
+
+    n = F.count("*")
+    rules = [
+        rule(
+            "orders.o_totalprice_nonnegative",
+            n,
+            F.sum((F.col("o_totalprice") < 0).cast("bigint")),
+            orders,
+        ),
+        rule(
+            "orders.o_orderkey_unique",
+            n,
+            n - F.countDistinct("o_orderkey"),
+            orders,
+        ),
+        rule(
+            "orders.o_orderstatus_in_domain",
+            n,
+            F.sum((~F.col("o_orderstatus").isin("O", "F", "P")).cast("bigint")),
+            orders,
+        ),
+        rule(
+            "orders.o_orderdate_not_null",
+            n,
+            F.sum(F.col("o_orderdate").isNull().cast("bigint")),
+            orders,
+        ),
+        rule(
+            "lineitem.l_quantity_in_range",
+            n,
+            F.sum(
+                ((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast(
+                    "bigint"
+                )
+            ),
+            li,
+        ),
+        rule(
+            "lineitem.l_orderkey_fk_orders",
+            n,
+            F.lit(None),  # patched below: anti-join count, not an agg
+            li,
+        ),
+    ]
+    # Referential integrity needs a join, not an in-frame aggregate:
+    # count lineitems whose order key has no parent order.
+    orphans = (
+        li.select("l_orderkey")
+        .join(
+            orders.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count("*").alias("__orphans"))
+    )
+    rules[-1] = li.agg(F.count("*").alias("n_checked")).crossJoin(
+        F.broadcast(orphans)
+    ).select(
+        F.lit("lineitem.l_orderkey_fk_orders").alias("rule_name"),
+        "n_checked",
+        F.col("__orphans").cast("bigint").alias("n_violations"),
+    )
+    out = rules[0]
+    for r in rules[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "rule_name",
+        "n_checked",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    ).orderBy("rule_name")
+
+
+QUERIES = {
+    "profile_table": profile_table,
+    "dq_expectations": dq_expectations,
+}
+
+_PROFILE_ORACLE = " UNION ALL ".join(
+    f"""
+    SELECT '{c}' AS column_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+    FROM orders
+    """
+    for c in _PROFILE_COLS
+)
+
+ORACLES = {
+    "profile_table": f"SELECT * FROM ({_PROFILE_ORACLE}) ORDER BY column_name",
+    "dq_expectations": """
+        WITH rules AS (
+          SELECT 'orders.o_totalprice_nonnegative' AS rule_name,
+                 CAST(count(*) AS BIGINT) AS n_checked,
+                 CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violations
+          FROM orders
+          UNION ALL
+          SELECT 'orders.o_orderkey_unique',
+                 CAST(count(*) AS BIGINT),
+                 CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+          FROM orders
+          UNION ALL
+          SELECT 'orders.o_orderstatus_in_domain',
+                 CAST(count(*) AS BIGINT),
+                 CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                               THEN 1 ELSE 0 END) AS BIGINT)
+          FROM orders
+          UNION ALL
+          SELECT 'orders.o_orderdate_not_null',
+                 CAST(count(*) AS BIGINT),
+                 CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                      AS BIGINT)
+          FROM orders
+          UNION ALL
+          SELECT 'lineitem.l_quantity_in_range',
+                 CAST(count(*) AS BIGINT),
+                 CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                               THEN 1 ELSE 0 END) AS BIGINT)
+          FROM lineitem
+          UNION ALL
+          SELECT 'lineitem.l_orderkey_fk_orders',
+                 CAST(count(*) AS BIGINT),
+                 CAST((SELECT count(*) FROM lineitem l
+                       WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                         WHERE o.o_orderkey = l.l_orderkey))
+                      AS BIGINT)
+          FROM lineitem
+        )
+        SELECT rule_name, n_checked, n_violations,
+               n_violations = 0 AS passed
+        FROM rules ORDER BY rule_name
+    """,
+}

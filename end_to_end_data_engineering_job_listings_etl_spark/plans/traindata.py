@@ -69,8 +69,8 @@ def hash_split(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         f"cast(conv(substring(md5(cast({id_col} as string)), 1, 8), 16, 10) as bigint)"
         f" % {_SPLIT_BUCKETS}"
     ).alias("bucket")
-    return df.select(id_col, bucket).select(
-        id_col,
+    return df.select(*df.columns, bucket).select(
+        *df.columns,
         "bucket",
         F.when(F.col("bucket") < _TRAIN_PCT, F.lit("train"))
         .when(F.col("bucket") < _TRAIN_PCT + _VAL_PCT, F.lit("val"))
@@ -135,6 +135,82 @@ def dd_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+def samp_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: near-duplicate documents
+    must land in the SAME split (a near-dup of a test document inside
+    the training set is contamination), so split membership is a pure
+    function of md5(cluster representative) instead of md5(doc_id).
+    Composes the connected-components clusters with the deterministic
+    hash split; documents outside the candidate bound (or with no
+    near-dup) are singleton clusters (cluster_id = doc_id) and split
+    exactly as ``samp_hash_split`` would.
+
+    Scale shape: clustering is the O(log d)-round component step over
+    the near-dup pair graph; the split itself is a narrow map on
+    cluster_id — no extra shuffle after labeling."""
+    docs = load_table_dist(spark, sf_dir, "documents", cols=("doc_id", "text"))
+    in_scope = docs.filter(F.col("doc_id") < _JACCARD_MAX_ID)
+    edges = D.jaccard_pairs(in_scope, "text", "doc_id", threshold=0.5)
+    labels = D.connected_components(
+        in_scope.select("doc_id"), edges, id_col="doc_id"
+    )
+    labeled = (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+        )
+    )
+    return hash_split(labeled, "cluster_id")
+
+
+_BUDGET_TOKENS = 600  # per-source token budget (binds at every test SF)
+
+
+def samp_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-aware mixture sampling: each source contributes
+    documents in a deterministic pseudo-random order (md5 of the id —
+    stable under corpus growth, like the hash split) until its token
+    budget is exhausted; the first document that crosses the budget is
+    the last one kept (the LLM-data-mixing convention: budgets are
+    token counts, so truncate on the boundary doc, never mid-budget
+    undershoot).
+
+    Scale shape: one running-sum window PARTITION BY source — parallel
+    across sources, never global; token counts are pure expressions."""
+    docs = load_table_dist(
+        spark, sf_dir, "documents", cols=("doc_id", "text", "source")
+    )
+    sized = docs.select(
+        "doc_id",
+        "source",
+        T.token_count("text").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("__rk"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("__rk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_cum = sized.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.sum("n_tokens").over(w).alias("cum_tokens"),
+    )
+    return (
+        with_cum.filter(
+            (F.col("cum_tokens") - F.col("n_tokens")) < _BUDGET_TOKENS
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs_kept"),
+            F.sum("n_tokens").alias("n_tokens_kept"),
+        )
+        .orderBy("source")
     )
 
 
@@ -638,6 +714,8 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "samp_hash_split": samp_hash_split,
     "text_dup_spans": text_dup_spans,
+    "samp_split_by_cluster": samp_split_by_cluster,
+    "samp_token_budget": samp_token_budget,
     "samp_reservoir_per_stratum": samp_reservoir_per_stratum,
     "samp_mixture": samp_mixture,
     "text_pack_batches": text_pack_batches,
@@ -650,6 +728,53 @@ QUERIES = {
     "samp_global_shuffle": samp_global_shuffle,
     "text_url_dedup": text_url_dedup,
 }
+
+ORACLES["samp_split_by_cluster"] = f"""
+    WITH RECURSIVE {_JACC_EDGES_CTE},
+    jedges AS (
+      SELECT id_a AS a, id_b AS b FROM jpairs
+      UNION ALL
+      SELECT id_b, id_a FROM jpairs
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents WHERE doc_id < {_JACCARD_MAX_ID}
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN jedges e ON r.dst = e.a
+    ),
+    comp AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+    lab AS (
+      SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    )
+    SELECT doc_id, cluster_id, bucket,
+           CASE WHEN bucket < {_TRAIN_PCT} THEN 'train'
+                WHEN bucket < {_TRAIN_PCT + _VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, cluster_id,
+             CAST(concat('0x', substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % {_SPLIT_BUCKETS} AS bucket
+      FROM lab
+    )
+"""
+
+ORACLES["samp_token_budget"] = f"""
+    WITH sized AS (
+      SELECT doc_id, source,
+             CAST(len({_TOKS.format(e='text')}) AS BIGINT) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS rk
+      FROM documents
+    ), cum AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY rk, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM sized
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs_kept,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens_kept
+    FROM cum WHERE cum_tokens - n_tokens < {_BUDGET_TOKENS}
+    GROUP BY source ORDER BY source
+"""
 
 ORACLES["text_dup_spans"] = f"""
     WITH toked AS (

@@ -25,6 +25,7 @@ from .plans import (
     media_stream,
     mlx,
     pricing,
+    profiling,
     relational,
     sqlviews,
     star,
@@ -55,6 +56,7 @@ _MODULES = [
     windowfns,
     tpch3,
     tpch4,
+    profiling,
 ]
 
 
