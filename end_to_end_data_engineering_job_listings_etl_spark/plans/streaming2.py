@@ -132,6 +132,54 @@ def stream_leftouter_interval_join(spark: SparkSession, sf_dir: str) -> DataFram
     return spark.table(name)
 
 
+def stream_fullouter_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER event-time interval join — BOTH
+    unmatched sides surface once the watermark proves their window
+    closed, completing the inner (round 1) / left-outer / full-outer
+    join matrix.
+
+    Eviction bounds differ per side because the condition is
+    asymmetric (``v_ts ∈ [p_ts - 1h, p_ts]``): a purchase can be
+    null-emitted once the watermark passes ``p_ts`` (no future view
+    can be ≤ it), but a view only once the watermark passes
+    ``v_ts + 1h`` (a future purchase up to one hour later could still
+    reach back). The oracle encodes exactly those two cutoffs; the
+    same single-batch invariant and microsecond-boundary note as the
+    left-outer query apply."""
+    name = f"stream_foj_{uuid.uuid4().hex[:8]}"
+    ckpt = scratch_dir(prefix="ckpt_foj_")
+    src = events_stream_dir(sf_dir)
+    purchases = (
+        stream_events(spark, src)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", _WM)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    views = (
+        stream_events(spark, src)
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", _WM)
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    joined = purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+        "full_outer",
+    ).select("purchase_id", "view_id")
+    run_to_memory_sink(joined, name, ckpt, output_mode="append")
+    return spark.table(name)
+
+
 def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-state streaming dedup: dropDuplicatesWithinWatermark
     evicts a key's state once the watermark passes its last sighting +
@@ -156,6 +204,7 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
 QUERIES = {
     "stream_chained_window_agg": stream_chained_window_agg,
     "stream_leftouter_interval_join": stream_leftouter_interval_join,
+    "stream_fullouter_interval_join": stream_fullouter_interval_join,
     "stream_dedup_within_watermark": stream_dedup_within_watermark,
 }
 
@@ -213,6 +262,42 @@ ORACLES = {
                   AND v_ts <= p_ts)
         )
         SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+    """,
+    "stream_fullouter_interval_join": f"""
+        WITH p AS (
+            SELECT user_id AS p_user, event_id AS purchase_id, ts AS p_ts
+            FROM events WHERE event_type = 'purchase'
+        ), v AS (
+            SELECT user_id AS v_user, event_id AS view_id, ts AS v_ts
+            FROM events WHERE event_type = 'view'
+        ), matched AS (
+            SELECT purchase_id, view_id
+            FROM p JOIN v
+              ON p_user = v_user
+             AND v_ts >= p_ts - INTERVAL 1 HOUR
+             AND v_ts <= p_ts
+        ), unmatched_p AS (
+            SELECT purchase_id, NULL AS view_id
+            FROM p
+            WHERE p_ts <= {_CLOSE_WM_JOIN}
+              AND NOT EXISTS (
+                SELECT 1 FROM v
+                WHERE v_user = p_user
+                  AND v_ts >= p_ts - INTERVAL 1 HOUR
+                  AND v_ts <= p_ts)
+        ), unmatched_v AS (
+            SELECT NULL AS purchase_id, view_id
+            FROM v
+            WHERE v_ts <= {_CLOSE_WM_JOIN} - INTERVAL 1 HOUR
+              AND NOT EXISTS (
+                SELECT 1 FROM p
+                WHERE p_user = v_user
+                  AND v_ts >= p_ts - INTERVAL 1 HOUR
+                  AND v_ts <= p_ts)
+        )
+        SELECT * FROM matched
+        UNION ALL SELECT * FROM unmatched_p
+        UNION ALL SELECT * FROM unmatched_v
     """,
     "stream_dedup_within_watermark": """
         SELECT DISTINCT user_id, event_type FROM events
