@@ -23,21 +23,6 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def dot_unrolled(a: Column, b: Column, d: int) -> Column:
-    """``dot`` for a KNOWN static dimensionality: the same
-    left-associated sum ``(((0 + x₁y₁) + x₂y₂) + …)`` emitted as a
-    flat d-term arithmetic expression instead of a higher-order
-    ``aggregate`` fold. Identical IEEE result (same additions, same
-    order), but the flat expression whole-stage-codegens while the
-    lambda fold is interpreted per element — ~an order of magnitude
-    faster inside quadratic pair stages. Use wherever the embedding
-    width is fixed (it always is for a given corpus)."""
-    acc: Column = F.lit(0.0)
-    for i in range(1, d + 1):
-        acc = acc + F.element_at(a, i) * F.element_at(b, i)
-    return acc
-
-
 def norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)

