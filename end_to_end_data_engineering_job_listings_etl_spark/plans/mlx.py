@@ -154,6 +154,63 @@ def graph_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRI_CAP = 100  # vertex bound for the demo co-purchase graph
+_TRI_MIN_SHARED = 12  # sparsification: edge iff >= this many shared suppliers
+
+
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts over the customer co-purchase graph
+    (edge iff two customers share ≥ ``_TRI_MIN_SHARED`` suppliers,
+    vertices bounded to the demo cap) — the standard distributed
+    triangle algorithm: orient every edge low→high so each triangle
+    (a<b<c) is enumerated exactly once as wedge (a→b, b→c) closed by
+    (a→c), then credit all three corners.
+
+    Scale shape: edge orientation bounds the wedge join by the SMALLER
+    endpoint's out-degree (the classic skew fix — a hub vertex's
+    wedges are generated from its low-degree neighbors, not from the
+    hub); both joins are key-equi hash joins, no cartesian."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("o_custkey") < _TRI_CAP)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a, b = cs.alias("a"), cs.alias("b")
+    edges = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.c") < F.col("b.c")))
+        .groupBy(F.col("a.c").alias("ea"), F.col("b.c").alias("eb"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= _TRI_MIN_SHARED)
+        .select("ea", "eb")
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.eb") == F.col("e2.ea"))
+        .join(
+            e3,
+            (F.col("e1.ea") == F.col("e3.ea")) & (F.col("e2.eb") == F.col("e3.eb")),
+        )
+        .select(
+            F.col("e1.ea").alias("va"),
+            F.col("e1.eb").alias("vb"),
+            F.col("e2.eb").alias("vc"),
+        )
+    )
+    corners = (
+        tri.select(F.col("va").alias("v"))
+        .unionAll(tri.select(F.col("vb").alias("v")))
+        .unionAll(tri.select(F.col("vc").alias("v")))
+    )
+    return (
+        corners.groupBy("v")
+        .agg(F.count("*").alias("n_triangles"))
+        .orderBy("v")
+    )
+
+
 # ---------------------------------------------------------------------------
 # REST paginated ingest (S1+S2+S3) with an offline deterministic transport
 # ---------------------------------------------------------------------------
@@ -455,6 +512,7 @@ QUERIES = {
     "src_rest_ingest": src_rest_ingest,
     "src_rest_datasource": src_rest_datasource,
     "graph_pagerank_step": graph_pagerank_step,
+    "graph_triangle_count": graph_triangle_count,
     "op_grouped_seq_pandas": op_grouped_seq_pandas,
     "op_cogroup_pandas": op_cogroup_pandas,
     "op_udtf_sentences": op_udtf_sentences,
@@ -466,6 +524,30 @@ ORACLES = {
     "ml_kmeans_step": _KM_ORACLE,
     "src_rest_ingest": _REST_ORACLE,
     "src_rest_datasource": _REST_ORACLE,
+    "graph_triangle_count": f"""
+        WITH cs AS (
+          SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_custkey < {_TRI_CAP}
+        ), e AS (
+          SELECT a.c AS ea, b.c AS eb
+          FROM cs a JOIN cs b USING (s)
+          WHERE a.c < b.c
+          GROUP BY a.c, b.c
+          HAVING count(*) >= {_TRI_MIN_SHARED}
+        ), tri AS (
+          SELECT e1.ea AS va, e1.eb AS vb, e2.eb AS vc
+          FROM e e1
+          JOIN e e2 ON e1.eb = e2.ea
+          JOIN e e3 ON e1.ea = e3.ea AND e2.eb = e3.eb
+        ), corners AS (
+          SELECT va AS v FROM tri
+          UNION ALL SELECT vb FROM tri
+          UNION ALL SELECT vc FROM tri
+        )
+        SELECT v, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM corners GROUP BY v ORDER BY v
+    """,
     "graph_pagerank_step": """
         WITH edges AS (
           SELECT DISTINCT o.o_custkey, l.l_suppkey
