@@ -738,6 +738,36 @@ def agg_approx_distinct_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_hll_partition_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch distinct counting — the 100 TB property the
+    one-shot ``approx_count_distinct`` doesn't exercise: build ONE
+    Datasketches HLL sketch per partition-like group (here per
+    l_returnflag), then ``hll_union_agg`` the binary sketches and
+    estimate the GLOBAL distinct count without ever rescanning the
+    fact — how incremental NDV maintenance works (sketch per new
+    partition, union with the stored roll-up).
+
+    Gate (same pattern as agg_approx_distinct_checked): exact global
+    count plus a boolean asserting the merged estimate landed within
+    5%; the oracle pins the exact count and TRUE."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_group = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey", 14).alias("sk")
+    )
+    merged = per_group.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = li.agg(F.count_distinct("l_partkey").alias("exact_parts"))
+    return exact.crossJoin(F.broadcast(merged)).select(
+        "exact_parts",
+        (
+            F.abs(F.col("est") - F.col("exact_parts"))
+            / F.col("exact_parts")
+            < 0.05
+        ).alias("merged_estimate_ok"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Winnowing fingerprints (rolling hash) — beyond-reference text layer
 # ---------------------------------------------------------------------------
@@ -806,6 +836,7 @@ QUERIES = {
     "src_jdbc_landing": src_jdbc_landing,
     "src_json_records": src_json_records,
     "agg_approx_distinct_checked": agg_approx_distinct_checked,
+    "agg_hll_partition_merge": agg_hll_partition_merge,
     "text_winnow_fingerprints": text_winnow_fingerprints,
 }
 
@@ -956,6 +987,10 @@ SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
        COUNT(DISTINCT l_orderkey) AS exact_orders,
        TRUE AS approx_parts_ok,
        TRUE AS approx_orders_ok
+FROM lineitem""",
+    "agg_hll_partition_merge": """
+SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS merged_estimate_ok
 FROM lineitem""",
     "text_winnow_fingerprints": f"""
 WITH prepared AS (
