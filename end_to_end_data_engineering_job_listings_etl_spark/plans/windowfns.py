@@ -217,8 +217,63 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line max concurrency: peak number of simultaneously-open
+    30-minute sessions per (event_type, day). Every session start is a
+    +1 boundary, every end a −1; the peak is the max of the running
+    sum over time-ordered boundaries.
+
+    Scale shape — the naive form is a running sum over each type's
+    ENTIRE history (few partitions, unbounded length: the sequential
+    trap). Here the prefix decomposes exactly: running sum within
+    (type, day) + carry-in of all prior days' net deltas (a second
+    window over the tiny (type, day) aggregate — same two-level
+    prefix-sum idea as operators/ids.py). Ordering (t, delta) puts
+    ends before starts at the same instant (end-exclusive sessions
+    never overlap their successor), and the default RANGE frame gives
+    every tied boundary the post-group sum — identical in both
+    engines, so the per-day max is deterministic. The oracle states
+    the naive single-window form; the decomposition is value-exact."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    starts = ev.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta")
+    )
+    ends = ev.select(
+        "event_type",
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    pts = starts.unionByName(ends).withColumn("day", F.to_date("t"))
+    w_in = Window.partitionBy("event_type", "day").orderBy("t", "delta")
+    run_in = pts.select("*", F.sum("delta").over(w_in).alias("run_in"))
+    daily = pts.groupBy("event_type", "day").agg(
+        F.sum("delta").alias("day_delta")
+    )
+    w_day = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = daily.select(
+        "event_type",
+        "day",
+        F.coalesce(F.sum("day_delta").over(w_day), F.lit(0)).alias("carry"),
+    )
+    return (
+        run_in.join(offsets, ["event_type", "day"])
+        .groupBy("event_type", "day")
+        .agg(
+            F.max(F.col("run_in") + F.col("carry"))
+            .cast("bigint")
+            .alias("max_concurrent")
+        )
+        .orderBy("event_type", "day")
+    )
+
+
 QUERIES = {
     "w_topk_per_group": w_topk_per_group,
+    "w_max_concurrency": w_max_concurrency,
     "w_locf_forward_fill": w_locf_forward_fill,
     "fn_try_arithmetic": fn_try_arithmetic,
     "w_moving_sum_30d": w_moving_sum_30d,
@@ -231,6 +286,20 @@ QUERIES = {
 _DTOKS = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x != '')"
 
 ORACLES = {
+    "w_max_concurrency": """
+        WITH pts AS (
+          SELECT event_type, ts AS t, 1 AS delta FROM events
+          UNION ALL
+          SELECT event_type, ts + INTERVAL 30 MINUTE, -1 FROM events
+        ), run AS (
+          SELECT event_type, CAST(t AS DATE) AS day,
+                 sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta)
+                   AS conc
+          FROM pts
+        )
+        SELECT event_type, day, CAST(max(conc) AS BIGINT) AS max_concurrent
+        FROM run GROUP BY event_type, day ORDER BY event_type, day
+    """,
     "w_locf_forward_fill": """
         SELECT o_custkey, o_orderkey,
                CASE WHEN o_orderkey % 7 != 0 THEN o_orderpriority END
