@@ -94,6 +94,9 @@ HEADLINE = [
     "q20_dominant_suppliers",
     "q21_sole_late_suppliers",
     "text_dup_spans",
+    "graph_triangle_count",
+    "agg_hll_partition_merge",
+    "w_max_concurrency",
 ]
 
 
