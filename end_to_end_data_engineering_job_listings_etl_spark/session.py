@@ -37,6 +37,12 @@ def get_spark(app_name: str = "end_to_end_data_engineering_job_listings_etl_spar
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # Static conf, read once at JVM start: the default 100-entry
+        # generated-class cache thrashes on a surface of 190+ query
+        # shapes (each several codegen'd stages), recompiling ~1-3 s
+        # expression families per eviction. A long-lived cluster
+        # serving many plan shapes wants the same headroom.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         # Cached frames here are small dims / landing cuts (≪ heap);
         # skip columnar-cache compression to trade a little memory for
         # materially faster cache builds. Revisit if a deployment caches
