@@ -197,6 +197,52 @@ def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RAG_SIZE = 10  # tokens per retrieval chunk
+_RAG_STRIDE = 5  # chunk start stride (50% overlap)
+
+
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping (sliding) chunking — the RAG indexing convention,
+    distinct from ``text_chunk_dedup``'s disjoint packing: a chunk of
+    ``_RAG_SIZE`` tokens starts every ``_RAG_STRIDE`` tokens so no
+    retrieval boundary splits a fact across two unreachable chunks;
+    the trailing partial chunk is kept. Emits per chunk its ordinal,
+    start offset, length, and md5 fingerprint (the join key an
+    embedding/index stage consumes — chunk text itself stays out of
+    the hash gate).
+
+    Pure array expressions over a staged token array: one narrow map +
+    one explode, no shuffle at all until a consumer aggregates."""
+    docs = load_table_dist(spark, sf_dir, "documents", cols=("doc_id", "text"))
+    toked = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("__t")
+    ).filter(F.size("__t") >= 1)
+    starts = F.sequence(F.lit(1), F.size("__t"), F.lit(_RAG_STRIDE))
+    return toked.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    i.alias("start_tok"),
+                    F.least(
+                        F.lit(_RAG_SIZE), F.size("__t") - i + 1
+                    ).alias("n_chunk_tokens"),
+                    F.md5(
+                        F.concat_ws(" ", F.slice("__t", i, _RAG_SIZE))
+                    ).alias("chunk_fp"),
+                ),
+            )
+        ).alias("chunk_idx", "c"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.col("c.start_tok").alias("start_tok"),
+        F.col("c.n_chunk_tokens").alias("n_chunk_tokens"),
+        F.col("c.chunk_fp").alias("chunk_fp"),
+    )
+
+
 _SEM_CENTROID_IDS = [0, 7, 13, 42]
 _SEM_THRESHOLD = 0.3
 
@@ -282,6 +328,7 @@ QUERIES = {
     "text_repetition_metrics": text_repetition_metrics,
     "text_bigram_lm_score": text_bigram_lm_score,
     "text_chunk_dedup": text_chunk_dedup,
+    "text_chunk_overlap": text_chunk_overlap,
     "sem_dedup_clusters": sem_dedup_clusters,
 }
 
@@ -333,6 +380,21 @@ ORACLES = {
                CAST(sum(m.s) // count(*) AS BIGINT) AS lm_score_e6
         FROM bg JOIN model m USING (bg)
         GROUP BY doc_id
+    """,
+    "text_chunk_overlap": f"""
+        WITH toked AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+          FROM documents
+          WHERE len(string_split_regex(trim(text), '\\s+')) >= 1
+        )
+        SELECT doc_id,
+               CAST((u.i - 1) // {_RAG_STRIDE} AS INT) AS chunk_idx,
+               CAST(u.i AS INT) AS start_tok,
+               CAST(least({_RAG_SIZE}, len(t) - u.i + 1) AS INT)
+                 AS n_chunk_tokens,
+               md5(array_to_string(t[u.i:u.i+{_RAG_SIZE - 1}], ' '))
+                 AS chunk_fp
+        FROM toked, UNNEST(range(1, len(t) + 1, {_RAG_STRIDE})) AS u(i)
     """,
     "text_chunk_dedup": f"""
         WITH d AS (

