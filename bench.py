@@ -97,6 +97,8 @@ HEADLINE = [
     "graph_triangle_count",
     "agg_hll_partition_merge",
     "w_max_concurrency",
+    "inc_snapshot_diff",
+    "text_chunk_overlap",
 ]
 
 
