@@ -139,12 +139,14 @@ def exclusive_prefix_sum(
     weight_col: str,
     out_name: str,
     n_parts: int | None = None,
+    pin_input: bool = True,
 ) -> DataFrame:
     """``sum(weight) OVER (ORDER BY order_cols ROWS UNBOUNDED
     PRECEDING AND 1 PRECEDING)`` (0 for the first row) via the same
     two-phase plan — the running-start form used to seed dense key
-    blocks (e.g. first ordinal of each duplicate-tuple group)."""
-    ranged, sort_exprs = _ranged_with_pid(df, order_cols, n_parts)
+    blocks (e.g. first ordinal of each duplicate-tuple group).
+    ``pin_input`` as in ``ranked_ids``."""
+    ranged, sort_exprs = _ranged_with_pid(df, order_cols, n_parts, pin_input)
     w_in = (
         Window.partitionBy(_PID)
         .orderBy(*sort_exprs)

@@ -83,7 +83,10 @@ def build_star_schema(
         # old partitionless cumulative window (ASC NULLS FIRST pinned
         # on both, and in the oracle SQL), no one-partition stage.
         starts = exclusive_prefix_sum(
-            tuples, ordering, "__cnt", "__start"
+            # pin_input=False: `tuples` is a groupBy output whose
+            # shuffle files are reused across the sampling + exchange
+            # jobs (skipped stages).
+            tuples, ordering, "__cnt", "__start", pin_input=False
         ).select(
             *[F.col(c).alias(f"__k{i}") for i, c in enumerate(ordering)],
             "__start",
