@@ -20,7 +20,7 @@ makes the MinHash signatures oracle-checkable in DuckDB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 import random
@@ -274,6 +274,86 @@ def embedding_neardup_pairs(
             "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim")
         )
         .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard pairs via PREFIX FILTERING (AllPairs/PPJoin,
+    Bayardo et al. WWW'07) — same results as ``jaccard_pairs``, far
+    fewer candidates: tokens get a canonical frequency-ascending
+    order, each set indexes only its first ``|x| − ⌈τ·|x|⌉ + 1``
+    tokens, and any pair with J ≥ τ provably shares a token within
+    BOTH prefixes (pigeonhole on the ≥ τ·|x| required overlap), so
+    joining prefixes only loses nothing. Rare tokens land in
+    prefixes, so index buckets are small — the principled exact
+    alternative to the lossy ``max_df`` stop-token cap.
+
+    Returns (id_a, id_b, jaccard) with jaccard rounded to 6 —
+    identical contract (and oracle) to ``jaccard_pairs``."""
+    from ..functions.text import tokens
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokens(F.lower(F.col(text_col))))).alias(
+            "tok"
+        ),
+    )
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("__df"))
+    w_pos = Window.partitionBy(id_col).orderBy("__df", "tok")
+    w_all = Window.partitionBy(id_col)
+    sized = (
+        toks.join(dfreq, "tok")
+        .select(
+            F.col(id_col),
+            "tok",
+            F.row_number().over(w_pos).alias("__pos"),
+            F.count("*").over(w_all).alias("__sz"),
+        )
+    )
+    prefix = sized.filter(
+        F.col("__pos")
+        <= F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
+    ).select(F.col(id_col), "tok")
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    cand = (
+        pa.join(pb, "tok")
+        .filter(F.col(f"pa.{id_col}") < F.col(f"pb.{id_col}"))
+        .select(
+            F.col(f"pa.{id_col}").alias("id_a"),
+            F.col(f"pb.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    # exact verification on the candidate set only
+    sizes = toks.groupBy(id_col).agg(F.count("*").alias("sz"))
+    ta = toks.select(F.col(id_col).alias("id_a"), "tok")
+    tb = toks.select(F.col(id_col).alias("id_b"), "tok")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )
 
 

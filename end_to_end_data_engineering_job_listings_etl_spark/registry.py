@@ -94,8 +94,8 @@ def _pinned(fn: Callable[[SparkSession, str], DataFrame]):
 # tpch4 (6), profiling (2), text_dup_spans, samp_split_by_cluster,
 # samp_token_budget, graph_triangle_count, agg_hll_partition_merge,
 # w_max_concurrency, stream_fullouter_interval_join,
-# inc_snapshot_diff, text_chunk_overlap
-# (≈59 total; the ~9 overflow rotate in round 5).
+# inc_snapshot_diff, text_chunk_overlap, dd_prefix_filter_pairs
+# (≈60 total; the ~10 overflow rotate in round 5).
 _WINDOW = [
     # round-2 red rows, fixed — re-check first
     "li_market_share",
