@@ -67,3 +67,27 @@ def test_short_docs_yield_no_shingles_or_pairs(spark):
 def test_jaccard_single_doc_no_pairs(spark):
     df = spark.createDataFrame([(1, "alpha beta gamma")], _DOC_SCHEMA)
     assert jaccard_pairs(df, "text", "doc_id", threshold=0.0).count() == 0
+
+
+def test_ranked_ids_partition_count_independent(spark):
+    """The driver owns its SparkSession; its shuffle-partition default
+    (200) differs from ours (cpus). Surrogate-key VALUES must not
+    depend on it: the range/two-phase rank is partition-count-
+    independent by construction — pin that with hostile counts
+    (1, 3, 200) against the 32-partition result."""
+    import pyspark.sql.functions as F
+
+    from end_to_end_data_engineering_job_listings_etl_spark.operators.ids import ranked_ids
+
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    keys = cust.select(F.upper("c_name").alias("k")).distinct()
+    expect = sorted(
+        (r["k"], r["sk"])
+        for r in ranked_ids(keys, ["k"], "sk", n_parts=32).collect()
+    )
+    for n in (1, 3, 200):
+        got = sorted(
+            (r["k"], r["sk"])
+            for r in ranked_ids(keys, ["k"], "sk", n_parts=n).collect()
+        )
+        assert got == expect, f"n_parts={n} diverged"
