@@ -135,9 +135,11 @@ def dd_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = D.minhash_signature(
         docs, "text", "doc_id", _MINHASH_K, _SHINGLE_K
     ).persist()
+    # cands is consumed twice (candidate-doc projection + final join)
+    # — pin it so the banding join runs once.
     cands = D.minhash_lsh_pairs(
         docs, "text", "doc_id", _MINHASH_K, _LSH_BANDS, _SHINGLE_K, sig=sigs
-    )
+    ).localCheckpoint(eager=False)
     # Exact-Jaccard machinery runs ONLY over docs that appear in a
     # candidate pair: at scale |candidates| ≪ |corpus|, so the
     # shingle inverted-index join is bounded by the candidate set, not
