@@ -31,7 +31,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .ids import ranked_ids
+from .ids import ranked_ids, ranked_ids_grouped
 
 
 def build_dim(
@@ -96,3 +96,60 @@ def build_dim(
             )
         )
     raise ValueError(f"unknown surrogate-key mode: {mode}")
+
+
+def build_dims_batched(
+    specs: Sequence[tuple[str, DataFrame, Sequence[Column], str]],
+    n_parts: int | None = None,
+) -> dict[str, DataFrame]:
+    """Build MANY dimensions in one pass: union every dim's (tagged,
+    normalized, null-rejected) key projection, distinct ONCE, rank
+    ONCE with the grouped two-phase plan (``ids.ranked_ids_grouped``)
+    — a star build's 6 distinct shuffles + 6 rank pipelines collapse
+    to one of each. Values are identical to per-dim
+    ``build_dim(mode="range")``: per-tag distinct tuples are the
+    dim's own distinct keys, and the per-group rank over aligned key
+    positions (shorter key lists padded with typed nulls, which sort
+    as a constant) is the dim's own ``row_number() OVER (ORDER BY
+    keys ASC NULLS FIRST)``.
+
+    ``specs``: (tag, source, key_exprs, sk_name) per dim. Aligned key
+    positions across specs must share a type (string keys here — mixed
+    types would need per-position casts)."""
+    arity = max(len(k) for _, _, k, _ in specs)
+    parts = []
+    names: dict[str, tuple[list[str], str]] = {}
+    for tag, src, key_exprs, sk_name in specs:
+        proj = src.select(*key_exprs)
+        cols = list(proj.columns)
+        sel: list[Column] = [F.lit(tag).alias("__tag")]
+        for i in range(arity):
+            sel.append(
+                (
+                    F.col(cols[i])
+                    if i < len(cols)
+                    else F.lit(None).cast("string")
+                ).alias(f"__k{i}")
+            )
+        parts.append(proj.filter(F.col(cols[0]).isNotNull()).select(*sel))
+        names[tag] = (cols, sk_name)
+    tagged = parts[0]
+    for p in parts[1:]:
+        tagged = tagged.unionByName(p)
+    ranked = ranked_ids_grouped(
+        tagged.distinct(),
+        "__tag",
+        [f"__k{i}" for i in range(arity)],
+        "__sk",
+        n_parts=n_parts,
+        # the distinct's shuffle output is stage-reused by the
+        # sampling and exchange jobs — no input pin needed
+        pin_input=False,
+    ).persist()
+    out: dict[str, DataFrame] = {}
+    for tag, (cols, sk_name) in names.items():
+        out[tag] = ranked.filter(F.col("__tag") == tag).select(
+            F.col("__sk").alias(sk_name),
+            *[F.col(f"__k{i}").alias(c) for i, c in enumerate(cols)],
+        )
+    return out

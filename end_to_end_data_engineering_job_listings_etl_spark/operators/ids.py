@@ -133,6 +133,61 @@ def ranked_ids(
     )
 
 
+def ranked_ids_grouped(
+    df: DataFrame,
+    group_col: str,
+    order_cols: Sequence[Column | str],
+    id_name: str,
+    start: int = 0,
+    n_parts: int | None = None,
+    pin_input: bool = True,
+) -> DataFrame:
+    """Per-group ``start + row_number() OVER (PARTITION BY group
+    ORDER BY order_cols)`` with the same range/two-phase plan — the
+    BATCHED surrogate-key assigner: a star build that needs
+    independent dense SKs for N dimensions unions their (tagged,
+    normalized) keys and ranks them all in ONE sampling pass, ONE
+    range exchange, ONE offsets broadcast, instead of N of each.
+
+    The range exchange keys on (group, order_cols) so a group's keys
+    occupy contiguous partition ranges; the in-partition window
+    partitions by (pid, group) and offsets accumulate per group over
+    that group's own lower partitions only — values are identical to
+    running ``ranked_ids`` per group separately."""
+    sort_exprs = _as_sort_exprs([group_col, *order_cols])
+    in_group_exprs = _as_sort_exprs(order_cols)
+    pinned = df.localCheckpoint(eager=False) if pin_input else df
+    ranged = (
+        pinned.repartitionByRange(n_parts or _n_parts(df), *sort_exprs)
+        .select(F.spark_partition_id().alias(_PID), "*")
+        .localCheckpoint(eager=False)
+    )
+    w_in = Window.partitionBy(_PID, group_col).orderBy(*in_group_exprs)
+    numbered = ranged.select("*", F.row_number().over(w_in).alias("__rn"))
+    totals = ranged.groupBy(group_col, _PID).agg(F.count("*").alias("__total"))
+    a, b = totals.alias("a"), totals.alias("b")
+    offsets = (
+        a.join(
+            F.broadcast(b),
+            (F.col(f"a.{group_col}") == F.col(f"b.{group_col}"))
+            & (F.col(f"b.{_PID}") < F.col(f"a.{_PID}")),
+            "left",
+        )
+        .groupBy(
+            F.col(f"a.{group_col}").alias(group_col),
+            F.col(f"a.{_PID}").alias(_PID),
+        )
+        .agg(F.coalesce(F.sum("b.__total"), F.lit(0)).alias("__offset"))
+    )
+    out = numbered.join(F.broadcast(offsets), [group_col, _PID])
+    return out.select(
+        *df.columns,
+        (F.col("__rn") + F.col("__offset") + F.lit(start))
+        .cast("int")
+        .alias(id_name),
+    )
+
+
 def exclusive_prefix_sum(
     df: DataFrame,
     order_cols: Sequence[Column | str],

@@ -33,7 +33,7 @@ from ..functions.dates import date_attributes
 from ..functions.keywords import extract_keywords
 from ..functions.normalize import norm_initcap, norm_upper, parse_string_array
 from ..functions.relative_time import parse_relative_time
-from ..operators.dims import build_dim
+from ..operators.dims import build_dim, build_dims_batched
 from ..operators.ids import exclusive_prefix_sum, ranked_ids
 
 SKILL_KEYWORDS = (
@@ -106,31 +106,65 @@ def build_star_schema(
             .drop("__start")
         )
 
-    dim_company = build_dim(
-        base, [norm_upper("employer_name").alias("employer_name")], "company_sk",
-        mode=sk_mode,
-    )
-    dim_publisher = build_dim(
-        base, [norm_initcap("job_publisher").alias("publisher_name")], "publisher_sk",
-        mode=sk_mode,
-    )
-    dim_employment_type = build_dim(
-        base,
-        [norm_initcap("job_employment_type").alias("employment_type_name")],
-        "employment_type_sk",
-        mode=sk_mode,
-    )
-    dim_location = build_dim(
-        base,
-        [
-            F.col("job_location"),
-            F.col("job_city"),
-            F.col("job_state"),
-            F.col("job_country"),
-        ],
-        "location_sk",
-        mode=sk_mode,
-    )
+    skills = base.select(
+        "job_natural_key",
+        F.explode(
+            F.coalesce(
+                parse_string_array("skills"), F.array().cast("array<string>")
+            )
+        ).alias("skill_raw"),
+    ).filter(F.col("skill_raw") != "")
+
+    dim_specs = [
+        (
+            "company",
+            base,
+            [norm_upper("employer_name").alias("employer_name")],
+            "company_sk",
+        ),
+        (
+            "publisher",
+            base,
+            [norm_initcap("job_publisher").alias("publisher_name")],
+            "publisher_sk",
+        ),
+        (
+            "employment_type",
+            base,
+            [norm_initcap("job_employment_type").alias("employment_type_name")],
+            "employment_type_sk",
+        ),
+        (
+            "location",
+            base,
+            [
+                F.col("job_location"),
+                F.col("job_city"),
+                F.col("job_state"),
+                F.col("job_country"),
+            ],
+            "location_sk",
+        ),
+        ("skill", skills, [norm_initcap("skill_raw").alias("skill_name")], "skill_sk"),
+    ]
+    if sk_mode == "range":
+        # One tagged union → one distinct → one grouped two-phase rank
+        # for all five ranked dims (operators.dims.build_dims_batched)
+        # instead of five independent distinct+rank pipelines.
+        batched = build_dims_batched(dim_specs)
+        dim_company = batched["company"]
+        dim_publisher = batched["publisher"]
+        dim_employment_type = batched["employment_type"]
+        dim_location = batched["location"]
+        dim_skill = batched["skill"]
+    else:
+        dim_company = build_dim(base, dim_specs[0][2], "company_sk", mode=sk_mode)
+        dim_publisher = build_dim(base, dim_specs[1][2], "publisher_sk", mode=sk_mode)
+        dim_employment_type = build_dim(
+            base, dim_specs[2][2], "employment_type_sk", mode=sk_mode
+        )
+        dim_location = build_dim(base, dim_specs[3][2], "location_sk", mode=sk_mode)
+        dim_skill = build_dim(skills, dim_specs[4][2], "skill_sk", mode=sk_mode)
     dim_date = (
         base.select(*date_attributes("job_posted_at_utc"))
         .filter(F.col("full_date").isNotNull())
@@ -150,19 +184,6 @@ def build_star_schema(
         F.col("job_is_remote").cast("boolean").alias("job_is_remote"),
         "job_posted_at",
         "job_posted_at_utc",
-    )
-
-    skills = base.select(
-        "job_natural_key",
-        F.explode(
-            F.coalesce(
-                parse_string_array("skills"), F.array().cast("array<string>")
-            )
-        ).alias("skill_raw"),
-    ).filter(F.col("skill_raw") != "")
-    dim_skill = build_dim(
-        skills, [norm_initcap("skill_raw").alias("skill_name")], "skill_sk",
-        mode=sk_mode,
     )
 
     f = base
