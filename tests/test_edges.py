@@ -91,3 +91,36 @@ def test_ranked_ids_partition_count_independent(spark):
             for r in ranked_ids(keys, ["k"], "sk", n_parts=n).collect()
         )
         assert got == expect, f"n_parts={n} diverged"
+
+
+def test_batched_dims_equal_per_dim_build(spark):
+    """build_dims_batched must produce exactly build_dim(mode=range)'s
+    (sk, keys) rows for every spec — including a multi-column dim
+    whose shorter siblings are null-padded in the shared frame."""
+    import pyspark.sql.functions as F
+
+    from end_to_end_data_engineering_job_listings_etl_spark.operators.dims import (
+        build_dim,
+        build_dims_batched,
+    )
+
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    specs = [
+        ("seg", cust, [F.upper(F.col("c_mktsegment")).alias("k")], "sk"),
+        ("prio", orders, [F.col("o_orderpriority").alias("k")], "sk"),
+        (
+            "two",
+            orders,
+            [
+                F.col("o_orderstatus").alias("k1"),
+                F.col("o_orderpriority").alias("k2"),
+            ],
+            "sk",
+        ),
+    ]
+    batched = build_dims_batched(specs)
+    for tag, src, keys, sk in specs:
+        expect = sorted(map(tuple, build_dim(src, keys, sk).collect()))
+        got = sorted(map(tuple, batched[tag].collect()))
+        assert got == expect, tag
