@@ -37,7 +37,7 @@ from ..catalog import load_table, load_table_dist
 from ..functions.dates import date_attributes
 from ..functions.keywords import DEFAULT_KEYWORDS, extract_keywords
 from ..functions.normalize import norm_initcap, norm_upper
-from ..operators.dims import build_dim
+from ..operators.dims import build_dim, build_dims_batched
 from ..operators.fact import join_dim
 from ..operators.ids import ranked_ids
 
@@ -113,44 +113,84 @@ def landing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _dims_bundle(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All ranked dims in ONE batched pass (operators.dims.
+    build_dims_batched): tagged union of every dim's normalized keys →
+    one distinct → one grouped two-phase rank, instead of a
+    distinct+rank pipeline per dim — 2 landing-wide shuffles for the
+    whole dim layer. Values identical to per-dim build_dim
+    (mode-equivalence locked in tests/test_edges.py); each registered
+    dim query serves its slice."""
+    key = (spark, sf_dir)
+    hit = _DIMS_BUNDLE_CACHE.get(key)
+    if hit is None:
+        l = landing(spark, sf_dir)
+        hit = build_dims_batched(
+            [
+                (
+                    "company",
+                    l,
+                    [norm_upper("c_name").alias("employer_name")],
+                    "company_sk",
+                ),
+                (
+                    "segment",
+                    l,
+                    [norm_initcap("c_mktsegment").alias("segment_name")],
+                    "segment_sk",
+                ),
+                (
+                    "priority",
+                    l,
+                    [norm_initcap("o_orderpriority").alias("priority_name")],
+                    "priority_sk",
+                ),
+                (
+                    "location",
+                    l,
+                    [
+                        F.col("n_name").alias("nation_name"),
+                        F.col("r_name").alias("region_name"),
+                    ],
+                    "location_sk",
+                ),
+                (
+                    "keyword",
+                    doc_keywords(spark, sf_dir),
+                    [norm_initcap("keyword_raw").alias("keyword_name")],
+                    "keyword_sk",
+                ),
+            ]
+        )
+        _DIMS_BUNDLE_CACHE[key] = hit
+    return hit
+
+
+_DIMS_BUNDLE_CACHE: dict[tuple[SparkSession, str], dict[str, DataFrame]] = {}
+
+
 @_memo_persist
 def dim_company(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DIM_COMPANY analog (``dags/spark_etl_script.py:92-95``)."""
-    return build_dim(
-        landing(spark, sf_dir),
-        [norm_upper("c_name").alias("employer_name")],
-        "company_sk",
-    )
+    return _dims_bundle(spark, sf_dir)["company"]
 
 
 @_memo_persist
 def dim_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DIM_PUBLISHER analog — trim+initcap (``:97-100``)."""
-    return build_dim(
-        landing(spark, sf_dir),
-        [norm_initcap("c_mktsegment").alias("segment_name")],
-        "segment_sk",
-    )
+    return _dims_bundle(spark, sf_dir)["segment"]
 
 
 @_memo_persist
 def dim_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DIM_EMPLOYMENT_TYPE analog — trim+initcap (``:102-105``)."""
-    return build_dim(
-        landing(spark, sf_dir),
-        [norm_initcap("o_orderpriority").alias("priority_name")],
-        "priority_sk",
-    )
+    return _dims_bundle(spark, sf_dir)["priority"]
 
 
 @_memo_persist
 def dim_location(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DIM_LOCATION analog — multi-column distinct (``:107-110``)."""
-    return build_dim(
-        landing(spark, sf_dir),
-        [F.col("n_name").alias("nation_name"), F.col("r_name").alias("region_name")],
-        "location_sk",
-    )
+    return _dims_bundle(spark, sf_dir)["location"]
 
 
 @_memo_persist
@@ -180,11 +220,7 @@ def doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_memo_persist
 def dim_keyword(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DIM_SKILL analog (``:141-144``)."""
-    return build_dim(
-        doc_keywords(spark, sf_dir),
-        [norm_initcap("keyword_raw").alias("keyword_name")],
-        "keyword_sk",
-    )
+    return _dims_bundle(spark, sf_dir)["keyword"]
 
 
 def fact_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
