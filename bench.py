@@ -7,6 +7,14 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is forced end-to-end with the noop sink (computes every
 column, writes nothing) — .count() would let Catalyst prune the
 projection and under-measure.
+
+Since round 4 the default invocation runs $SPARK_GRAFT_BENCH_RUNS
+(default 3) COLD passes — each a fresh ``python bench.py --once``
+subprocess, so per-pass JVM/memo state never leaks between samples —
+and reports the per-query MEDIAN plus per-run totals. Host timing
+noise swung single-run totals ±25-50% round over round (ADVICE r3
+task 6); medians pin that down while "value" stays sum-of-medians,
+comparable at equal n_timed.
 """
 
 from __future__ import annotations
@@ -102,7 +110,7 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
+def run_once() -> dict:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
@@ -144,22 +152,112 @@ def main() -> None:
     # alongside so totals are only comparable at equal n_timed, and
     # null the headline entirely when any query errored.
     total = round(sum(timings.values()), 3)
+    return {
+        "metric": "headline_total_wall",
+        "value": total if not errors else None,
+        "total_timed": total,
+        "n_timed": len(timings),
+        "n_queries": len(HEADLINE),
+        "unit": "sec",
+        "queries": timings,
+        "errors": errors,
+        "sf": sf,
+    }
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    mid = n // 2
+    return s[mid] if n % 2 else (s[mid - 1] + s[mid]) / 2
+
+
+def main() -> None:
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    if n_runs <= 1:
+        print(json.dumps(run_once()))
+        return
+
+    import subprocess
+
+    runs: list[dict] = []
+    run_errors: list[str] = []
+    for i in range(n_runs):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--once"],
+            capture_output=True,
+            text=True,
+        )
+        # the child prints exactly one JSON line on stdout (Spark logs
+        # go to stderr); take the last non-empty line defensively
+        line = next(
+            (ln for ln in reversed(proc.stdout.splitlines()) if ln.strip()), ""
+        )
+        try:
+            runs.append(json.loads(line))
+        except json.JSONDecodeError:
+            run_errors.append(
+                f"run {i}: exit={proc.returncode} stderr_tail="
+                + proc.stderr[-300:]
+            )
+    if not runs:
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_total_wall",
+                    "value": None,
+                    "unit": "sec",
+                    "queries": {},
+                    "errors": {"__runs__": "; ".join(run_errors)[:900]},
+                }
+            )
+        )
+        return
+
+    samples: dict[str, list[float]] = {}
+    errors: dict[str, str] = {}
+    for r in runs:
+        for name, sec in r["queries"].items():
+            samples.setdefault(name, []).append(sec)
+        errors.update(r["errors"])
+    if run_errors:
+        errors["__runs__"] = "; ".join(run_errors)[:900]
+    medians = {
+        name: round(_median(xs), 3)
+        for name, xs in samples.items()
+        # a query must have a sample from EVERY successful run: a
+        # sometimes-erroring query's partial median is not comparable
+        if len(xs) == len(runs) and name not in errors
+    }
+    total = round(sum(medians.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_total_wall",
                 "value": total if not errors else None,
                 "total_timed": total,
-                "n_timed": len(timings),
+                "n_timed": len(medians),
                 "n_queries": len(HEADLINE),
+                "n_runs": len(runs),
                 "unit": "sec",
-                "queries": timings,
+                # per-query median across cold runs; spread records the
+                # [min, max] sample so variance is visible per query
+                "queries": medians,
+                "spread": {
+                    name: [round(min(xs), 3), round(max(xs), 3)]
+                    for name, xs in samples.items()
+                    if name in medians
+                },
+                "run_totals": [r["total_timed"] for r in runs],
                 "errors": errors,
-                "sf": sf,
+                "sf": runs[0].get("sf"),
             }
         )
     )
 
 
 if __name__ == "__main__":
-    main()
+    if "--once" in sys.argv[1:]:
+        print(json.dumps(run_once()))
+    else:
+        main()

@@ -153,20 +153,31 @@ def jaccard_pairs(
     threshold: float = 0.5,
     max_df: int | None = None,
 ) -> DataFrame:
-    """Exact token-set Jaccard similarity for all pairs sharing ≥1
-    token, via inverted-index join. Returns (id_a, id_b, jaccard).
+    """Exact token-set Jaccard similarity pairs. Returns
+    (id_a, id_b, jaccard).
 
-    ``max_df`` drops tokens appearing in more than that many docs
-    (stop-token cap) — THE knob that keeps the index join from going
-    quadratic at scale."""
+    Default path (``max_df=None``) DELEGATES to
+    ``prefix_filter_pairs`` — exact (identical oracle) and the scale
+    path: prefix filtering bounds candidate generation without
+    dropping any qualifying pair, so there is no reason to pay the
+    full inverted-index join for exact results.
+
+    ``max_df`` is an EXPLICIT APPROXIMATION flag: tokens appearing in
+    more than that many docs are dropped from the token sets entirely
+    (both intersection and denominators — "Jaccard over stop-filtered
+    token sets", a deliberate redefinition). Use it only when even
+    prefix filtering is too expensive and losing pairs connected
+    solely through ultra-common tokens is acceptable."""
     from ..functions.text import tokens
+
+    if max_df is None:
+        return prefix_filter_pairs(df, text_col, id_col, threshold)
 
     toks = df.select(
         F.col(id_col), F.explode(F.array_distinct(tokens(F.lower(F.col(text_col))))).alias("tok")
     )
-    if max_df is not None:
-        rare = toks.groupBy("tok").count().filter(F.col("count") <= max_df).select("tok")
-        toks = toks.join(rare, "tok", "left_semi")
+    rare = toks.groupBy("tok").count().filter(F.col("count") <= max_df).select("tok")
+    toks = toks.join(rare, "tok", "left_semi")
     sizes = toks.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = toks.alias("a")
     b = toks.alias("b")
@@ -315,9 +326,19 @@ def prefix_filter_pairs(
             F.count("*").over(w_all).alias("__sz"),
         )
     )
+    # Prefix bound ⌈τ·|x|⌉ with an epsilon guard: for τ not exactly
+    # representable in binary (0.55, 0.7, ...) the float product can
+    # round a hair ABOVE the true rational value, making ceil one too
+    # large and the indexed prefix one token too short — silently
+    # dropping valid pairs from an operator documented as exact. The
+    # 1e-9 slack absorbs that ulp-level excess; it cannot reach the
+    # next integer down unless τ·|x| was within 1e-9 of an integer,
+    # where ceil is the same either way for any real corpus size.
     prefix = sized.filter(
         F.col("__pos")
-        <= F.col("__sz") - F.ceil(F.lit(threshold) * F.col("__sz")) + 1
+        <= F.col("__sz")
+        - F.ceil(F.lit(threshold) * F.col("__sz") - F.lit(1e-9))
+        + 1
     ).select(F.col(id_col), "tok")
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
     cand = (

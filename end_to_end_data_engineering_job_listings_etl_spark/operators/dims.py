@@ -101,6 +101,7 @@ def build_dim(
 def build_dims_batched(
     specs: Sequence[tuple[str, DataFrame, Sequence[Column], str]],
     n_parts: int | None = None,
+    shared_out: list[DataFrame] | None = None,
 ) -> dict[str, DataFrame]:
     """Build MANY dimensions in one pass: union every dim's (tagged,
     normalized, null-rejected) key projection, distinct ONCE, rank
@@ -115,7 +116,14 @@ def build_dims_batched(
 
     ``specs``: (tag, source, key_exprs, sk_name) per dim. Aligned key
     positions across specs must share a type (string keys here — mixed
-    types would need per-position casts)."""
+    types would need per-position casts).
+
+    Lifetime: every returned dim is a slice of ONE internally
+    ``persist()``-ed ranked frame, retained until the session ends or
+    the caller unpersists it — pass ``shared_out`` (a list the shared
+    frame is appended to) to take ownership; memo layers above
+    (plans/star.py, plans/joblistings.py) do so and expose
+    ``clear_caches(spark)`` as the eviction hook."""
     arity = max(len(k) for _, _, k, _ in specs)
     parts = []
     names: dict[str, tuple[list[str], str]] = {}
@@ -146,6 +154,8 @@ def build_dims_batched(
         # sampling and exchange jobs — no input pin needed
         pin_input=False,
     ).persist()
+    if shared_out is not None:
+        shared_out.append(ranked)
     out: dict[str, DataFrame] = {}
     for tag, (cols, sk_name) in names.items():
         out[tag] = ranked.filter(F.col("__tag") == tag).select(

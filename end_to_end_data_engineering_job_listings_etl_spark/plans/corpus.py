@@ -78,6 +78,11 @@ def dd_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dd_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard pairs. Since round 4 the default ``jaccard_pairs``
+    path delegates to prefix filtering (exact, bounded candidates), so
+    this and ``dd_prefix_filter_pairs`` share one plan; both stay
+    registered because each locks a distinct public API entry point
+    against the identical oracle."""
     docs = load_table_dist(spark, sf_dir, "documents", cols=("doc_id", "text")).filter(
         F.col("doc_id") < _JACCARD_MAX_ID
     )

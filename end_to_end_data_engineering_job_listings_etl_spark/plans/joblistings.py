@@ -43,14 +43,23 @@ SKILL_KEYWORDS = (
 
 
 def build_star_schema(
-    landing: DataFrame, now: Column | None = None, sk_mode: str = "range"
+    landing: DataFrame,
+    now: Column | None = None,
+    sk_mode: str = "range",
+    shared_out: list[DataFrame] | None = None,
 ) -> dict[str, DataFrame]:
     """Landing job_listings → the 9 warehouse tables (reference
     ``dags/spark_etl_script.py:92-189``).
 
     ``now`` anchors relative-time parsing (pass a literal for
     replayable runs; defaults to current_timestamp() like the
-    reference's utcnow())."""
+    reference's utcnow()).
+
+    With ``sk_mode="range"`` the five ranked dims are slices of one
+    internally persisted frame (operators.dims.build_dims_batched);
+    pass ``shared_out`` to take ownership of its lifetime, or call
+    this module's ``clear_caches`` if you went through the memoized
+    ``jl_*`` query layer."""
     if now is None:
         now = F.current_timestamp()
 
@@ -151,7 +160,7 @@ def build_star_schema(
         # One tagged union → one distinct → one grouped two-phase rank
         # for all five ranked dims (operators.dims.build_dims_batched)
         # instead of five independent distinct+rank pipelines.
-        batched = build_dims_batched(dim_specs)
+        batched = build_dims_batched(dim_specs, shared_out=shared_out)
         dim_company = batched["company"]
         dim_publisher = batched["publisher"]
         dim_employment_type = batched["employment_type"]
@@ -339,6 +348,7 @@ def landing_from_orders(
 
 
 _JL_STAR_CACHE: dict[tuple[SparkSession, str], dict[str, DataFrame]] = {}
+_JL_STAR_SHARED: dict[tuple[SparkSession, str], list[DataFrame]] = {}
 
 
 def _jl_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -347,9 +357,25 @@ def _jl_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     key = (spark, sf_dir)
     hit = _JL_STAR_CACHE.get(key)
     if hit is None:
-        hit = build_star_schema(landing_from_orders(spark, sf_dir))
+        shared: list[DataFrame] = []
+        hit = build_star_schema(landing_from_orders(spark, sf_dir), shared_out=shared)
         _JL_STAR_CACHE[key] = hit
+        _JL_STAR_SHARED[key] = shared
     return hit
+
+
+def clear_caches(spark: SparkSession | None = None) -> None:
+    """Evict the memoized jl_* star builds and unpersist the batched
+    dim assigner's shared ranked frames. Scope to one session, or
+    everything with ``None`` (see plans/star.py::clear_caches)."""
+    for key in [k for k in _JL_STAR_CACHE if spark is None or key_has(k, spark)]:
+        _JL_STAR_CACHE.pop(key)
+        for frame in _JL_STAR_SHARED.pop(key, []):
+            frame.unpersist()
+
+
+def key_has(key: tuple, spark: SparkSession) -> bool:
+    return any(k is spark for k in key if isinstance(k, SparkSession))
 
 
 def jl_fact_checked(spark: SparkSession, sf_dir: str) -> DataFrame:

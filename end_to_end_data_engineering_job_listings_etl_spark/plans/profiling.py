@@ -116,15 +116,11 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             li,
         ),
-        rule(
-            "lineitem.l_orderkey_fk_orders",
-            n,
-            F.lit(None),  # patched below: anti-join count, not an agg
-            li,
-        ),
     ]
     # Referential integrity needs a join, not an in-frame aggregate:
-    # count lineitems whose order key has no parent order.
+    # count lineitems whose order key has no parent order. Built as
+    # its own rule frame and appended (not patched into a placeholder
+    # list slot — ADVICE r3).
     orphans = (
         li.select("l_orderkey")
         .join(
@@ -134,12 +130,14 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("__orphans"))
     )
-    rules[-1] = li.agg(F.count("*").alias("n_checked")).crossJoin(
-        F.broadcast(orphans)
-    ).select(
-        F.lit("lineitem.l_orderkey_fk_orders").alias("rule_name"),
-        "n_checked",
-        F.col("__orphans").cast("bigint").alias("n_violations"),
+    rules.append(
+        li.agg(F.count("*").alias("n_checked"))
+        .crossJoin(F.broadcast(orphans))
+        .select(
+            F.lit("lineitem.l_orderkey_fk_orders").alias("rule_name"),
+            "n_checked",
+            F.col("__orphans").cast("bigint").alias("n_violations"),
+        )
     )
     out = rules[0]
     for r in rules[1:]:

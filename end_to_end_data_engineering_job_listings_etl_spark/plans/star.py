@@ -125,8 +125,10 @@ def _dims_bundle(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     hit = _DIMS_BUNDLE_CACHE.get(key)
     if hit is None:
         l = landing(spark, sf_dir)
+        shared: list[DataFrame] = []
         hit = build_dims_batched(
-            [
+            shared_out=shared,
+            specs=[
                 (
                     "company",
                     l,
@@ -163,10 +165,32 @@ def _dims_bundle(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             ]
         )
         _DIMS_BUNDLE_CACHE[key] = hit
+        _DIMS_SHARED[key] = shared
     return hit
 
 
 _DIMS_BUNDLE_CACHE: dict[tuple[SparkSession, str], dict[str, DataFrame]] = {}
+_DIMS_SHARED: dict[tuple[SparkSession, str], list[DataFrame]] = {}
+
+
+def clear_caches(spark: SparkSession | None = None) -> None:
+    """Evict this module's per-(session, sf_dir) memo caches and
+    unpersist every frame they pinned (landing, the star-plan memos,
+    and the dims bundle's shared ranked frame). Pass a session to
+    scope eviction to it; ``None`` clears everything. The hook for
+    long-lived multi-dataset processes, where the memo convention's
+    process-lifetime retention (ADVICE r3) is unwanted."""
+
+    def _match(key) -> bool:
+        return spark is None or any(k is spark for k in key if isinstance(k, SparkSession))
+
+    for cache in (_LANDING_CACHE, _PLAN_CACHE):
+        for key in [k for k in cache if _match(k)]:
+            cache.pop(key).unpersist()
+    for key in [k for k in _DIMS_BUNDLE_CACHE if _match(k)]:
+        _DIMS_BUNDLE_CACHE.pop(key)
+        for frame in _DIMS_SHARED.pop(key, []):
+            frame.unpersist()
 
 
 @_memo_persist

@@ -79,82 +79,76 @@ def _pinned(fn: Callable[[SparkSession, str], DataFrame]):
 # not-yet-driver-checked surface into the window (every name here has a
 # DuckDB oracle — no rows-only checks waste a slot).
 #
-# Round 3 window: the 13 round-2 hash_match-red rows (output types now
-# canonicalized — scaled-BIGINT money, no DECIMAL/HUGEINT cells — each
-# re-verified against the reverse-engineered driver hasher in
-# tests/oracle_check.py), plus the never-checked LLM-training-data
-# pipeline layer: traindata (sampling/packing/decontamination/
-# redaction/quantization/URL-dedup), mlx (TF-IDF, k-means, PageRank,
-# REST ingest, pandas-grouped ops, range join), curation, window
-# functions, corpus estimator calibration, round-2 streaming
-# (chained aggs, left-outer interval join, bounded-state dedup), the
-# scale-mode fact fallback, and ER blocking.
-# Still unbanked for round 4+: extended (23), media_stream (6),
-# pricing (6), tpch3 (5), sqlviews (2), plus the round-3 additions —
-# tpch4 (6), profiling (2), text_dup_spans, samp_split_by_cluster,
-# samp_token_budget, graph_triangle_count, agg_hll_partition_merge,
-# w_max_concurrency, stream_fullouter_interval_join,
-# inc_snapshot_diff, text_chunk_overlap, dd_prefix_filter_pairs
-# (≈60 total; the ~10 overflow rotate in round 5).
+# Round 4 window: fills all 50 slots with never-driver-windowed names
+# (62 remained unbanked after r1-r3; every name below is DuckDB-oracled).
+# Deferred to round 5 (12): the two rows-only checks (agg_approx_distinct,
+# jl_star_fact) plus ten the round-3 judge already strict-replica-verified
+# green (dd_prefix_filter_pairs, text_dup_spans, samp_split_by_cluster,
+# samp_token_budget, text_chunk_overlap, graph_triangle_count,
+# src_json_records, src_jdbc_landing, agg_hll_partition_merge,
+# text_winnow_fingerprints) -- lowest incremental risk, so they yield
+# their slots to names no independent run has ever checked.
 _WINDOW = [
-    # round-2 red rows, fixed — re-check first
-    "li_market_share",
-    "li_promo_share_monthly",
-    "li_lateness_by_class",
-    "li_returned_top_customers",
-    "li_big_orders",
-    "li_top_supplier",
-    "rel_correlated_scalar",
-    "agg_multi_distinct",
-    "sink_compaction",
-    "sink_partitioned_roundtrip",
-    "sink_csv_roundtrip",
-    "sink_orc_roundtrip",
-    "stream_static_join",
-    # traindata: the training-data pipeline layer
-    "samp_hash_split",
-    "samp_reservoir_per_stratum",
-    "samp_mixture",
-    "text_pack_batches",
-    "dd_duplicate_clusters",
-    "text_decontaminate",
-    "text_redact",
-    "emb_int8_quantize",
-    "text_quality_classifier",
-    "samp_global_shuffle",
-    "text_url_dedup",
-    # mlx
-    "text_tfidf_top_terms",
-    "ml_kmeans_step",
-    "src_rest_ingest",
-    "src_rest_datasource",
-    "graph_pagerank_step",
-    "op_grouped_seq_pandas",
-    "op_cogroup_pandas",
-    "op_udtf_sentences",
-    "op_range_join",
-    # curation
-    "text_bigram_lm_score",
-    "sem_dedup_clusters",
-    # window functions
-    "w_topk_per_group",
-    "w_locf_forward_fill",
-    "fn_try_arithmetic",
-    "w_moving_sum_30d",
-    "w_ntile_buckets",
-    "agg_grouping_sets",
-    "fn_array_hof",
-    "fn_posexplode_tokens",
-    # corpus estimator calibration
-    "dd_containment_pairs",
-    "dd_minhash_estimate",
-    # streaming round 2
-    "stream_chained_window_agg",
-    "stream_leftouter_interval_join",
-    "stream_dedup_within_watermark",
-    # scale-mode fact fallback + ER blocking
-    "jl_fact_fallback_checked",
-    "er_name_blocking_pairs",
+    # extended aggregate family
+    "agg_rollup_year_month",
+    "agg_cube_status_priority",
+    "agg_argmax_event",
+    "agg_salted_distinct",
+    "agg_percentiles",
+    "agg_approx_percentile_checked",
+    "agg_approx_distinct_checked",
+    "agg_filtered_bools",
+    "agg_listagg_nations",
+    "agg_exact_moments",
+    "agg_price_histogram",
+    "agg_pivot_events",
+    "agg_unpivot_events",
+    # set ops / join shapes
+    "set_except_customers",
+    "set_intersect_customers",
+    "j_semi_big_spenders",
+    "j_anti_no_orders",
+    # event-sequence operators
+    "op_asof_last_view",
+    "op_sessionize",
+    "ev_funnel",
+    "ev_cohort_retention",
+    "w_max_concurrency",
+    # pricing / lineitem analytics
+    "li_pricing_summary",
+    "li_shipping_priority",
+    "li_late_shipment_priority",
+    "li_revenue_topk",
+    "li_running_total",
+    "li_supplier_nation_revenue",
+    # TPC-H shapes (tpch3 + tpch4)
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q17_small_quantity",
+    "q2_min_balance_supplier",
+    "q5_local_supplier_volume",
+    "q11_nation_stock_share",
+    "q16_supplier_variety",
+    "q20_dominant_suppliers",
+    "q21_sole_late_suppliers",
+    # SQL view shapes
+    "sql_recursive_month_spine",
+    "sql_lateral_topn",
+    # sinks / sources / incremental
+    "sink_zorder_roundtrip",
+    "sink_observed_write",
+    "inc_snapshot_diff",
+    # streaming
+    "stream_fullouter_interval_join",
+    # star-layer variants / text
+    "dim_company_bucketed",
+    "fn_explode_outer_keywords",
+    "text_top_bigrams",
+    # profiling / data quality
+    "profile_table",
+    "dq_expectations",
 ]
 
 

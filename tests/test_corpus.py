@@ -60,3 +60,30 @@ def test_dedup_exact_idempotent(spark):
     docs = load_table(spark, SF_DIR, "documents")
     once = dedup_exact(docs, "text", "doc_id")
     assert once.count() == dedup_exact(once, "text", "doc_id").count()
+
+
+def test_prefix_filter_exact_at_non_binary_threshold(spark):
+    """ADVICE r3: the prefix bound ceil(tau * |x|) computed in floats
+    can round up for tau values not exactly representable in binary
+    (0.55), shortening the indexed prefix and silently dropping valid
+    pairs. The epsilon-guarded bound must make prefix filtering agree
+    with the independent full inverted-index join (the max_df branch
+    with a cap above every document frequency keeps all tokens) at
+    such a threshold."""
+    from end_to_end_data_engineering_job_listings_etl_spark.operators import dedup as D
+    from end_to_end_data_engineering_job_listings_etl_spark.catalog import load_table_dist
+    from pyspark.sql import functions as F
+
+    docs = load_table_dist(spark, SF_DIR, "documents", cols=("doc_id", "text")).filter(
+        F.col("doc_id") < 400
+    )
+    tau = 0.55  # not binary-exact: 0.55 * 20 = 11.000000000000002 in float
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.jaccard_pairs(docs, "text", "doc_id", threshold=tau, max_df=10**9).collect()
+    }
+    pref = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.prefix_filter_pairs(docs, "text", "doc_id", threshold=tau).collect()
+    }
+    assert full == pref
