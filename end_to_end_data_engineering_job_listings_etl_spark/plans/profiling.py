@@ -67,6 +67,49 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def profile_table_approx_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB profiling path EXECUTED, not just documented: same
+    tall per-column profile as ``profile_table`` but NDV from the
+    one-pass HLL++ ``approx_count_distinct`` (rsd=0.02, no EXPAND
+    multiplication of the input), under the tolerance gate pattern of
+    ``agg_approx_distinct_checked`` — the output carries the EXACT
+    stats plus a boolean asserting the sketch landed within 5%
+    relative error, and the oracle pins the exact values and TRUE.
+    At scale you run the approx aggregates alone; the exact twin here
+    exists only to gate the estimate."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append(F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__nulls"))
+        aggs.append(F.countDistinct(c).alias(f"{c}__ndv"))
+        aggs.append(F.approx_count_distinct(c, 0.02).alias(f"{c}__andv"))
+    row = orders.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__nulls, {c}__ndv, {c}__andv" for c in _PROFILE_COLS
+    )
+    return (
+        row.select(
+            "n_rows",
+            F.expr(
+                f"stack({len(_PROFILE_COLS)}, {stack})"
+                " as (column_name, n_nulls, n_distinct, __approx)"
+            ),
+        )
+        .select(
+            "column_name",
+            "n_rows",
+            "n_nulls",
+            "n_distinct",
+            (
+                F.abs(F.col("__approx") - F.col("n_distinct"))
+                / F.greatest(F.col("n_distinct"), F.lit(1))
+                < 0.05
+            ).alias("approx_ndv_ok"),
+        )
+        .orderBy("column_name")
+    )
+
+
 def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality expectation suite over orders/lineitem: each rule
     emits (rule_name, n_checked, n_violations, passed)."""
@@ -152,6 +195,7 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "profile_table": profile_table,
+    "profile_table_approx_checked": profile_table_approx_checked,
     "dq_expectations": dq_expectations,
 }
 
@@ -169,6 +213,12 @@ _PROFILE_ORACLE = " UNION ALL ".join(
 
 ORACLES = {
     "profile_table": f"SELECT * FROM ({_PROFILE_ORACLE}) ORDER BY column_name",
+    # exact stats pinned + TRUE: a drifting HLL++ estimate fails the
+    # value hash, not just a pytest tolerance assert
+    "profile_table_approx_checked": (
+        f"SELECT *, TRUE AS approx_ndv_ok FROM ({_PROFILE_ORACLE})"
+        " ORDER BY column_name"
+    ),
     "dq_expectations": """
         WITH rules AS (
           SELECT 'orders.o_totalprice_nonnegative' AS rule_name,
