@@ -136,3 +136,55 @@ def scd2_history(
         valid_from.alias("valid_from"),
         F.lead(valid_from).over(w2).alias("valid_to"),
     ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+def apply_cdc(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    order_cols: Sequence[str],
+    op_col: str = "op",
+    upsert_ops: Sequence[str] = ("I", "U"),
+    delete_op: str = "D",
+) -> DataFrame:
+    """Apply a CDC changelog (insert/update/delete events) onto a base
+    snapshot — the engine-side MERGE a warehouse runs per micro-batch
+    when consuming Debezium/binlog-style feeds, without a
+    transactional table format.
+
+    Semantics: per key, ONLY the latest change (by ``order_cols``, a
+    per-key total order) decides — latest op in ``upsert_ops``
+    replaces/creates the row with the change's columns; latest op ==
+    ``delete_op`` removes the key; keys with no change pass through
+    from ``base`` untouched. Intermediate changes never matter, so
+    the changelog collapses FIRST (one window on the key, max_by
+    shape) and only 1 row/key ever reaches the join.
+
+    Scale shape: one hash shuffle of the (narrow) changelog for the
+    rank, then one key-equi join with base — broadcast-eligible when
+    the per-batch change set is small (the common incremental case);
+    base is never shuffled in that regime. ``changes`` columns must be
+    ``[key, *order_cols, op_col, *value_cols]`` with value columns
+    matching ``base``'s non-key columns by name.
+    """
+    w = Window.partitionBy(key).orderBy(*[F.desc(c) for c in order_cols])
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", *[c for c in order_cols if c != key])
+    )
+    val_cols = [c for c in base.columns if c != key]
+    joined = base.alias("b").join(latest.alias("c"), key, "full_outer")
+    op = F.col(f"c.{op_col}")
+    return (
+        joined.filter(op.isNull() | op.isin(*upsert_ops))
+        .select(
+            F.col(key),
+            *[
+                F.when(op.isin(*upsert_ops), F.col(f"c.{c}"))
+                .otherwise(F.col(f"b.{c}"))
+                .alias(c)
+                for c in val_cols
+            ],
+        )
+    )

@@ -341,8 +341,49 @@ def inc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def inc_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium/binlog-style CDC changelog applied onto a base
+    snapshot (operators.incremental.apply_cdc): per key only the
+    LATEST change decides — upsert ops replace/create the row, a
+    delete op removes the key, untouched keys pass through. The
+    fixture derives a multi-change-per-key feed deterministically
+    from orders (op classes by o_orderkey residue; base drops every
+    17th customer so inserts of genuinely-new keys are exercised),
+    so all three classes are non-empty at every SF.
+
+    Scale shape: the changelog collapses on its own key shuffle
+    BEFORE touching base (1 row/key reaches the join), then one
+    key-equi join — broadcast-eligible for the common small-batch
+    case, so base is never shuffled in that regime."""
+    from ..operators.incremental import apply_cdc
+
+    def cents(c: str):
+        return (F.col(c).cast("decimal(12,2)") * 100).cast("bigint")
+
+    base = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 17 != 0)
+        .select("c_custkey", "c_name", cents("c_acctbal").alias("balance_cents"))
+    )
+    changes = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        "o_orderdate",
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 10 == 0, "D")
+        .when(F.col("o_orderkey") % 3 == 0, "I")
+        .otherwise("U")
+        .alias("op"),
+        F.concat(F.lit("CDC#"), F.col("o_orderkey").cast("string")).alias("c_name"),
+        cents("o_totalprice").alias("balance_cents"),
+    )
+    return apply_cdc(
+        base, changes, "c_custkey", ("o_orderdate", "o_orderkey")
+    ).orderBy("c_custkey")
+
+
 QUERIES = {
     "inc_snapshot_diff": inc_snapshot_diff,
+    "inc_cdc_apply": inc_cdc_apply,
     "fn_normalize_strings": fn_normalize_strings,
     "fn_parse_string_array": fn_parse_string_array,
     "fn_relative_time": fn_relative_time,
@@ -361,6 +402,37 @@ QUERIES = {
 }
 
 ORACLES = {
+    "inc_cdc_apply": """
+        WITH base AS (
+          SELECT c_custkey, c_name,
+                 CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS balance_cents
+          FROM customer WHERE c_custkey % 17 != 0
+        ), changes AS (
+          SELECT o_custkey AS c_custkey, o_orderdate, o_orderkey,
+                 CASE WHEN o_orderkey % 10 = 0 THEN 'D'
+                      WHEN o_orderkey % 3 = 0 THEN 'I'
+                      ELSE 'U' END AS op,
+                 'CDC#' || CAST(o_orderkey AS VARCHAR) AS c_name,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS balance_cents
+          FROM orders
+        ), latest AS (
+          SELECT c_custkey, op, c_name, balance_cents
+          FROM changes
+          QUALIFY row_number() OVER (PARTITION BY c_custkey
+                                     ORDER BY o_orderdate DESC,
+                                              o_orderkey DESC) = 1
+        )
+        SELECT coalesce(b.c_custkey, c.c_custkey) AS c_custkey,
+               CASE WHEN c.op IN ('I','U') THEN c.c_name
+                    ELSE b.c_name END AS c_name,
+               CASE WHEN c.op IN ('I','U') THEN c.balance_cents
+                    ELSE b.balance_cents END AS balance_cents
+        FROM base b FULL OUTER JOIN latest c ON b.c_custkey = c.c_custkey
+        WHERE c.op IS NULL OR c.op IN ('I', 'U')
+        ORDER BY c_custkey
+    """,
     "inc_snapshot_diff": """
         WITH base AS (
           SELECT o_orderkey, o_orderstatus,

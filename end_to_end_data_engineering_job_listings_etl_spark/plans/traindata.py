@@ -711,8 +711,129 @@ def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gopher-style repetition thresholds (Rae et al. 2021, Table A1,
+# adapted token-level for this whitespace corpus): a doc is flagged
+# repetitive when its most frequent token carries >10% of token mass
+# or >3% of its bigrams are duplicates. Compared as floor(x*1e6)
+# integers so the decision boundary is hash-stable cross-engine.
+_REP_TOP_TOKEN_MAX_E6 = 100_000
+_REP_DUP_BIGRAM_MAX_E6 = 30_000
+
+
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition filters — the Gopher quality-rule
+    family that catches degenerate/boilerplate text which per-corpus
+    dedup misses (a document can be unique corpus-wide and still be
+    'the the the...'): per doc the most-frequent-token mass fraction,
+    duplicate-token fraction, and duplicate-bigram fraction, plus the
+    keep/drop flag at the documented thresholds.
+
+    Scale shape: one explode + (doc_id, tok) count + doc_id rollup
+    for the token stats (two same-key aggregations, one shuffle
+    chain), bigram distinct-vs-total computed array-local per row (no
+    second explode), then a doc_id equi-join — per-doc work only,
+    nothing corpus-wide, thresholds are literals. Docs with <2
+    tokens are excluded (no bigram denominator)."""
+    docs = load_table_dist(spark, sf_dir, "documents", cols=("doc_id", "text"))
+    toked = docs.select(
+        "doc_id", T.tokens(F.lower(F.col("text"))).alias("toks")
+    ).filter(F.size("toks") >= 2)
+    tok_stats = (
+        toked.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").alias("top_count"),
+        )
+    )
+    n = F.size(F.col("toks"))
+    bigrams = F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.array_join(F.slice(F.col("toks"), i + 1, 2), " "),
+    )
+    bi_stats = toked.select(
+        "doc_id",
+        (n - 1).alias("n_bi"),
+        F.size(F.array_distinct(bigrams)).alias("n_bi_distinct"),
+    )
+    j = tok_stats.join(bi_stats, "doc_id")
+    top_e6 = F.floor(
+        F.lit(1000000.0) * F.col("top_count") / F.col("n_tokens")
+    ).cast("bigint")
+    dup_tok_e6 = F.floor(
+        F.lit(1000000.0)
+        * (F.col("n_tokens") - F.col("n_distinct"))
+        / F.col("n_tokens")
+    ).cast("bigint")
+    dup_bi_e6 = F.floor(
+        F.lit(1000000.0)
+        * (F.col("n_bi") - F.col("n_bi_distinct"))
+        / F.col("n_bi")
+    ).cast("bigint")
+    return j.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        top_e6.alias("top_token_frac_e6"),
+        dup_tok_e6.alias("dup_token_frac_e6"),
+        dup_bi_e6.alias("dup_bigram_frac_e6"),
+        (
+            (top_e6 > _REP_TOP_TOKEN_MAX_E6)
+            | (dup_bi_e6 > _REP_DUP_BIGRAM_MAX_E6)
+        ).alias("repetitive"),
+    )
+
+
+def samp_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multilingual sampling weights (the
+    mBERT/XLM-R exponentiated-share trick): a language's sampling
+    probability is its corpus share raised to 1/T then renormalized,
+    flattening the distribution so low-resource languages are
+    upsampled. T=2 (alpha=0.5) here: p_i ∝ sqrt(n_i)/Σ sqrt(n_j) —
+    sqrt because IEEE-754 sqrt is correctly rounded, so the scaled
+    integer weights below are bit-identical cross-engine (arbitrary
+    alpha works in Spark; the oracle pins the exactness-safe case).
+
+    Exactness design: s_i = floor(sqrt(n_i * 1e12)) is an integer
+    both engines agree on (the argument is exactly representable
+    below 2^53 and sqrt is correctly rounded), the denominator is an
+    exact INTEGER sum of the s_j (no float-addition order
+    sensitivity), and each share is one int/int division floored to
+    e6 — the same discipline as every ratio in this repo.
+
+    Scale shape: one count-by-lang aggregate (map-side combined),
+    one 1-row broadcast of the denominator — nothing else."""
+    docs = load_table_dist(spark, sf_dir, "documents", cols=("doc_id", "lang"))
+    per_lang = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    s = F.floor(F.sqrt(F.col("n_docs").cast("double") * 1e12)).cast("bigint")
+    sized = per_lang.select("lang", "n_docs", s.alias("__s"))
+    totals = sized.agg(
+        F.sum("n_docs").alias("__n_total"), F.sum("__s").alias("__s_total")
+    )
+    return (
+        sized.crossJoin(F.broadcast(totals))
+        .select(
+            "lang",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.floor(F.lit(1000000.0) * F.col("n_docs") / F.col("__n_total"))
+            .cast("bigint")
+            .alias("raw_share_e6"),
+            F.floor(F.lit(1000000.0) * F.col("__s") / F.col("__s_total"))
+            .cast("bigint")
+            .alias("temp_share_e6"),
+        )
+        .withColumn(
+            "upsampled", F.col("temp_share_e6") > F.col("raw_share_e6")
+        )
+    )
+
+
 QUERIES = {
     "samp_hash_split": samp_hash_split,
+    "text_repetition_signals": text_repetition_signals,
+    "samp_temperature_mixture": samp_temperature_mixture,
     "text_dup_spans": text_dup_spans,
     "samp_split_by_cluster": samp_split_by_cluster,
     "samp_token_budget": samp_token_budget,
@@ -873,4 +994,58 @@ ORACLES["text_quality_classifier"] = f"""
                   THEN {_QC_LEN_BONUS_E6} ELSE 0 END AS BIGINT) AS len_bonus_e6
       FROM documents
     )
+"""
+
+ORACLES["text_repetition_signals"] = f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_LOWER.format(e='text')} AS toks FROM documents
+    ), t2 AS (
+      SELECT doc_id, toks FROM t WHERE len(toks) >= 2
+    ), tok AS (
+      SELECT doc_id, tok, count(*) AS c
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM t2)
+      GROUP BY doc_id, tok
+    ), ts AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(max(c) AS BIGINT) AS top_count
+      FROM tok GROUP BY doc_id
+    ), bs AS (
+      SELECT doc_id, len(toks) - 1 AS n_bi,
+             len(list_distinct(list_transform(range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i+1]))) AS n_bi_distinct
+      FROM t2
+    )
+    SELECT ts.doc_id, ts.n_tokens,
+           CAST(floor(1000000.0 * top_count / n_tokens) AS BIGINT)
+             AS top_token_frac_e6,
+           CAST(floor(1000000.0 * (n_tokens - n_distinct) / n_tokens) AS BIGINT)
+             AS dup_token_frac_e6,
+           CAST(floor(1000000.0 * (n_bi - n_bi_distinct) / n_bi) AS BIGINT)
+             AS dup_bigram_frac_e6,
+           (CAST(floor(1000000.0 * top_count / n_tokens) AS BIGINT)
+              > {_REP_TOP_TOKEN_MAX_E6}
+            OR CAST(floor(1000000.0 * (n_bi - n_bi_distinct) / n_bi) AS BIGINT)
+              > {_REP_DUP_BIGRAM_MAX_E6}) AS repetitive
+    FROM ts JOIN bs ON ts.doc_id = bs.doc_id
+"""
+
+ORACLES["samp_temperature_mixture"] = """
+    WITH per_lang AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+    ), sized AS (
+      SELECT lang, n_docs,
+             CAST(floor(sqrt(CAST(n_docs AS DOUBLE) * 1e12)) AS BIGINT) AS s
+      FROM per_lang
+    ), tot AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+             CAST(sum(s) AS BIGINT) AS s_total
+      FROM sized
+    )
+    SELECT lang, n_docs,
+           CAST(floor(1000000.0 * n_docs / n_total) AS BIGINT) AS raw_share_e6,
+           CAST(floor(1000000.0 * s / s_total) AS BIGINT) AS temp_share_e6,
+           CAST(floor(1000000.0 * s / s_total) AS BIGINT)
+             > CAST(floor(1000000.0 * n_docs / n_total) AS BIGINT) AS upsampled
+    FROM sized, tot
 """
