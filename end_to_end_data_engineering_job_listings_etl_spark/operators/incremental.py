@@ -160,12 +160,18 @@ def apply_cdc(
     the changelog collapses FIRST (one window on the key, max_by
     shape) and only 1 row/key ever reaches the join.
 
-    Scale shape: one hash shuffle of the (narrow) changelog for the
-    rank, then one key-equi join with base — broadcast-eligible when
-    the per-batch change set is small (the common incremental case);
-    base is never shuffled in that regime. ``changes`` columns must be
-    ``[key, *order_cols, op_col, *value_cols]`` with value columns
-    matching ``base``'s non-key columns by name.
+    Scale shape: the rank is one hash shuffle of the (narrow)
+    changelog — and Spark's WindowGroupLimit collapses it to 1
+    row/key map-side BEFORE that shuffle (verified on the executed
+    plan). The apply is then an ANTI-JOIN + UNION, deliberately not a
+    full-outer join: every changed key's row is rebuilt from the
+    change feed alone, so base only needs "drop my changed keys" —
+    a left-anti that BROADCASTS when the per-batch change set is
+    small (the common incremental case), leaving the 100 TB base
+    entirely unshuffled. (A full-outer MERGE join can never
+    broadcast and would shuffle base on the key.) ``changes``
+    columns must be ``[key, *order_cols, op_col, *value_cols]`` with
+    value columns matching ``base``'s non-key columns by name.
     """
     w = Window.partitionBy(key).orderBy(*[F.desc(c) for c in order_cols])
     latest = (
@@ -174,17 +180,8 @@ def apply_cdc(
         .drop("__rn", *[c for c in order_cols if c != key])
     )
     val_cols = [c for c in base.columns if c != key]
-    joined = base.alias("b").join(latest.alias("c"), key, "full_outer")
-    op = F.col(f"c.{op_col}")
-    return (
-        joined.filter(op.isNull() | op.isin(*upsert_ops))
-        .select(
-            F.col(key),
-            *[
-                F.when(op.isin(*upsert_ops), F.col(f"c.{c}"))
-                .otherwise(F.col(f"b.{c}"))
-                .alias(c)
-                for c in val_cols
-            ],
-        )
+    untouched = base.join(latest.select(key), key, "left_anti")
+    upserts = latest.filter(F.col(op_col).isin(*upsert_ops)).select(
+        key, *val_cols
     )
+    return untouched.unionByName(upserts)

@@ -381,9 +381,59 @@ def inc_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_custkey")
 
 
+def inc_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: per-key partial
+    aggregate STATES (count / sum / min / max — all algebraically
+    mergeable) computed separately over an existing partition and a
+    newly-arrived one, then MERGED (count→sum, sum→sum, min→min,
+    max→max) instead of re-aggregating the full table. The oracle
+    recomputes from scratch over everything — the merge must be
+    value-identical, which is exactly the algebraic property that
+    lets a 100 TB rollup absorb a new partition by aggregating ONLY
+    that partition and merging 1-row-per-key states. Derived metrics
+    (avg) come from the merged sums, never from merging averages.
+
+    Fixture: orders split deterministically on o_orderkey % 7 into
+    "existing" and "delta" partitions; both non-empty at every SF.
+    Scale shape: the delta agg touches only delta data; the merge is
+    a groupBy over two state frames (state rows ≪ fact rows)."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def partial_state(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count("*").alias("n_orders"),
+            F.sum((F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint"))
+            .alias("sum_price_cents"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+
+    existing = partial_state(orders.filter(F.col("o_orderkey") % 7 != 0))
+    delta = partial_state(orders.filter(F.col("o_orderkey") % 7 == 0))
+    return (
+        existing.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("sum_price_cents").alias("sum_price_cents"),
+            F.min("first_order").alias("first_order"),
+            F.max("last_order").alias("last_order"),
+        )
+        .select(
+            "o_custkey",
+            "n_orders",
+            "sum_price_cents",
+            F.expr("sum_price_cents div n_orders").alias("avg_price_cents"),
+            "first_order",
+            "last_order",
+        )
+    )
+
+
 QUERIES = {
     "inc_snapshot_diff": inc_snapshot_diff,
     "inc_cdc_apply": inc_cdc_apply,
+    "inc_agg_merge": inc_agg_merge,
     "fn_normalize_strings": fn_normalize_strings,
     "fn_parse_string_array": fn_parse_string_array,
     "fn_relative_time": fn_relative_time,
@@ -402,6 +452,19 @@ QUERIES = {
 }
 
 ORACLES = {
+    "inc_agg_merge": """
+        SELECT o_custkey,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS sum_price_cents,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                             AS BIGINT)) AS BIGINT)
+                 // CAST(count(*) AS BIGINT) AS avg_price_cents,
+               min(o_orderdate) AS first_order,
+               max(o_orderdate) AS last_order
+        FROM orders
+        GROUP BY o_custkey
+    """,
     "inc_cdc_apply": """
         WITH base AS (
           SELECT c_custkey, c_name,

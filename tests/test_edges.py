@@ -124,3 +124,34 @@ def test_batched_dims_equal_per_dim_build(spark):
         expect = sorted(map(tuple, build_dim(src, keys, sk).collect()))
         got = sorted(map(tuple, batched[tag].collect()))
         assert got == expect, tag
+
+
+def test_apply_cdc_semantics(spark):
+    """apply_cdc edge semantics: latest-wins per key, delete of an
+    absent key is a no-op, insert creates a new key, a delete followed
+    by a later upsert resurrects the row, untouched keys pass through."""
+    from end_to_end_data_engineering_job_listings_etl_spark.operators.incremental import apply_cdc
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            # k=2: update then delete (delete is latest -> gone)
+            (2, 1, "U", "b2"),
+            (2, 2, "D", None),
+            # k=3: delete then update (update is latest -> resurrected)
+            (3, 1, "D", None),
+            (3, 2, "U", "c2"),
+            # k=4: brand-new key inserted
+            (4, 1, "I", "d"),
+            # k=5: delete of a key base never had -> no-op
+            (5, 1, "D", None),
+        ],
+        "k int, seq int, op string, v string",
+    )
+    out = {
+        r["k"]: r["v"]
+        for r in apply_cdc(base, changes, "k", ("seq",)).collect()
+    }
+    assert out == {1: "a", 3: "c2", 4: "d"}
