@@ -357,6 +357,18 @@ def inc_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     case, so base is never shuffled in that regime."""
     from ..operators.incremental import apply_cdc
 
+    base, changes = cdc_fixture(spark, sf_dir)
+    return apply_cdc(
+        base, changes, "c_custkey", ("o_orderdate", "o_orderkey")
+    ).orderBy("c_custkey")
+
+
+def cdc_fixture(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The deterministic (base snapshot, CDC changelog) pair behind
+    ``inc_cdc_apply`` — shared with the streaming variant
+    (``plans/media_stream.py::stream_cdc_apply``) so both check the
+    identical oracle."""
+
     def cents(c: str):
         return (F.col(c).cast("decimal(12,2)") * 100).cast("bigint")
 
@@ -376,9 +388,7 @@ def inc_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("CDC#"), F.col("o_orderkey").cast("string")).alias("c_name"),
         cents("o_totalprice").alias("balance_cents"),
     )
-    return apply_cdc(
-        base, changes, "c_custkey", ("o_orderdate", "o_orderkey")
-    ).orderBy("c_custkey")
+    return base, changes
 
 
 def inc_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:

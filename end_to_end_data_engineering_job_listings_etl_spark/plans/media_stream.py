@@ -807,6 +807,61 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC consumer as a CONTINUOUS job: ``foreachBatch`` applies
+    ``operators.incremental.apply_cdc`` (latest-wins I/U/D merge) to
+    each micro-batch against the parquet-persisted base snapshot —
+    how a warehouse actually drains a Debezium/binlog topic. Uses the
+    same deterministic (base, changelog) fixture as the batch
+    ``inc_cdc_apply`` and checks the IDENTICAL oracle: after the
+    availableNow drain the persisted snapshot must equal the one-shot
+    batch merge.
+
+    Per-batch latest-wins composes to global latest-wins when the
+    feed is time-ordered across batches (real changelogs are; the
+    staged fixture is one file ⇒ one micro-batch, pinned like every
+    stream in this engine via a high maxFilesPerTrigger)."""
+    import shutil
+
+    from ..operators.incremental import apply_cdc
+    from .functional import cdc_fixture
+
+    target = os.path.join(tempfile.gettempdir(), "stream_cdc_base")
+    shutil.rmtree(target, ignore_errors=True)
+    ckpt = scratch_dir(prefix="ckpt_cdc_")
+    stage = scratch_dir(prefix="cdc_feed_")
+
+    base, changes = cdc_fixture(spark, sf_dir)
+    base.write.mode("overwrite").parquet(target)
+    changes.coalesce(1).write.mode("overwrite").parquet(stage)
+
+    feed = (
+        spark.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", 1_000_000)
+        .parquet(stage)
+    )
+
+    def apply_batch(bdf: DataFrame, _batch_id: int) -> None:
+        s = bdf.sparkSession
+        existing = s.read.parquet(target)
+        merged = apply_cdc(
+            existing, bdf, "c_custkey", ("o_orderdate", "o_orderkey")
+        )
+        out = target + "__tmp"
+        merged.write.mode("overwrite").parquet(out)
+        shutil.rmtree(target, ignore_errors=True)
+        os.rename(out, target)
+
+    q = (
+        feed.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(target).orderBy("c_custkey")
+
+
 # ---------------------------------------------------------------------------
 # Oracles
 # ---------------------------------------------------------------------------
@@ -838,7 +893,15 @@ QUERIES = {
     "agg_approx_distinct_checked": agg_approx_distinct_checked,
     "agg_hll_partition_merge": agg_hll_partition_merge,
     "text_winnow_fingerprints": text_winnow_fingerprints,
+    "stream_cdc_apply": stream_cdc_apply,
 }
+
+
+def _cdc_oracle() -> str:
+    from .functional import ORACLES as _F
+
+    return _F["inc_cdc_apply"]
+
 
 ORACLES = {
     "sink_compaction": """
@@ -1014,3 +1077,7 @@ SELECT doc_id,
        CAST(list_max(fps) AS BIGINT) AS max_fp
 FROM winnowed""",
 }
+
+# Identical oracle to the batch inc_cdc_apply: the availableNow drain
+# must land the same snapshot the one-shot merge produces.
+ORACLES["stream_cdc_apply"] = _cdc_oracle()
