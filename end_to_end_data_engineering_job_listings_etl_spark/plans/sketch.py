@@ -1,0 +1,561 @@
+"""Sketch- and hash-structure operators: count-min frequency sketch,
+Bloom-filter join pruning, salted skew joins, content-defined chunking,
+and integer-exact BM25 ranking.
+
+These extend the engine's approximate/scale layer (HLL union, MinHash,
+SimHash — operators/dedup.py, plans/profiling.py) with the remaining
+classic streaming/sketching structures a 100 TB pipeline leans on:
+
+- A **count-min sketch** replaces an exact per-key frequency shuffle
+  with a fixed D×W grid of counters (here 4×64) that is mergeable
+  across partitions — the sketch build is one map-side-combining
+  aggregation whose output size is INDEPENDENT of the data size, and
+  probing is a broadcast join against that tiny grid.
+- A **Bloom filter** built from a dimension's join keys prunes a fact
+  table BEFORE its shuffle: the bit set is a few KB broadcast to every
+  scan task, and only surviving rows pay shuffle+join cost. (Spark's
+  own runtime bloom-filter join does this opportunistically; this
+  operator makes the structure explicit and oracle-checkable.)
+- A **salted join** spreads one hot join key over B reducers — the
+  standard fix when AQE skew splitting can't help (e.g. the skew is in
+  a single key of a shuffle join both of whose sides are large).
+- **Content-defined chunking** (rolling-hash boundaries, the Rabin/CDC
+  idea used by dedup-friendly RAG chunkers) picks chunk boundaries
+  from the CONTENT, so an edit near the start of a document re-aligns
+  within a few tokens instead of shifting every fixed-size chunk.
+- **BM25** is the lexical-retrieval baseline; the scoring here is
+  integer-rational (the repo's e-scaled idiom, see plans/mlx.py's
+  integer idf) so both engines produce bit-identical scores.
+
+Determinism: md5 is the only hash (bit-stable across Spark and
+DuckDB); all scores are integer-rational (``div``), never floats.
+
+Reference scope note: the reference ETL (dags/spark_etl_script.py) has
+no sketching layer — this module is part of the mandated
+beyond-reference training-data surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table, load_table_dist
+from ..functions.text import tokens
+
+# --- shared md5-hash conventions (bit-identical in Spark and DuckDB) ---
+
+
+def _h32(sql_expr: str) -> str:
+    """Spark SQL expr: first 8 md5 hex digits of ``sql_expr`` as a
+    BIGINT in [0, 2^32)."""
+    return f"cast(conv(substring(md5({sql_expr}), 1, 8), 16, 10) as bigint)"
+
+
+def _h32_duck(sql_expr: str) -> str:
+    """DuckDB translation of :func:`_h32`."""
+    return f"CAST(concat('0x', substr(md5({sql_expr}), 1, 8)) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------
+
+_CMS_D = 4  # hash rows
+_CMS_W = 64  # buckets per row
+
+
+def agg_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over ``events.event_type`` with the exact
+    counts and the sketch's one-sided error surfaced side by side.
+
+    Build: every row increments one bucket in each of D=4 hash rows —
+    expressed as an explode to (row, bucket) cells and ONE
+    map-side-combining aggregation whose result has at most D×W = 256
+    cells regardless of input size. Probe: estimate(key) = min over
+    rows of the key's bucket counter; CMS never under-counts, so
+    ``cms_ok`` (estimate ≥ exact) must be TRUE for every key — the
+    oracle pins the estimates exactly (md5 bucketing is deterministic),
+    not just the invariant.
+
+    100 TB posture: the sketch is mergeable (per-partition grids sum
+    cell-wise — that IS the partial aggregation Spark performs), the
+    probe joins against a ≤256-row broadcast, and nothing driver-side
+    grows with the data. The exact-count column exists for the oracle;
+    a production probe-only path would skip it and the full shuffle it
+    implies.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type")
+
+    def cell(i: int):
+        inner = f"concat('cms', '{i}', '|', event_type)"
+        return F.struct(
+            F.lit(i).alias("h"),
+            F.expr(f"{_h32(inner)} % {_CMS_W}").alias("bucket"),
+        )
+    cells = ev.select(
+        F.explode(F.array(*[cell(i) for i in range(_CMS_D)])).alias("c")
+    ).select("c.*")
+    sketch = cells.groupBy("h", "bucket").agg(F.count("*").alias("n"))
+
+    exact = ev.groupBy("event_type").agg(F.count("*").alias("exact_n"))
+    probe_cells = exact.select(
+        "event_type",
+        "exact_n",
+        F.explode(F.array(*[cell(i) for i in range(_CMS_D)])).alias("c"),
+    ).select("event_type", "exact_n", "c.*")
+    est = (
+        probe_cells.join(F.broadcast(sketch), ["h", "bucket"])
+        .groupBy("event_type", "exact_n")
+        .agg(F.min("n").alias("cms_est"))
+    )
+    return est.select(
+        "event_type",
+        F.col("exact_n").cast("bigint").alias("exact_n"),
+        F.col("cms_est").cast("bigint").alias("cms_est"),
+        (F.col("cms_est") - F.col("exact_n")).cast("bigint").alias("overcount"),
+        (F.col("cms_est") >= F.col("exact_n")).alias("cms_ok"),
+    )
+
+
+_CMS_ORACLE = f"""
+WITH cells AS (
+  SELECT t.h,
+         {_h32_duck("concat('cms', t.h, '|', e.event_type)")} % {_CMS_W} AS bucket
+  FROM events e, range({_CMS_D}) t(h)
+),
+sketch AS (SELECT h, bucket, count(*) AS n FROM cells GROUP BY h, bucket),
+exact AS (SELECT event_type, count(*) AS exact_n FROM events GROUP BY event_type),
+est AS (
+  SELECT x.event_type, x.exact_n, min(s.n) AS cms_est
+  FROM exact x
+  CROSS JOIN range({_CMS_D}) t(h)
+  JOIN sketch s
+    ON s.h = t.h
+   AND s.bucket = {_h32_duck("concat('cms', t.h, '|', x.event_type)")} % {_CMS_W}
+  GROUP BY x.event_type, x.exact_n
+)
+SELECT event_type,
+       CAST(exact_n AS BIGINT) AS exact_n,
+       CAST(cms_est AS BIGINT) AS cms_est,
+       CAST(cms_est - exact_n AS BIGINT) AS overcount,
+       cms_est >= exact_n AS cms_ok
+FROM est
+"""
+
+
+# ---------------------------------------------------------------------
+# Bloom-filter join pruning
+# ---------------------------------------------------------------------
+
+_BF_M = 8192  # bits
+_BF_K = 3  # hash functions
+_BF_MIN_BAL = 4000.0  # build-side predicate: customers with balance above
+
+
+def _bf_positions(key_sql: str) -> list[str]:
+    """The K bit positions (Spark SQL exprs) for a join key."""
+    out = []
+    for i in range(_BF_K):
+        inner = f"concat('bf', '{i}', '|', {key_sql})"
+        out.append(f"{_h32(inner)} % {_BF_M}")
+    return out
+
+
+def j_bloom_filter_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-join pruning of ``orders`` against the
+    high-balance ``customer`` subset, reported as one audit row:
+    probe volume, candidates the filter passes, true matches, and the
+    false-positive remainder.
+
+    The bit set (≤ 8192 distinct positions from K=3 md5 hashes per
+    build key) is collected into ONE array cell and broadcast — a
+    membership test then runs scan-side via ``array_contains`` with no
+    shuffle, no explode, and no per-row Python. Rows failing any of
+    their K probes are discarded before the (here: verification) join.
+
+    100 TB posture: the filter costs a few KB per executor and prunes
+    the fact BEFORE its shuffle — exactly what Spark's runtime
+    bloom-filter join (`spark.sql.optimizer.runtime.bloomFilter.*`)
+    injects automatically; building it explicitly makes the
+    false-positive accounting measurable and oracle-checkable. The
+    set-membership probe over the sorted position array stands in for
+    a real bitset probe (O(1) per hash) — the plumbing (broadcast
+    scalar subquery, scan-side predicate) is identical.
+    """
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_acctbal") > _BF_MIN_BAL
+    )
+    build_pos = cust.select(
+        F.explode(
+            F.array(*[F.expr(p) for p in _bf_positions("c_custkey")])
+        ).alias("pos")
+    )
+    bits = build_pos.agg(F.array_sort(F.collect_set("pos")).alias("bits"))
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    probe_pos = F.array(*[F.expr(p) for p in _bf_positions("o_custkey")])
+    probed = orders.crossJoin(F.broadcast(bits)).select(
+        "o_custkey",
+        (F.size(F.array_except(probe_pos, F.col("bits"))) == 0).alias("candidate"),
+    )
+    truth = cust.select(F.col("c_custkey").alias("o_custkey")).withColumn(
+        "is_member", F.lit(True)
+    )
+    joined = probed.join(F.broadcast(truth), "o_custkey", "left").select(
+        "candidate", F.coalesce("is_member", F.lit(False)).alias("is_member")
+    )
+    return joined.agg(
+        F.count("*").cast("bigint").alias("n_probe"),
+        F.sum(F.col("candidate").cast("long")).cast("bigint").alias("n_candidates"),
+        F.sum(F.col("is_member").cast("long")).cast("bigint").alias("n_true"),
+        F.sum((F.col("candidate") & ~F.col("is_member")).cast("long"))
+        .cast("bigint")
+        .alias("n_false_pos"),
+    )
+
+
+def _bf_positions_duck(key_sql: str) -> str:
+    """DuckDB list literal of the K bit positions for a join key."""
+    parts = []
+    for i in range(_BF_K):
+        inner = f"concat('bf', '{i}', '|', {key_sql})"
+        parts.append(f"{_h32_duck(inner)} % {_BF_M}")
+    return "[" + ", ".join(parts) + "]"
+
+
+_BLOOM_ORACLE = f"""
+WITH build AS (SELECT c_custkey FROM customer WHERE c_acctbal > {_BF_MIN_BAL}),
+bits AS (
+  SELECT list(DISTINCT pos) AS bits FROM (
+    SELECT unnest({_bf_positions_duck('c_custkey')}) AS pos FROM build
+  )
+),
+probed AS (
+  SELECT o.o_custkey,
+         len(list_filter({_bf_positions_duck('o.o_custkey')},
+                         p -> NOT list_contains(b.bits, p))) = 0 AS candidate
+  FROM orders o CROSS JOIN bits b
+),
+flagged AS (
+  SELECT p.candidate, (bu.c_custkey IS NOT NULL) AS is_member
+  FROM probed p LEFT JOIN build bu ON bu.c_custkey = p.o_custkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_probe,
+       CAST(sum(CASE WHEN candidate THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+       CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       CAST(sum(CASE WHEN candidate AND NOT is_member THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_pos
+FROM flagged
+"""
+
+
+# ---------------------------------------------------------------------
+# Salted skew join
+# ---------------------------------------------------------------------
+
+_SALT_B = 8
+
+
+def salted_equi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    buckets: int = _SALT_B,
+    salt_src: str | None = None,
+) -> DataFrame:
+    """Inner equi-join with the fact side salted into ``buckets``
+    sub-keys and the dim side replicated once per salt, so one hot join
+    key spreads over ``buckets`` reducers instead of melting one.
+
+    Value-identical to ``fact.join(dim, key)``: every fact row carries
+    exactly one salt and meets exactly the one matching dim replica.
+    ``salt_src`` (a fact column, default the join key's row identity
+    via md5 of all of ``fact``'s first column) must be deterministic so
+    the oracle can reproduce the plan-independent RESULT — the salt
+    never appears in the output.
+
+    This is the manual fix for skew AQE can't split (both sides large,
+    single ultra-hot key); for broadcast-able dims prefer broadcast,
+    which this module's callers assert separately.
+    """
+    salt_col = salt_src if salt_src is not None else fact.columns[0]
+    inner = f"concat('salt|', cast({salt_col} as string))"
+    salted_fact = fact.withColumn(
+        "__salt", F.expr(f"{_h32(inner)} % {buckets}")
+    )
+    replicated_dim = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
+    )
+    return salted_fact.join(replicated_dim, [key, "__salt"]).drop("__salt")
+
+
+def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per customer nation via the salted-join operator:
+    orders ⋈ customer on ``o_custkey`` with the fact side split over
+    B=8 salts, then a per-nation rollup. The oracle is the PLAIN join —
+    salting must be invisible in the result.
+
+    (customer would normally broadcast at this size; the query exists
+    to pin the salted plan's value-identity. The salt source is
+    ``o_orderkey`` — deterministic, so re-runs salt identically.)
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    joined = salted_equi_join(orders, cust, "o_custkey", salt_src="o_orderkey")
+    price_e2 = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    return (
+        joined.groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(price_e2).cast("bigint").alias("revenue_e2"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+_SALTED_ORACLE = """
+SELECT c.c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+         AS revenue_e2
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY c.c_nationkey
+ORDER BY c.c_nationkey
+"""
+
+
+# ---------------------------------------------------------------------
+# Content-defined chunking
+# ---------------------------------------------------------------------
+
+_CDC_NGRAM = 3  # rolling window (tokens)
+_CDC_MOD = 16  # boundary when hash % mod == 0 → ~16-token expected chunks
+
+
+def cdc_chunk_tokens(docs: DataFrame) -> DataFrame:
+    """Core content-defined chunker over a ``(doc_id, text)`` frame:
+    per-token rows ``(doc_id, pos, tok, chunk_id)``. A boundary falls
+    AFTER any position whose trailing 3-token md5 gram ≡ 0 (mod 16);
+    chunk_id is the running boundary count. All windows are
+    PARTITIONED BY doc_id — bounded per-document state, one hash
+    partition reused by the lags and the cumulative sum."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(tokens(F.lower(F.col("text")))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    gram = F.concat_ws(
+        " ", F.lag("tok", 2).over(w), F.lag("tok", 1).over(w), F.col("tok")
+    )
+    boundary = F.when(
+        (F.col("pos") >= _CDC_NGRAM - 1)
+        & (F.expr(f"{_h32('__gram')} % {_CDC_MOD}") == 0),
+        1,
+    ).otherwise(0)
+    return (
+        toks.withColumn("__gram", gram)
+        .withColumn("__b", boundary)
+        .withColumn(
+            "chunk_id",
+            F.coalesce(
+                F.sum("__b")
+                .over(w.rowsBetween(Window.unboundedPreceding, -1))
+                .cast("int"),
+                F.lit(0),
+            ),
+        )
+        .select("doc_id", "pos", "tok", "chunk_id")
+    )
+
+
+def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking of ``documents``: a token position ends
+    a chunk when the md5 of its trailing 3-token gram ≡ 0 (mod 16) —
+    boundaries are a function of local CONTENT, so an insertion near
+    the head of a document re-synchronizes within 3 tokens instead of
+    shifting every downstream fixed-width chunk (the Rabin-fingerprint
+    property; test_sketch.py pins it).
+
+    Output: one row per (doc, chunk) with its token count and start
+    position. Plan: posexplode → two lags + a cumulative sum, all in
+    windows PARTITIONED BY doc_id (bounded per-document state, no
+    global ordering) → one grouped rollup. Shuffle count: one hash
+    partition on doc_id reused by both windows and the rollup.
+    """
+    docs = load_table_dist(spark, sf_dir, "documents", cols=("doc_id", "text"))
+    return (
+        cdc_chunk_tokens(docs)
+        .groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.min("pos").cast("bigint").alias("start_pos"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+_CDC_ORACLE = f"""
+WITH lists AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x != '') AS toks
+  FROM documents
+),
+toks AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(toks))) - 1 AS pos,
+         unnest(toks) AS tok
+  FROM lists
+),
+grams AS (
+  SELECT doc_id, pos, tok,
+         concat_ws(' ',
+           lag(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos),
+           lag(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos),
+           tok) AS gram
+  FROM toks
+),
+marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos >= {_CDC_NGRAM - 1}
+                   AND {_h32_duck('gram')} % {_CDC_MOD} = 0
+              THEN 1 ELSE 0 END AS b
+  FROM grams
+),
+chunked AS (
+  SELECT doc_id, pos,
+         CAST(coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS INTEGER) AS chunk_id
+  FROM marked
+)
+SELECT doc_id, chunk_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(min(pos) AS BIGINT) AS start_pos
+FROM chunked
+GROUP BY doc_id, chunk_id
+ORDER BY doc_id, chunk_id
+"""
+
+
+# ---------------------------------------------------------------------
+# BM25 (integer-rational scoring)
+# ---------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "window", "vector")
+_BM25_K = 10
+# k1 = 1.2, b = 0.75, with num/den scaled by 10·T·N to stay integral:
+#   w(t,d) = idf_e3(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+#          = idf_e3(t) · (22·T·tf) / (10·T·tf + 3·T + 9·dl·N)
+# idf_e3(t) = ⌊1000·(N − df)/(df + 1)⌋ — the repo's rational-idf idiom
+# (plans/mlx.py text_tfidf_top_terms) standing in for ln-idf: same
+# monotonicity in df, bit-exact across engines (ln's last-ulp is not).
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents by integer-exact BM25 against the fixed query
+    terms ('spark', 'window', 'vector') — the lexical half of a
+    retrieval stack (the dense half is operators/similarity.py's
+    cosine/IVF/LSH ANN layer).
+
+    Plan: one token pass yields per-doc lengths (dl) and, filtered to
+    the query terms, the tf grid; corpus stats (N docs, T tokens) are a
+    1-row broadcast; df comes from the tf grid (one tiny aggregation).
+    The tf grid has ≤ |terms|·N rows, so every post-filter stage is
+    small; nothing quadratic, no global window — the final top-k is
+    TakeOrdered (per-partition heaps + driver merge of k·P rows).
+
+    Integer bounds: scores stay in int64 while idf_e3·tf·22·T < 2^63 —
+    T ≈ 10^12 tokens with df ≥ N/10^3 still fits; a planetary corpus
+    would switch the score to double (ranking, not accounting) or
+    decimal(38).
+    """
+    docs = load_table_dist(spark, sf_dir, "documents", cols=("doc_id", "text"))
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.sum("dl").cast("bigint").alias("T"), F.count("*").cast("bigint").alias("N")
+    )
+    tf = (
+        toks.where(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.expr(
+                "((1000 * (N - df)) div (df + 1)) * (22 * T * tf)"
+                " div (10 * T * tf + 3 * T + 9 * dl * N)"
+            ).alias("w"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("w").cast("bigint").alias("score_e3"))
+        .orderBy(F.desc("score_e3"), F.asc("doc_id"))
+        .limit(_BM25_K)
+    )
+
+
+_BM25_TERMS_SQL = ", ".join(f"('{t}')" for t in _BM25_TERMS)
+
+_BM25_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                    x -> x != '')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT CAST(sum(dl) AS BIGINT) AS T, CAST(count(*) AS BIGINT) AS N FROM dl),
+tf AS (
+  SELECT t.doc_id, t.term, count(*) AS tf
+  FROM toks t JOIN (VALUES {_BM25_TERMS_SQL}) q(term) ON t.term = q.term
+  GROUP BY t.doc_id, t.term
+),
+df_t AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ((1000 * (s.N - d.df)) // (d.df + 1)) * (22 * s.T * tf.tf)
+           // (10 * s.T * tf.tf + 3 * s.T + 9 * l.dl * s.N) AS w
+  FROM tf
+  JOIN df_t d ON d.term = tf.term
+  JOIN dl l ON l.doc_id = tf.doc_id
+  CROSS JOIN stats s
+)
+SELECT doc_id, CAST(sum(w) AS BIGINT) AS score_e3
+FROM scored
+GROUP BY doc_id
+ORDER BY score_e3 DESC, doc_id ASC
+LIMIT {_BM25_K}
+"""
+
+
+QUERIES = {
+    "agg_cms_frequency": agg_cms_frequency,
+    "j_bloom_filter_prune": j_bloom_filter_prune,
+    "j_salted_skew_join": j_salted_skew_join,
+    "text_cdc_chunks": text_cdc_chunks,
+    "text_bm25_topk": text_bm25_topk,
+}
+
+ORACLES = {
+    "agg_cms_frequency": _CMS_ORACLE,
+    "j_bloom_filter_prune": _BLOOM_ORACLE,
+    "j_salted_skew_join": _SALTED_ORACLE,
+    "text_cdc_chunks": _CDC_ORACLE,
+    "text_bm25_topk": _BM25_ORACLE,
+}

@@ -27,6 +27,7 @@ from .plans import (
     pricing,
     profiling,
     relational,
+    sketch,
     sqlviews,
     star,
     streaming2,
@@ -57,6 +58,7 @@ _MODULES = [
     tpch3,
     tpch4,
     profiling,
+    sketch,
 ]
 
 
