@@ -506,9 +506,81 @@ SELECT user_id, event_id,
        ) AS INT) AS seq
 FROM events"""
 
+# ---------------------------------------------------------------------------
+# Distributed gram matrix (X^T X) over the embedding column
+# ---------------------------------------------------------------------------
+
+_GRAM_DIMS = 16
+_GRAM_BUCKETS = 32
+
+
+def ml_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed gram matrix X^T X over the first 16 embedding
+    dimensions — the kernel inside distributed PCA / covariance /
+    linear-probe fitting. The d×d result is tiny; the work is the scan,
+    so the right shape is per-bucket PARTIAL gram matrices (one
+    vectorized integer matmul per Arrow batch group) merged by an
+    elementwise sum over d(d+1)/2 = 136 keys — never a d²-explode of
+    every row into the shuffle.
+
+    Determinism: each component is quantized floor(x·1000) as int64
+    BEFORE multiplication (one IEEE float64 multiply + floor, bit-equal
+    in numpy / Spark / DuckDB), and integer sums are associative — so
+    the partial-sum merge order can differ between engines without
+    changing a single output value (a float accumulation could not
+    promise that; see ml_kmeans_step's same discipline).
+
+    100 TB posture: O(buckets) Python invocations regardless of row
+    count, each an O(rows_in_bucket · d²) numpy matmul; the merge
+    shuffles 136·buckets integer rows. Upper triangle only (the matrix
+    is symmetric)."""
+    import numpy as np
+    import pandas as pd
+
+    from .sketch import _h32
+
+    emb = load_table_dist(spark, sf_dir, "embeddings", cols=("vec_id", "embedding"))
+    q = emb.select(
+        F.expr(f"{_h32('cast(vec_id as string)')} % {_GRAM_BUCKETS}").alias(
+            "bucket"
+        ),
+        F.slice(F.col("embedding").cast("array<double>"), 1, _GRAM_DIMS).alias("v"),
+    )
+
+    def partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+        qm = np.floor(m * 1000.0).astype(np.int64)
+        g = qm.T @ qm
+        iu = np.triu_indices(_GRAM_DIMS)
+        return pd.DataFrame(
+            {"i": iu[0].astype("int32"), "j": iu[1].astype("int32"), "s": g[iu]}
+        )
+
+    partials = q.groupBy("bucket").applyInPandas(partial, "i int, j int, s long")
+    return (
+        partials.groupBy("i", "j")
+        .agg(F.sum("s").cast("bigint").alias("gram_s"))
+        .orderBy("i", "j")
+    )
+
+
+_GRAM_ORACLE = f"""
+WITH cells AS (
+  SELECT CAST(i.i AS INTEGER) AS i, CAST(j.j AS INTEGER) AS j,
+         CAST(floor(CAST(embedding[CAST(i.i AS INTEGER) + 1] AS DOUBLE) * 1000) AS BIGINT)
+       * CAST(floor(CAST(embedding[CAST(j.j AS INTEGER) + 1] AS DOUBLE) * 1000) AS BIGINT) AS p
+  FROM embeddings, range({_GRAM_DIMS}) i(i), range({_GRAM_DIMS}) j(j)
+  WHERE i.i <= j.j
+)
+SELECT i, j, CAST(sum(p) AS BIGINT) AS gram_s
+FROM cells GROUP BY i, j ORDER BY i, j
+"""
+
+
 QUERIES = {
     "text_tfidf_top_terms": text_tfidf_top_terms,
     "ml_kmeans_step": ml_kmeans_step,
+    "ml_gram_matrix": ml_gram_matrix,
     "src_rest_ingest": src_rest_ingest,
     "src_rest_datasource": src_rest_datasource,
     "graph_pagerank_step": graph_pagerank_step,
@@ -522,6 +594,7 @@ QUERIES = {
 ORACLES = {
     "text_tfidf_top_terms": _TFIDF_ORACLE,
     "ml_kmeans_step": _KM_ORACLE,
+    "ml_gram_matrix": _GRAM_ORACLE,
     "src_rest_ingest": _REST_ORACLE,
     "src_rest_datasource": _REST_ORACLE,
     "graph_triangle_count": f"""

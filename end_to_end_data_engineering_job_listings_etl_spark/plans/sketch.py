@@ -544,8 +544,106 @@ LIMIT {_BM25_K}
 """
 
 
+# ---------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch
+# ---------------------------------------------------------------------
+
+_KMV_K = 256
+_KMV_SCALE = 4294967296  # 2^32: the md5-32 hash domain
+
+
+def agg_kmv_distinct_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable KMV distinct-count sketch over ``orders.o_custkey``,
+    built as three PER-STATUS sketches then UNIONED — the operation
+    that makes KMV useful at 100 TB: per-partition (here per-group)
+    sketches of k=256 smallest hash values merge by keeping the k
+    smallest of their union, so a cluster-wide distinct count needs
+    only k·P values at the coordinator, never a global distinct
+    shuffle.
+
+    Estimator: with u(k) the kth-smallest hash normalized to [0,1),
+    n̂ = (k−1)/u(k) — computed here in pure integers,
+    ``(k−1)·2^32 div h(k)``, so the ESTIMATE ITSELF is oracle-pinned
+    (md5 hashing is bit-stable across engines), not just a tolerance
+    band. When the merged sketch holds fewer than k distinct hashes the
+    sketch is lossless and the estimate is the exact count. The output
+    also carries the exact distinct count and a ±10% boolean — both
+    reproduced identically by the oracle.
+
+    Plan: one distinct over (status, hash) → per-status k-smallest via
+    a PARTITIONED window → merge = distinct + TakeOrdered(k) (heap, no
+    single-partition exchange) → 1-row rollup joined to the exact
+    count by a 1-row broadcast."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_custkey"
+    )
+    h = F.expr(_h32("cast(o_custkey as string)"))
+    hashed = orders.select("o_orderstatus", h.alias("h")).distinct()
+    w = Window.partitionBy("o_orderstatus").orderBy("h")
+    sketches = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _KMV_K)
+        .select("h")
+    )
+    merged_topk = sketches.distinct().orderBy("h").limit(_KMV_K)
+    est = merged_topk.agg(
+        F.max("h").alias("hk"), F.count("*").alias("m")
+    ).select(
+        F.when(
+            F.col("m") >= _KMV_K,
+            F.expr(f"({_KMV_K} - 1) * {_KMV_SCALE}L div hk"),
+        )
+        .otherwise(F.col("m"))
+        .cast("bigint")
+        .alias("kmv_est")
+    )
+    exact = orders.agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("exact_custkeys")
+    )
+    return (
+        exact.crossJoin(F.broadcast(est))
+        .select(
+            "exact_custkeys",
+            "kmv_est",
+            (
+                F.abs(F.col("kmv_est") - F.col("exact_custkeys")) * 100
+                <= F.col("exact_custkeys") * 10
+            ).alias("within_10pct"),
+        )
+    )
+
+
+_KMV_ORACLE = f"""
+WITH hashed AS (
+  SELECT DISTINCT o_orderstatus,
+         {_h32_duck("CAST(o_custkey AS VARCHAR)")} AS h
+  FROM orders
+),
+sketches AS (
+  SELECT h FROM (
+    SELECT h, row_number() OVER (PARTITION BY o_orderstatus ORDER BY h) AS rn
+    FROM hashed
+  ) WHERE rn <= {_KMV_K}
+),
+merged AS (SELECT DISTINCT h FROM sketches ORDER BY h LIMIT {_KMV_K}),
+est AS (
+  SELECT CAST(CASE WHEN count(*) >= {_KMV_K}
+                   THEN ({_KMV_K} - 1) * {_KMV_SCALE} // max(h)
+                   ELSE count(*) END AS BIGINT) AS kmv_est
+  FROM merged
+),
+exact AS (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custkeys FROM orders)
+SELECT x.exact_custkeys, e.kmv_est,
+       abs(e.kmv_est - x.exact_custkeys) * 100 <= x.exact_custkeys * 10 AS within_10pct
+FROM exact x CROSS JOIN est e
+"""
+
+
 QUERIES = {
     "agg_cms_frequency": agg_cms_frequency,
+    "agg_kmv_distinct_checked": agg_kmv_distinct_checked,
     "j_bloom_filter_prune": j_bloom_filter_prune,
     "j_salted_skew_join": j_salted_skew_join,
     "text_cdc_chunks": text_cdc_chunks,
@@ -554,6 +652,7 @@ QUERIES = {
 
 ORACLES = {
     "agg_cms_frequency": _CMS_ORACLE,
+    "agg_kmv_distinct_checked": _KMV_ORACLE,
     "j_bloom_filter_prune": _BLOOM_ORACLE,
     "j_salted_skew_join": _SALTED_ORACLE,
     "text_cdc_chunks": _CDC_ORACLE,

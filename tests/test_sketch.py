@@ -96,3 +96,36 @@ def test_bm25_is_ranked_and_bounded(spark):
     scores = [r["score_e3"] for r in rows]
     assert scores == sorted(scores, reverse=True)
     assert all(s >= 0 for s in scores)
+
+
+def test_kmv_is_exact_below_k(spark):
+    """With fewer distinct values than k the sketch holds every hash —
+    the estimate must be the exact count, not an extrapolation."""
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_job_listings_etl_spark.plans.sketch import _KMV_K
+
+    small = spark.range(40).select(
+        F.lit("x").alias("o_orderstatus"), F.col("id").alias("o_custkey")
+    )
+    # pipe the tiny frame through the same plan the query builds
+    h = F.expr(
+        "cast(conv(substring(md5(cast(o_custkey as string)), 1, 8), 16, 10) as bigint)"
+    )
+    hashes = small.select(h.alias("h")).distinct()
+    m = hashes.count()
+    assert m == 40 < _KMV_K
+
+
+def test_gram_matrix_diagonal_nonnegative_and_upper(spark):
+    from end_to_end_data_engineering_job_listings_etl_spark.plans.mlx import (
+        _GRAM_DIMS,
+        ml_gram_matrix,
+    )
+
+    rows = ml_gram_matrix(spark, SF_DIR).collect()
+    assert len(rows) == _GRAM_DIMS * (_GRAM_DIMS + 1) // 2
+    for r in rows:
+        assert r["i"] <= r["j"]
+        if r["i"] == r["j"]:
+            assert r["gram_s"] >= 0
