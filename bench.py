@@ -107,6 +107,22 @@ HEADLINE = [
     "w_max_concurrency",
     "inc_snapshot_diff",
     "text_chunk_overlap",
+    # round-4 additions: CDC apply, Gopher/temperature curation, the
+    # sketch layer (CMS/Bloom/KMV/salted/CDC-chunking/BM25), and the
+    # distributed gram matrix — banked the round they land
+    "inc_cdc_apply",
+    "stream_cdc_apply",
+    "text_repetition_signals",
+    "samp_temperature_mixture",
+    "profile_table_approx_checked",
+    "inc_agg_merge",
+    "agg_cms_frequency",
+    "agg_kmv_distinct_checked",
+    "j_bloom_filter_prune",
+    "j_salted_skew_join",
+    "text_cdc_chunks",
+    "text_bm25_topk",
+    "ml_gram_matrix",
 ]
 
 

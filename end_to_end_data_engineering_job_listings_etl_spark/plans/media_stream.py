@@ -863,6 +863,99 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Inverted-index sink
+# ---------------------------------------------------------------------------
+
+_IDX_SHARDS = 16
+_IDX_LOOKUP = ("spark", "window", "vector", "merge")
+
+
+def sink_inverted_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index warehouse artifact: build term → posting-list
+    rows from ``documents``, write them PARTITIONED BY an md5 term
+    shard, re-read with a shard filter, and serve a 4-term lookup.
+
+    The scale story is the layout: a term's postings live in exactly
+    one of 16 shard partitions, so a lookup prunes 15/16 of the index
+    at the parquet-directory level (partition pruning — the same
+    mechanism tests/test_dpp.py asserts) and the posting list arrives
+    as ONE row, not a scan-and-regroup. This is the serving-side
+    complement of text_bm25_topk's scoring (plans/sketch.py): BM25
+    ranks with tf/df; the index ships df and the doc list per term.
+
+    Posting lists are ``array_sort(collect_set(...))`` joined to a
+    comma string — deterministic regardless of partition arrival
+    order, and hash-safe for the driver (no array cells). The oracle
+    recomputes the same lists straight off ``documents``, so a
+    dropped shard, a bad partition filter, or an unsorted list all
+    break the hash."""
+    from ..functions.text import tokens
+
+    docs = load_table_dist(spark, sf_dir, "documents", cols=("doc_id", "text"))
+    posting = (
+        docs.select(
+            "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+        )
+        .distinct()
+        .groupBy("term")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_set(F.col("doc_id"))),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("doc_list"),
+        )
+        .withColumn(
+            "shard",
+            F.expr(
+                "cast(conv(substring(md5(concat('idx|', term)), 1, 8), 16, 10)"
+                f" as bigint) % {_IDX_SHARDS}"
+            ),
+        )
+    )
+    path = os.path.join(scratch_dir(prefix="sink_idx_"), "inverted_index")
+    posting.write.partitionBy("shard").mode("overwrite").parquet(path)
+
+    # the lookup's shard set is computable driver-side from the terms
+    # alone (same md5 rule) — this is what makes the partition filter a
+    # static prune, no index scan needed to find the shards
+    import hashlib
+
+    shards = sorted(
+        {
+            int(hashlib.md5(f"idx|{t}".encode()).hexdigest()[:8], 16) % _IDX_SHARDS
+            for t in _IDX_LOOKUP
+        }
+    )
+    back = spark.read.parquet(path).where(
+        F.col("shard").isin(*shards) & F.col("term").isin(*_IDX_LOOKUP)
+    )
+    return back.select("term", "n_docs", "doc_list").orderBy("term")
+
+
+_IDX_ORACLE = f"""
+WITH raw AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                            x -> x != '')) AS term
+  FROM documents
+),
+toks AS (SELECT DISTINCT doc_id, term FROM raw)
+SELECT t.term,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       array_to_string(list_sort(list(doc_id)), ',') AS doc_list
+FROM toks t
+JOIN (VALUES {", ".join(f"('{t}')" for t in _IDX_LOOKUP)}) q(term)
+  ON t.term = q.term
+GROUP BY t.term
+ORDER BY t.term
+"""
+
+
+# ---------------------------------------------------------------------------
 # Oracles
 # ---------------------------------------------------------------------------
 
@@ -886,6 +979,7 @@ QUERIES = {
     "sink_partitioned_roundtrip": sink_partitioned_roundtrip,
     "sink_csv_roundtrip": sink_csv_roundtrip,
     "sink_orc_roundtrip": sink_orc_roundtrip,
+    "sink_inverted_index_roundtrip": sink_inverted_index_roundtrip,
     "sink_zorder_roundtrip": sink_zorder_roundtrip,
     "sink_observed_write": sink_observed_write,
     "src_jdbc_landing": src_jdbc_landing,
@@ -936,6 +1030,7 @@ SELECT o_orderstatus, count(*) AS n_orders,
          AS sum_price_e2
 FROM orders GROUP BY o_orderstatus
 """,
+    "sink_inverted_index_roundtrip": _IDX_ORACLE,
     "sink_observed_write": """
 SELECT count(*) AS n_rows,
        CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT)
