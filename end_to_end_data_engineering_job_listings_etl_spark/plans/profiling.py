@@ -76,14 +76,23 @@ def profile_table_approx_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats plus a boolean asserting the sketch landed within 5%
     relative error, and the oracle pins the exact values and TRUE.
     At scale you run the approx aggregates alone; the exact twin here
-    exists only to gate the estimate."""
+    exists only to gate the estimate.
+
+    Plan note: the exact and approx aggregates run as TWO separate
+    1-row passes joined by a broadcast — mixing ``countDistinct`` and
+    ``approx_count_distinct`` in ONE agg forces Spark's multi-distinct
+    Expand rewrite to haul every HLL++ buffer through the expanded
+    input (measured 35 s vs 2.5+2.5 s split at sf0.1)."""
     orders = load_table(spark, sf_dir, "orders")
-    aggs = [F.count("*").alias("n_rows")]
+    exact_aggs = [F.count("*").alias("n_rows")]
+    approx_aggs = []
     for c in _PROFILE_COLS:
-        aggs.append(F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__nulls"))
-        aggs.append(F.countDistinct(c).alias(f"{c}__ndv"))
-        aggs.append(F.approx_count_distinct(c, 0.02).alias(f"{c}__andv"))
-    row = orders.agg(*aggs)
+        exact_aggs.append(
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"{c}__nulls")
+        )
+        exact_aggs.append(F.countDistinct(c).alias(f"{c}__ndv"))
+        approx_aggs.append(F.approx_count_distinct(c, 0.02).alias(f"{c}__andv"))
+    row = orders.agg(*exact_aggs).crossJoin(F.broadcast(orders.agg(*approx_aggs)))
     stack = ", ".join(
         f"'{c}', {c}__nulls, {c}__ndv, {c}__andv" for c in _PROFILE_COLS
     )
