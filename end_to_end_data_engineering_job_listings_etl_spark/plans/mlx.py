@@ -577,10 +577,82 @@ FROM cells GROUP BY i, j ORDER BY i, j
 """
 
 
+# ---------------------------------------------------------------------------
+# mapInArrow L2 normalization
+# ---------------------------------------------------------------------------
+
+
+def emb_l2_normalize_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norms of the embedding column via ``mapInArrow`` — the
+    zero-copy executor-Python tier below mapInPandas (no pandas
+    conversion: the ListArray's flat value buffer reshapes straight
+    into a numpy matrix). Completes the engine's Python-API ladder:
+    pandas_udf → applyInPandas → cogroup → applyInPandasWithState →
+    UDTF → mapInPandas → mapInArrow, each tier oracle-gated.
+
+    Output per vector: floor(1e6·‖v‖) and floor(1e6·v₀/‖v‖) as
+    BIGINTs. Determinism: the squared-norm accumulates dimension-by-
+    dimension in ascending order — the SAME IEEE operation sequence as
+    DuckDB's sequential list_aggregate fold and Spark's F.aggregate
+    (ml_kmeans_step's discipline); sqrt and divide are correctly
+    rounded, so both engines produce bit-identical doubles before the
+    floor.
+
+    100 TB posture: a narrow map, no shuffle; Arrow batches stream
+    through the Python worker at memory-bandwidth speed."""
+    import numpy as np
+    import pyarrow as pa
+
+    emb = load_table_dist(spark, sf_dir, "embeddings", cols=("vec_id", "embedding"))
+
+    def normalize(batches):
+        for b in batches:
+            ids = b.column(b.schema.get_field_index("vec_id"))
+            la = b.column(b.schema.get_field_index("embedding"))
+            flat = np.asarray(la.flatten(), dtype=np.float64)
+            m = flat.reshape(len(la), -1)
+            acc = np.zeros(m.shape[0], dtype=np.float64)
+            for k in range(m.shape[1]):  # fixed ascending-dim order
+                acc = acc + m[:, k] * m[:, k]
+            norm = np.sqrt(acc)
+            comp0 = np.zeros_like(norm)
+            np.divide(m[:, 0], norm, out=comp0, where=norm > 0.0)
+            yield pa.record_batch(
+                [
+                    ids,
+                    pa.array(np.floor(norm * 1e6).astype(np.int64)),
+                    pa.array(np.floor(comp0 * 1e6).astype(np.int64)),
+                ],
+                names=["vec_id", "norm_e6", "comp0_e6"],
+            )
+
+    return emb.mapInArrow(
+        normalize, "vec_id long, norm_e6 long, comp0_e6 long"
+    ).orderBy("vec_id")
+
+
+_L2_SQ = (
+    "list_aggregate(list_transform(range(1, len(v) + 1),"
+    " i -> v[i] * v[i]), 'sum')"
+)
+
+_L2_ORACLE = f"""
+WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt({_L2_SQ}) AS nrm FROM d)
+SELECT vec_id,
+       CAST(floor(nrm * 1000000) AS BIGINT) AS norm_e6,
+       CAST(floor(CASE WHEN nrm > 0 THEN v[1] / nrm ELSE 0 END * 1000000) AS BIGINT)
+         AS comp0_e6
+FROM n
+ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "text_tfidf_top_terms": text_tfidf_top_terms,
     "ml_kmeans_step": ml_kmeans_step,
     "ml_gram_matrix": ml_gram_matrix,
+    "emb_l2_normalize_arrow": emb_l2_normalize_arrow,
     "src_rest_ingest": src_rest_ingest,
     "src_rest_datasource": src_rest_datasource,
     "graph_pagerank_step": graph_pagerank_step,
@@ -595,6 +667,7 @@ ORACLES = {
     "text_tfidf_top_terms": _TFIDF_ORACLE,
     "ml_kmeans_step": _KM_ORACLE,
     "ml_gram_matrix": _GRAM_ORACLE,
+    "emb_l2_normalize_arrow": _L2_ORACLE,
     "src_rest_ingest": _REST_ORACLE,
     "src_rest_datasource": _REST_ORACLE,
     "graph_triangle_count": f"""
