@@ -145,3 +145,68 @@ def test_connected_components_match_union_find(spark, edges):
         for r in connected_components(verts, edf, id_col="doc_id").collect()
     }
     assert got == expected
+
+
+_tok = st.sampled_from(
+    ["alpha", "bravo", "charlie", "delta", "echo", "fox", "golf", "hotel",
+     "india", "kilo", "lima", "mike", "oscar", "papa", "romeo", "tango"]
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(_tok, min_size=12, max_size=60),
+    st.integers(0, 60),
+    _tok,
+)
+def test_cdc_chunker_localizes_an_insertion(toks, idx, ins):
+    """Content-defined chunking's load-bearing property on ARBITRARY
+    token streams: inserting one token anywhere changes only the
+    chunk(s) overlapping the 3-token re-sync window around the edit —
+    every other chunk fingerprint survives verbatim. (A boundary inside
+    the window can vanish, merging two old chunks → at most 2 base
+    fingerprints may disappear.)"""
+    from end_to_end_data_engineering_job_listings_etl_spark.plans.sketch import cdc_chunk_tokens
+    from end_to_end_data_engineering_job_listings_etl_spark.session import get_spark
+
+    spark = get_spark(cpus=8)
+    idx = min(idx, len(toks))
+    edited = toks[:idx] + [ins] + toks[idx:]
+    docs = spark.createDataFrame(
+        [(1, " ".join(toks)), (2, " ".join(edited))], ["doc_id", "text"]
+    )
+    fps = (
+        cdc_chunk_tokens(docs)
+        .groupBy("doc_id", "chunk_id")
+        .agg(F.concat_ws(" ", F.collect_list("tok")).alias("fp"))
+        .collect()
+    )
+    base = [r["fp"] for r in fps if r["doc_id"] == 1]
+    edit = {r["fp"] for r in fps if r["doc_id"] == 2}
+    # multiset-ish check on the set level: at most 2 base chunks vanish
+    missing = [fp for fp in set(base) if fp not in edit]
+    assert len(missing) <= 2, (toks, idx, ins, missing)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 9), st.integers(0, 99)),
+             min_size=1, max_size=30),
+    st.lists(st.integers(0, 9), min_size=1, max_size=8, unique=True),
+    st.integers(2, 7),
+)
+def test_salted_join_property(fact_rows, dim_keys, buckets):
+    """salted_equi_join == plain inner join for arbitrary fact/dim key
+    multisets and any salt count (duplicates on both sides included:
+    dim is deduped to model a dimension; fact keeps duplicates)."""
+    from end_to_end_data_engineering_job_listings_etl_spark.plans.sketch import salted_equi_join
+    from end_to_end_data_engineering_job_listings_etl_spark.session import get_spark
+
+    spark = get_spark(cpus=8)
+    fact = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(fact_rows)], ["rid", "k", "v"]
+    )
+    dim = spark.createDataFrame([(k, k * 10) for k in dim_keys], ["k", "attr"])
+    salted = salted_equi_join(fact, dim, "k", buckets=buckets, salt_src="rid")
+    plain = fact.join(dim, "k")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
