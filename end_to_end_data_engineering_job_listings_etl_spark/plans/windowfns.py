@@ -109,6 +109,42 @@ def w_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w_cume_dist_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining ranked-window trio: cume_dist (as exact integer
+    rank·1e6 div n — the same integral-division discipline as
+    w_ntile_buckets' percent_rank), nth_value(…, 2) over the full
+    frame, and frame-bounded first/last values per order-priority
+    class. One PARTITIONED window spec shared by every expression —
+    a single hash partition + sort, no global ordering."""
+    orders = load_table(spark, sf_dir, "orders")
+    price_e2 = (_price() * 100).cast("bigint")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        price_e2.asc(), F.asc("o_orderkey")
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wp = Window.partitionBy("o_orderpriority")
+    # cume_dist = rank-of-last-peer / n; with the unique (price, key)
+    # order, rank() == row_number(), so cd_e6 = rank·1e6 div n exactly
+    rank = F.row_number().over(w).cast("long")
+    n = F.count("*").over(wp)
+    return orders.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        (rank * 1_000_000).alias("__num"),
+        n.alias("__n"),
+        F.nth_value(price_e2, 2).over(wf).alias("second_cheapest_e2"),
+        F.first(price_e2).over(wf).alias("cheapest_e2"),
+        F.last(price_e2).over(wf).alias("priciest_e2"),
+    ).select(
+        "o_orderkey",
+        "priority",
+        F.expr("__num div __n").cast("long").alias("cd_e6"),
+        "second_cheapest_e2",
+        "cheapest_e2",
+        "priciest_e2",
+    )
+
+
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS ((year), (status), ()) in one pass — the explicit
     grouping-set form rollup/cube can't express (disjoint sets, no
@@ -278,6 +314,7 @@ QUERIES = {
     "fn_try_arithmetic": fn_try_arithmetic,
     "w_moving_sum_30d": w_moving_sum_30d,
     "w_ntile_buckets": w_ntile_buckets,
+    "w_cume_dist_nth": w_cume_dist_nth,
     "agg_grouping_sets": agg_grouping_sets,
     "fn_array_hof": fn_array_hof,
     "fn_posexplode_tokens": fn_posexplode_tokens,
@@ -357,6 +394,26 @@ ORACLES = {
           FROM orders
           WINDOW w AS (PARTITION BY o_orderpriority
                        ORDER BY CAST(o_totalprice AS DECIMAL(12,2)), o_orderkey)
+        )
+    """,
+    "w_cume_dist_nth": """
+        SELECT o_orderkey, priority,
+               (rk * 1000000) // n AS cd_e6,
+               second_cheapest_e2, cheapest_e2, priciest_e2
+        FROM (
+          SELECT o_orderkey, o_orderpriority AS priority,
+                 row_number() OVER w AS rk,
+                 count(*) OVER (PARTITION BY o_orderpriority) AS n,
+                 nth_value(price_e2, 2) OVER wf AS second_cheapest_e2,
+                 first_value(price_e2) OVER wf AS cheapest_e2,
+                 last_value(price_e2) OVER wf AS priciest_e2
+          FROM (SELECT o_orderkey, o_orderpriority,
+                       CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                         AS price_e2
+                FROM orders)
+          WINDOW w AS (PARTITION BY o_orderpriority ORDER BY price_e2, o_orderkey),
+                 wf AS (PARTITION BY o_orderpriority ORDER BY price_e2, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         )
     """,
     "agg_grouping_sets": """
