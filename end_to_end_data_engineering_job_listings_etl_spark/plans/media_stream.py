@@ -863,6 +863,82 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Schema-evolution source
+# ---------------------------------------------------------------------------
+
+
+def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read evolution: a landing directory whose early
+    batches were written with a NARROW schema and later batches with
+    two added columns, scanned as one dataset via
+    ``mergeSchema=true`` — the standard ingestion reality when an
+    upstream producer adds fields mid-stream. Early rows surface the
+    new columns as NULL; the rollup below groups on an added column so
+    a wrong fill (dropped rows, misaligned columns, default-instead-of-
+    null) breaks the value hash.
+
+    100 TB posture: schema merging is a FOOTER-only operation (one
+    small read per file at planning time, no data scan), and the
+    per-batch physical schemas stay pruned — each file decodes only
+    the columns it actually has. The alternative — rewriting history
+    to the new schema — is the thing a petabyte landing cannot afford.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    path = os.path.join(scratch_dir(prefix="src_evo_"), "orders_landing")
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+        "o_orderpriority",
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(path, "batch=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(path, "batch=2"))
+
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(path, "batch=1"), os.path.join(path, "batch=2")
+    )
+    price_e2 = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    return (
+        merged.groupBy(
+            F.coalesce(F.col("o_orderstatus"), F.lit("<pre-evolution>")).alias(
+                "status"
+            )
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(price_e2).cast("bigint").alias("revenue_e2"),
+            F.sum(F.col("o_orderpriority").isNull().cast("long"))
+            .cast("bigint")
+            .alias("n_null_priority"),
+        )
+        .orderBy("status")
+    )
+
+
+_EVO_ORACLE = """
+WITH unioned AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         CAST(NULL AS VARCHAR) AS o_orderstatus,
+         CAST(NULL AS VARCHAR) AS o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT coalesce(o_orderstatus, '<pre-evolution>') AS status,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+         AS revenue_e2,
+       CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_priority
+FROM unioned
+GROUP BY coalesce(o_orderstatus, '<pre-evolution>')
+ORDER BY status
+"""
+
+
+# ---------------------------------------------------------------------------
 # Inverted-index sink
 # ---------------------------------------------------------------------------
 
@@ -980,6 +1056,7 @@ QUERIES = {
     "sink_csv_roundtrip": sink_csv_roundtrip,
     "sink_orc_roundtrip": sink_orc_roundtrip,
     "sink_inverted_index_roundtrip": sink_inverted_index_roundtrip,
+    "src_schema_evolution": src_schema_evolution,
     "sink_zorder_roundtrip": sink_zorder_roundtrip,
     "sink_observed_write": sink_observed_write,
     "src_jdbc_landing": src_jdbc_landing,
@@ -1031,6 +1108,7 @@ SELECT o_orderstatus, count(*) AS n_orders,
 FROM orders GROUP BY o_orderstatus
 """,
     "sink_inverted_index_roundtrip": _IDX_ORACLE,
+    "src_schema_evolution": _EVO_ORACLE,
     "sink_observed_write": """
 SELECT count(*) AS n_rows,
        CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT)
