@@ -863,6 +863,70 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Malformed-record CSV ingest (PERMISSIVE mode)
+# ---------------------------------------------------------------------------
+
+
+def src_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode ingest of a CSV landing with injected corrupt
+    rows (every o_orderkey ≡ 0 mod 13 is written as a garbage line):
+    parse failures land in ``columnNameOfCorruptRecord`` instead of
+    killing the job — the quarantine pattern every large-scale ingest
+    needs, since at 100 TB a landing WILL contain malformed rows and
+    FAILFAST means an un-runnable pipeline. The audit row carries the
+    good/bad split and the revenue total over parsed rows only; the
+    oracle derives all three from the injection rule, so a row
+    mis-quarantined in either direction breaks the hash.
+
+    (DROPMALFORMED is the lossy sibling — same parse path, silently
+    discards; PERMISSIVE + explicit quarantine accounting is the
+    auditable choice and the one exercised here.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    path = os.path.join(scratch_dir(prefix="src_csv_bad_"), "orders_lines")
+    line = F.when(
+        F.col("o_orderkey") % 13 == 0, F.lit("!!corrupt;;not,a,number,line")
+    ).otherwise(
+        F.concat_ws(
+            ",",
+            F.col("o_orderkey"),
+            F.col("o_custkey"),
+            F.col("o_totalprice").cast("decimal(12,2)").cast("string"),
+        )
+    )
+    orders.select(line.alias("value")).write.mode("overwrite").text(path)
+
+    parsed = (
+        spark.read.schema(
+            "o_orderkey bigint, o_custkey bigint, price decimal(12,2), "
+            "_corrupt string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    good = F.col("_corrupt").isNull()
+    return parsed.agg(
+        F.sum(good.cast("long")).cast("bigint").alias("n_good"),
+        F.sum((~good).cast("long")).cast("bigint").alias("n_quarantined"),
+        F.sum(F.when(good, (F.col("price") * 100).cast("bigint")))
+        .cast("bigint")
+        .alias("revenue_e2_good"),
+    )
+
+
+_CSV_BAD_ORACLE = """
+SELECT CAST(sum(CASE WHEN o_orderkey % 13 != 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_good,
+       CAST(sum(CASE WHEN o_orderkey % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_quarantined,
+       CAST(sum(CASE WHEN o_orderkey % 13 != 0
+                     THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                END) AS BIGINT) AS revenue_e2_good
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
 # Schema-evolution source
 # ---------------------------------------------------------------------------
 
@@ -1057,6 +1121,7 @@ QUERIES = {
     "sink_orc_roundtrip": sink_orc_roundtrip,
     "sink_inverted_index_roundtrip": sink_inverted_index_roundtrip,
     "src_schema_evolution": src_schema_evolution,
+    "src_csv_malformed": src_csv_malformed,
     "sink_zorder_roundtrip": sink_zorder_roundtrip,
     "sink_observed_write": sink_observed_write,
     "src_jdbc_landing": src_jdbc_landing,
@@ -1109,6 +1174,7 @@ FROM orders GROUP BY o_orderstatus
 """,
     "sink_inverted_index_roundtrip": _IDX_ORACLE,
     "src_schema_evolution": _EVO_ORACLE,
+    "src_csv_malformed": _CSV_BAD_ORACLE,
     "sink_observed_write": """
 SELECT count(*) AS n_rows,
        CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT)

@@ -23,6 +23,8 @@ discipline:
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so pandas_udf's typing resolution sees it
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -648,11 +650,71 @@ ORDER BY vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Grouped-aggregate pandas UDF (the UDAF tier)
+# ---------------------------------------------------------------------------
+
+
+def op_grouped_agg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF via the GROUPED_AGG pandas_udf tier — the remaining
+    rung of the Python-API ladder (scalar pandas_udf, grouped-map,
+    cogroup, withState, UDTF, mapInPandas, mapInArrow are all covered
+    elsewhere): an integer-exact weighted mean of event values per
+    event type, weights derived from user_id. Arrow ships each group's
+    columns once; the Python side is two int64 reductions.
+
+    Determinism: values are quantized floor(1e6·v) BEFORE the UDF (one
+    IEEE multiply+floor, bit-equal across engines), weights are
+    integers, and the weighted mean is integer division — so the UDAF's
+    result is oracle-pinned exactly, like every other Python-tier
+    operator here.
+
+    100 TB posture: grouped-agg UDFs get partial Arrow batches per
+    group; the shuffle moves raw rows (no map-side combine for custom
+    UDAFs — the documented trade-off vs built-in aggregates, which is
+    why the quantization happens JVM-side first).
+
+    Division semantics: Python ``//`` floors, DuckDB ``//`` truncates —
+    they agree only on non-negative numerators. events.value ≥ 0 (the
+    fixture's domain) and weights ≥ 1, so the quotient domain is
+    non-negative; a signed-value variant would need explicit
+    floor-division on the SQL side."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def wmean_e6(q: pd.Series, w: pd.Series) -> int:
+        num = (q.astype("int64") * w.astype("int64")).sum()
+        den = w.astype("int64").sum()
+        return int(num // den)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("q"),
+        (F.col("user_id") % 5 + 1).cast("long").alias("w"),
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(wmean_e6("q", "w").alias("wmean_e6"))
+        .orderBy("event_type")
+    )
+
+
+_WMEAN_ORACLE = """
+SELECT event_type,
+       CAST(sum(CAST(floor(value * 1000000) AS BIGINT) * (user_id % 5 + 1))
+            // sum(user_id % 5 + 1) AS BIGINT) AS wmean_e6
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "text_tfidf_top_terms": text_tfidf_top_terms,
     "ml_kmeans_step": ml_kmeans_step,
     "ml_gram_matrix": ml_gram_matrix,
     "emb_l2_normalize_arrow": emb_l2_normalize_arrow,
+    "op_grouped_agg_pandas": op_grouped_agg_pandas,
     "src_rest_ingest": src_rest_ingest,
     "src_rest_datasource": src_rest_datasource,
     "graph_pagerank_step": graph_pagerank_step,
@@ -668,6 +730,7 @@ ORACLES = {
     "ml_kmeans_step": _KM_ORACLE,
     "ml_gram_matrix": _GRAM_ORACLE,
     "emb_l2_normalize_arrow": _L2_ORACLE,
+    "op_grouped_agg_pandas": _WMEAN_ORACLE,
     "src_rest_ingest": _REST_ORACLE,
     "src_rest_datasource": _REST_ORACLE,
     "graph_triangle_count": f"""
