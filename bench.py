@@ -123,6 +123,13 @@ HEADLINE = [
     "text_cdc_chunks",
     "text_bm25_topk",
     "ml_gram_matrix",
+    "emb_l2_normalize_arrow",
+    "sink_inverted_index_roundtrip",
+    "inc_join_view_maintain",
+    "w_cume_dist_nth",
+    "src_schema_evolution",
+    "src_csv_malformed",
+    "op_grouped_agg_pandas",
 ]
 
 

@@ -90,6 +90,18 @@ def _pinned(fn: Callable[[SparkSession, str], DataFrame]):
 # src_json_records, src_jdbc_landing, agg_hll_partition_merge,
 # text_winnow_fingerprints) -- lowest incremental risk, so they yield
 # their slots to names no independent run has ever checked.
+#
+# Round-5 rotation pool (fill the window from these): the 10 deferred
+# oracled names above, plus the queries ADDED in round 4 (none has a
+# driver row yet; all are oracled and were green under the local
+# driver-replica sweep at sf0.01): inc_cdc_apply, stream_cdc_apply,
+# text_repetition_signals, samp_temperature_mixture,
+# profile_table_approx_checked, inc_agg_merge, agg_cms_frequency,
+# agg_kmv_distinct_checked, j_bloom_filter_prune, j_salted_skew_join,
+# text_cdc_chunks, text_bm25_topk, ml_gram_matrix,
+# emb_l2_normalize_arrow, sink_inverted_index_roundtrip,
+# inc_join_view_maintain, w_cume_dist_nth, src_schema_evolution,
+# src_csv_malformed, op_grouped_agg_pandas.
 _WINDOW = [
     # extended aggregate family
     "agg_rollup_year_month",
