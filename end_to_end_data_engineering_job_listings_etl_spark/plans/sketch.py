@@ -1,6 +1,6 @@
 """Sketch- and hash-structure operators: count-min frequency sketch,
-Bloom-filter join pruning, salted skew joins, content-defined chunking,
-and integer-exact BM25 ranking.
+KMV distinct sketch, Bloom-filter join pruning, salted skew joins,
+content-defined chunking, and integer-exact BM25 ranking.
 
 These extend the engine's approximate/scale layer (HLL union, MinHash,
 SimHash — operators/dedup.py, plans/profiling.py) with the remaining
@@ -16,6 +16,10 @@ classic streaming/sketching structures a 100 TB pipeline leans on:
   scan task, and only surviving rows pay shuffle+join cost. (Spark's
   own runtime bloom-filter join does this opportunistically; this
   operator makes the structure explicit and oracle-checkable.)
+- A **KMV sketch** (k minimum hash values) estimates distinct counts
+  and — unlike a plain distinct — MERGES: the union of two sketches'
+  k-smallest values is the sketch of the union, so per-partition
+  sketches roll up with k·P values instead of a global shuffle.
 - A **salted join** spreads one hot join key over B reducers — the
   standard fix when AQE skew splitting can't help (e.g. the skew is in
   a single key of a shuffle join both of whose sides are large).
@@ -695,9 +699,59 @@ FROM exact x CROSS JOIN est e
 """
 
 
+# ---------------------------------------------------------------------
+# Bitmap-index distinct counting
+# ---------------------------------------------------------------------
+
+
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per event type via bitmap aggregation —
+    the dense-integer-key alternative to both ``countDistinct`` (full
+    value shuffle) and the sketches above (approximate): user ids OR
+    into 32-bit words keyed by ``id div 32``, and the distinct count
+    is the popcount sum over words. Bitmaps are mergeable (word-wise
+    OR — exactly the ``bit_or`` partial aggregation Spark performs
+    map-side), so the shuffle moves ≤ max_id/32 words per group
+    instead of one row per (group, value) pair — for dense ids that's
+    a 32× reduction with NO accuracy trade, which is why warehouse
+    engines ship roaring-bitmap distinct as a first-class aggregate.
+
+    Companion mechanisms, same answer: ``agg_salted_distinct``
+    (skew-split exact) and ``agg_kmv_distinct_checked`` /
+    ``agg_hll_partition_merge`` (mergeable approximate)."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    words = ev.groupBy(
+        "event_type", F.expr("user_id div 32").alias("word")
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(cast(1 as bigint), cast(user_id % 32 as int)))"
+        ).alias("mask")
+    )
+    return (
+        words.groupBy("event_type")
+        .agg(F.sum(F.bit_count("mask")).cast("bigint").alias("n_distinct"))
+        .orderBy("event_type")
+    )
+
+
+_BITMAP_ORACLE = """
+WITH words AS (
+  SELECT event_type, user_id // 32 AS word,
+         bit_or(1::BIGINT << CAST(user_id % 32 AS INTEGER)) AS mask
+  FROM events
+  GROUP BY event_type, user_id // 32
+)
+SELECT event_type, CAST(sum(bit_count(mask)) AS BIGINT) AS n_distinct
+FROM words
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "agg_cms_frequency": agg_cms_frequency,
     "agg_kmv_distinct_checked": agg_kmv_distinct_checked,
+    "agg_bitmap_distinct": agg_bitmap_distinct,
     "j_bloom_filter_prune": j_bloom_filter_prune,
     "j_salted_skew_join": j_salted_skew_join,
     "text_cdc_chunks": text_cdc_chunks,
@@ -707,6 +761,7 @@ QUERIES = {
 ORACLES = {
     "agg_cms_frequency": _CMS_ORACLE,
     "agg_kmv_distinct_checked": _KMV_ORACLE,
+    "agg_bitmap_distinct": _BITMAP_ORACLE,
     "j_bloom_filter_prune": _BLOOM_ORACLE,
     "j_salted_skew_join": _SALTED_ORACLE,
     "text_cdc_chunks": _CDC_ORACLE,

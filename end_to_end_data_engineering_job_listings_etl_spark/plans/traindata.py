@@ -830,7 +830,79 @@ def samp_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STRAT_DENOM = 10  # sample k = N div 10 documents overall
+
+
+def samp_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional stratified sampling with EXACT largest-remainder
+    allocation: k = N div 10 documents total, split across language
+    strata as ⌊k·N_s/N⌋ plus one extra for the strata with the largest
+    remainders (ties → lang ascending) so the quotas sum to exactly k —
+    the allocation rule survey samplers use when "10%" must mean a
+    precise row count, not an expectation (hash-split gives the
+    expectation; reservoir-per-stratum gives fixed k PER stratum, not
+    proportional).
+
+    Within a stratum, membership is the md5(doc_id) order — the same
+    replayable uniform surrogate as samp_reservoir_per_stratum, so
+    re-runs and appends don't reshuffle earlier picks.
+
+    Scale shape: the allocation math runs on the ~|strata|-row count
+    table (remainder ranking via a broadcast self-join count, no
+    global window); the data pass is one lang-partitioned top-quota
+    window. Nothing driver-side, nothing proportional to N outside
+    the one ranked scan."""
+    from pyspark.sql import Window
+
+    docs = load_table_dist(spark, sf_dir, "documents", cols=("doc_id", "lang"))
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_s"))
+    tot = counts.agg(F.sum("n_s").cast("bigint").alias("N")).select(
+        "N", F.expr(f"N div {_STRAT_DENOM}").cast("bigint").alias("k")
+    )
+    q = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_s",
+        F.expr("(k * n_s) div N").cast("bigint").alias("base"),
+        F.expr("(k * n_s) % N").cast("bigint").alias("rem"),
+        "k",
+    )
+    # strata whose remainder ranks among the top (k - Σbase) get +1;
+    # the rank is a count of strictly-preceding strata via a tiny
+    # broadcast self-join (no partitionless window, even a 5-row one)
+    sb = q.agg(F.sum("base").cast("bigint").alias("sum_base"))
+    before = (
+        q.alias("a")
+        .join(
+            F.broadcast(q.alias("b")),
+            F.expr(
+                "b.rem > a.rem OR (b.rem = a.rem AND b.lang < a.lang)"
+            ),
+            "left",
+        )
+        .groupBy("a.lang", "a.base", "a.rem", "a.k")
+        .agg(F.count("b.lang").cast("bigint").alias("rn"))
+    )
+    quotas = before.crossJoin(F.broadcast(sb)).select(
+        "lang",
+        (
+            F.col("base")
+            + (F.col("rn") < F.col("k") - F.col("sum_base")).cast("bigint")
+        ).alias("quota"),
+    )
+    h = F.md5(F.concat(F.lit("strat|"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", "lang", h.alias("h"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(quotas), "lang")
+        .filter(F.col("rk") <= F.col("quota"))
+        .select("doc_id", "lang")
+        .orderBy("lang", "doc_id")
+    )
+
+
 QUERIES = {
+    "samp_stratified_exact": samp_stratified_exact,
     "samp_hash_split": samp_hash_split,
     "text_repetition_signals": text_repetition_signals,
     "samp_temperature_mixture": samp_temperature_mixture,
@@ -1048,4 +1120,42 @@ ORACLES["samp_temperature_mixture"] = """
            CAST(floor(1000000.0 * s / s_total) AS BIGINT)
              > CAST(floor(1000000.0 * n_docs / n_total) AS BIGINT) AS upsampled
     FROM sized, tot
+"""
+
+ORACLES["samp_stratified_exact"] = f"""
+WITH counts AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY lang),
+tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS N,
+               CAST(sum(n_s) // {_STRAT_DENOM} AS BIGINT) AS k
+        FROM counts),
+q AS (
+  SELECT c.lang, c.n_s,
+         (t.k * c.n_s) // t.N AS base,
+         (t.k * c.n_s) % t.N AS rem,
+         t.k AS k
+  FROM counts c CROSS JOIN tot t
+),
+sb AS (SELECT CAST(sum(base) AS BIGINT) AS sum_base FROM q),
+ranked AS (
+  SELECT a.lang, a.base, a.k,
+         (SELECT count(*) FROM q b
+          WHERE b.rem > a.rem OR (b.rem = a.rem AND b.lang < a.lang)) AS rn
+  FROM q a
+),
+quotas AS (
+  SELECT r.lang,
+         r.base + CASE WHEN r.rn < r.k - s.sum_base THEN 1 ELSE 0 END AS quota
+  FROM ranked r CROSS JOIN sb s
+),
+ordered AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('strat|' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT o.doc_id, o.lang
+FROM ordered o JOIN quotas u ON u.lang = o.lang
+WHERE o.rk <= u.quota
+ORDER BY o.lang, o.doc_id
 """

@@ -129,3 +129,42 @@ def test_gram_matrix_diagonal_nonnegative_and_upper(spark):
         assert r["i"] <= r["j"]
         if r["i"] == r["j"]:
             assert r["gram_s"] >= 0
+
+
+def test_bitmap_distinct_equals_count_distinct(spark):
+    from end_to_end_data_engineering_job_listings_etl_spark.catalog import load_table
+
+    got = {
+        r["event_type"]: r["n_distinct"]
+        for r in sketch.agg_bitmap_distinct(spark, SF_DIR).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == exact
+
+
+def test_stratified_exact_total_is_precisely_k(spark):
+    """The largest-remainder allocation must hit N div 10 EXACTLY (not
+    in expectation), and per-stratum quotas must be proportional ±1."""
+    from end_to_end_data_engineering_job_listings_etl_spark.catalog import load_table
+    from end_to_end_data_engineering_job_listings_etl_spark.plans.traindata import (
+        samp_stratified_exact,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    n = docs.count()
+    picked = samp_stratified_exact(spark, SF_DIR)
+    assert picked.count() == n // 10
+    by_lang = {r["lang"]: r["cnt"] for r in picked.groupBy("lang").agg(
+        F.count("*").alias("cnt")).collect()}
+    strata = {r["lang"]: r["cnt"] for r in docs.groupBy("lang").agg(
+        F.count("*").alias("cnt")).collect()}
+    k = n // 10
+    for lang, n_s in strata.items():
+        q = by_lang.get(lang, 0)
+        assert abs(q - k * n_s / n) <= 1, (lang, q, k * n_s / n)
