@@ -610,6 +610,33 @@ _KMV_K = 256
 _KMV_SCALE = 4294967296  # 2^32: the md5-32 hash domain
 
 
+def kmv_merged_estimate(
+    df: DataFrame, group_col: str, key_col: str, k: int = _KMV_K
+) -> DataFrame:
+    """1-row ``kmv_est`` frame: per-``group_col`` KMV sketches over
+    ``key_col``, merged (k smallest of the union) and extrapolated —
+    exact whenever the merged sketch holds fewer than k hashes. The
+    operator-level entry used by ``agg_kmv_distinct_checked`` and its
+    tests; everything stays a DataFrame (no driver-side state)."""
+    from pyspark.sql import Window
+
+    h = F.expr(_h32(f"cast({key_col} as string)"))
+    hashed = df.select(group_col, h.alias("h")).distinct()
+    w = Window.partitionBy(group_col).orderBy("h")
+    sketches = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("h")
+    )
+    merged_topk = sketches.distinct().orderBy("h").limit(k)
+    return merged_topk.agg(F.max("h").alias("hk"), F.count("*").alias("m")).select(
+        F.when(F.col("m") >= k, F.expr(f"({k} - 1) * {_KMV_SCALE}L div hk"))
+        .otherwise(F.col("m"))
+        .cast("bigint")
+        .alias("kmv_est")
+    )
+
+
 def agg_kmv_distinct_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable KMV distinct-count sketch over ``orders.o_custkey``,
     built as three PER-STATUS sketches then UNIONED — the operation
@@ -632,31 +659,10 @@ def agg_kmv_distinct_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     a PARTITIONED window → merge = distinct + TakeOrdered(k) (heap, no
     single-partition exchange) → 1-row rollup joined to the exact
     count by a 1-row broadcast."""
-    from pyspark.sql import Window
-
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderstatus", "o_custkey"
     )
-    h = F.expr(_h32("cast(o_custkey as string)"))
-    hashed = orders.select("o_orderstatus", h.alias("h")).distinct()
-    w = Window.partitionBy("o_orderstatus").orderBy("h")
-    sketches = (
-        hashed.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= _KMV_K)
-        .select("h")
-    )
-    merged_topk = sketches.distinct().orderBy("h").limit(_KMV_K)
-    est = merged_topk.agg(
-        F.max("h").alias("hk"), F.count("*").alias("m")
-    ).select(
-        F.when(
-            F.col("m") >= _KMV_K,
-            F.expr(f"({_KMV_K} - 1) * {_KMV_SCALE}L div hk"),
-        )
-        .otherwise(F.col("m"))
-        .cast("bigint")
-        .alias("kmv_est")
-    )
+    est = kmv_merged_estimate(orders, "o_orderstatus", "o_custkey")
     exact = orders.agg(
         F.countDistinct("o_custkey").cast("bigint").alias("exact_custkeys")
     )

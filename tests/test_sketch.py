@@ -100,21 +100,20 @@ def test_bm25_is_ranked_and_bounded(spark):
 
 def test_kmv_is_exact_below_k(spark):
     """With fewer distinct values than k the sketch holds every hash —
-    the estimate must be the exact count, not an extrapolation."""
-    from pyspark.sql import functions as F
-
-    from end_to_end_data_engineering_job_listings_etl_spark.plans.sketch import _KMV_K
-
-    small = spark.range(40).select(
-        F.lit("x").alias("o_orderstatus"), F.col("id").alias("o_custkey")
+    the operator must return the EXACT distinct count, not an
+    extrapolation (duplicates across groups included)."""
+    from end_to_end_data_engineering_job_listings_etl_spark.plans.sketch import (
+        _KMV_K,
+        kmv_merged_estimate,
     )
-    # pipe the tiny frame through the same plan the query builds
-    h = F.expr(
-        "cast(conv(substring(md5(cast(o_custkey as string)), 1, 8), 16, 10) as bigint)"
+
+    small = spark.range(120).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 40).alias("k"),  # 40 distinct keys, spread over groups
     )
-    hashes = small.select(h.alias("h")).distinct()
-    m = hashes.count()
-    assert m == 40 < _KMV_K
+    assert 40 < _KMV_K
+    est = kmv_merged_estimate(small, "g", "k").collect()[0]["kmv_est"]
+    assert est == 40
 
 
 def test_gram_matrix_diagonal_nonnegative_and_upper(spark):
