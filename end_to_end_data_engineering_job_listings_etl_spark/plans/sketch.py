@@ -512,7 +512,7 @@ _BM25_K = 10
 # monotonicity in df, bit-exact across engines (ln's last-ulp is not).
 
 
-def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 documents by integer-exact BM25 against the fixed query
     terms ('spark', 'window', 'vector') — the lexical half of a
     retrieval stack (the dense half is operators/similarity.py's
@@ -561,9 +561,15 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w"),
         )
     )
+    return scored.groupBy("doc_id").agg(
+        F.sum("w").cast("bigint").alias("score_e3")
+    )
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 of :func:`bm25_scores` — TakeOrdered, no global sort."""
     return (
-        scored.groupBy("doc_id")
-        .agg(F.sum("w").cast("bigint").alias("score_e3"))
+        bm25_scores(spark, sf_dir)
         .orderBy(F.desc("score_e3"), F.asc("doc_id"))
         .limit(_BM25_K)
     )
@@ -754,10 +760,138 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------
+# Hybrid retrieval: BM25 + dense cosine fused by reciprocal rank
+# ---------------------------------------------------------------------
+
+_RRF_C = 60  # the standard RRF constant
+_RRF_CAND = 20  # candidates per modality
+_RRF_OUT = 10
+
+
+def _rank_small(df: DataFrame, score_col: str, id_col: str) -> DataFrame:
+    """1-based rank by (score desc, id asc) over a SMALL candidate
+    frame via a broadcast self-join count — no partitionless window,
+    even a 20-row one (the repo-wide rule)."""
+    a, b = df.alias("a"), df.alias("b")
+    better = F.expr(
+        f"b.{score_col} > a.{score_col}"
+        f" OR (b.{score_col} = a.{score_col} AND b.{id_col} < a.{id_col})"
+    )
+    return (
+        a.join(F.broadcast(b), better, "left")
+        .groupBy(f"a.{id_col}", f"a.{score_col}")
+        .agg((F.count(f"b.{id_col}") + 1).cast("long").alias("rnk"))
+        .select(F.col(f"a.{id_col}").alias(id_col), "rnk")
+    )
+
+
+def rag_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval, end to end: the lexical candidates
+    (integer-exact BM25, :func:`bm25_scores`) and the dense candidates
+    (cosine vs the vec_id=0 query embedding — operators/similarity.py's
+    brute path; IVF/LSH are the recall-gated scale twins) each
+    contribute their top-20, fused by reciprocal-rank fusion
+    ``rrf_e6 = Σ 1e6 div (60 + rank)`` — the integerized form of the
+    standard RRF, rank-equivalent to the float version since
+    1e6/(60+r) is strictly decreasing in r and div keeps >3 exact
+    digits over r ≤ 20. Treats vec_id as the document id (the synthetic
+    corpus pairs them 1:1).
+
+    Scale shape: both candidate generators are scan+TakeOrdered; the
+    ranking/fusion runs on 2×20 rows via broadcast self-joins and a
+    full-outer merge — driver-free, window-free, and independent of
+    corpus size. Missing-from-one-modality docs score on the other
+    alone (the full-outer semantics retrieval fusion needs).
+    """
+    from ..operators.similarity import cosine_topk
+    from .corpus import _query_vec
+
+    lex = _rank_small(
+        bm25_scores(spark, sf_dir)
+        .orderBy(F.desc("score_e3"), F.asc("doc_id"))
+        .limit(_RRF_CAND),
+        "score_e3",
+        "doc_id",
+    ).withColumnRenamed("rnk", "lex_rank")
+
+    emb = load_table_dist(spark, sf_dir, "embeddings", cols=("vec_id", "embedding"))
+    q = _query_vec(spark, sf_dir, 0)
+    dense = _rank_small(
+        cosine_topk(emb, "embedding", "vec_id", q, k=_RRF_CAND),
+        "cos_sim",
+        "vec_id",
+    ).withColumnRenamed("vec_id", "doc_id").withColumnRenamed("rnk", "dense_rank")
+
+    fused = lex.join(dense, "doc_id", "full").select(
+        "doc_id",
+        F.coalesce(
+            F.expr(f"1000000 div ({_RRF_C} + lex_rank)"), F.lit(0)
+        ).alias("lex_rrf"),
+        F.coalesce(
+            F.expr(f"1000000 div ({_RRF_C} + dense_rank)"), F.lit(0)
+        ).alias("dense_rrf"),
+    )
+    return (
+        fused.select(
+            "doc_id",
+            (F.col("lex_rrf") + F.col("dense_rrf")).cast("bigint").alias("rrf_e6"),
+        )
+        .orderBy(F.desc("rrf_e6"), F.asc("doc_id"))
+        .limit(_RRF_OUT)
+    )
+
+
+def _rrf_oracle() -> str:
+    from .corpus import _cos
+
+    # everything up to the FINAL top-level SELECT = the shared CTE chain
+    bm25_scored = _BM25_ORACLE[: _BM25_ORACLE.rindex("SELECT doc_id,")].rstrip()
+    return f"""
+{bm25_scored},
+lex20 AS (
+  SELECT doc_id, CAST(sum(w) AS BIGINT) AS score_e3
+  FROM scored GROUP BY doc_id
+  ORDER BY score_e3 DESC, doc_id LIMIT {_RRF_CAND}
+),
+lexr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score_e3 DESC, doc_id) AS lex_rank
+  FROM lex20
+),
+qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+dscored AS (
+  SELECT e.vec_id AS doc_id,
+         round({_cos('CAST(e.embedding AS DOUBLE[])', 'q.qv')}, 6) AS cos_sim
+  FROM embeddings e, qv q
+),
+d20 AS (
+  SELECT doc_id, cos_sim FROM dscored
+  ORDER BY cos_sim DESC, doc_id LIMIT {_RRF_CAND}
+),
+denser AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS dense_rank
+  FROM d20
+),
+fused AS (
+  SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+         coalesce(1000000 // ({_RRF_C} + l.lex_rank), 0)
+       + coalesce(1000000 // ({_RRF_C} + d.dense_rank), 0) AS rrf_e6
+  FROM lexr l FULL OUTER JOIN denser d ON d.doc_id = l.doc_id
+)
+SELECT doc_id, CAST(rrf_e6 AS BIGINT) AS rrf_e6
+FROM fused
+ORDER BY rrf_e6 DESC, doc_id
+LIMIT {_RRF_OUT}
+"""
+
+
 QUERIES = {
     "agg_cms_frequency": agg_cms_frequency,
     "agg_kmv_distinct_checked": agg_kmv_distinct_checked,
     "agg_bitmap_distinct": agg_bitmap_distinct,
+    "rag_hybrid_retrieval": rag_hybrid_retrieval,
     "j_bloom_filter_prune": j_bloom_filter_prune,
     "j_salted_skew_join": j_salted_skew_join,
     "text_cdc_chunks": text_cdc_chunks,
@@ -768,6 +902,7 @@ ORACLES = {
     "agg_cms_frequency": _CMS_ORACLE,
     "agg_kmv_distinct_checked": _KMV_ORACLE,
     "agg_bitmap_distinct": _BITMAP_ORACLE,
+    "rag_hybrid_retrieval": _rrf_oracle(),
     "j_bloom_filter_prune": _BLOOM_ORACLE,
     "j_salted_skew_join": _SALTED_ORACLE,
     "text_cdc_chunks": _CDC_ORACLE,
