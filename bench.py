@@ -130,6 +130,9 @@ HEADLINE = [
     "src_schema_evolution",
     "src_csv_malformed",
     "op_grouped_agg_pandas",
+    "agg_bitmap_distinct",
+    "samp_stratified_exact",
+    "rag_hybrid_retrieval",
 ]
 
 

@@ -101,7 +101,8 @@ def _pinned(fn: Callable[[SparkSession, str], DataFrame]):
 # text_cdc_chunks, text_bm25_topk, ml_gram_matrix,
 # emb_l2_normalize_arrow, sink_inverted_index_roundtrip,
 # inc_join_view_maintain, w_cume_dist_nth, src_schema_evolution,
-# src_csv_malformed, op_grouped_agg_pandas.
+# src_csv_malformed, op_grouped_agg_pandas, agg_bitmap_distinct,
+# samp_stratified_exact, rag_hybrid_retrieval.
 _WINDOW = [
     # extended aggregate family
     "agg_rollup_year_month",
