@@ -712,6 +712,140 @@ FROM exact x CROSS JOIN est e
 
 
 # ---------------------------------------------------------------------
+# KMV set algebra: intersection estimation
+# ---------------------------------------------------------------------
+
+
+def agg_kmv_intersection_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-ALGEBRA on KMV sketches: estimate the number of customers
+    common to the 'F' and 'O' order-status populations from their two
+    k-min sketches alone — |A∩B| ≈ Ĵ·|A∪B|, where the union sketch S
+    is the k smallest of S_A ∪ S_B, Ĵ = |{h∈S : h∈S_A ∧ h∈S_B}| / |S|
+    (membership against the full sets reduces to membership in the
+    per-set sketches: h ∈ S ∧ h ∈ A ⟹ h is among A's k smallest), and
+    |A∪B| is the usual KMV estimate off S. Everything is integer math
+    over md5 hashes, so the ESTIMATES are oracle-pinned exactly; the
+    output also carries the exact intersection and a ±25% boolean
+    (intersection estimates compound two sketch errors — the judge of
+    record is the exact column, the boolean documents the achieved
+    accuracy, and the oracle reproduces all three).
+
+    Why it matters at 100 TB: overlap questions (shared users between
+    two products, common documents between two crawls) otherwise need
+    a distinct-distinct join across both full datasets; sketch algebra
+    answers from two k-value summaries that were ALREADY computed for
+    cardinality monitoring."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_custkey"
+    )
+    two = orders.where(F.col("o_orderstatus").isin("F", "O"))
+    h = F.expr(_h32("cast(o_custkey as string)"))
+    hashed = two.select("o_orderstatus", h.alias("h")).distinct()
+    w = Window.partitionBy("o_orderstatus").orderBy("h")
+    sketches = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _KMV_K)
+        .select("o_orderstatus", "h")
+    )
+    s = sketches.select("h").distinct().orderBy("h").limit(_KMV_K)
+    marked = (
+        s.join(
+            F.broadcast(
+                sketches.groupBy("h").agg(
+                    F.max((F.col("o_orderstatus") == "F").cast("int")).alias("in_a"),
+                    F.max((F.col("o_orderstatus") == "O").cast("int")).alias("in_b"),
+                )
+            ),
+            "h",
+        )
+    )
+    est = marked.agg(
+        F.max("h").alias("hk"),
+        F.count("*").alias("m"),
+        F.sum((F.col("in_a") * F.col("in_b")).cast("long")).alias("m_both"),
+    ).select(
+        F.when(
+            F.col("m") >= _KMV_K,
+            F.expr(f"({_KMV_K} - 1) * {_KMV_SCALE}L div hk"),
+        )
+        .otherwise(F.col("m"))
+        .cast("bigint")
+        .alias("union_est"),
+        "m",
+        "m_both",
+    ).select(
+        F.expr("(m_both * union_est) div m").cast("bigint").alias("kmv_common_est"),
+        F.expr("(m_both * 1000000) div m").cast("bigint").alias("jaccard_e6"),
+    )
+    a = two.where(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    b = two.where(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    exact = a.join(b, "o_custkey").agg(
+        F.count("*").cast("bigint").alias("exact_common")
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_common",
+        "kmv_common_est",
+        "jaccard_e6",
+        (
+            F.abs(F.col("kmv_common_est") - F.col("exact_common")) * 100
+            <= F.greatest(F.col("exact_common"), F.lit(1)) * 25
+        ).alias("within_25pct"),
+    )
+
+
+_KMV_INTER_ORACLE = f"""
+WITH two AS (
+  SELECT o_orderstatus, o_custkey FROM orders WHERE o_orderstatus IN ('F', 'O')
+),
+hashed AS (
+  SELECT DISTINCT o_orderstatus,
+         {_h32_duck("CAST(o_custkey AS VARCHAR)")} AS h
+  FROM two
+),
+sketches AS (
+  SELECT o_orderstatus, h FROM (
+    SELECT o_orderstatus, h,
+           row_number() OVER (PARTITION BY o_orderstatus ORDER BY h) AS rn
+    FROM hashed
+  ) WHERE rn <= {_KMV_K}
+),
+s AS (SELECT DISTINCT h FROM sketches ORDER BY h LIMIT {_KMV_K}),
+marks AS (
+  SELECT h, max(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS in_b
+  FROM sketches GROUP BY h
+),
+marked AS (SELECT s.h, m.in_a, m.in_b FROM s JOIN marks m ON m.h = s.h),
+est AS (
+  SELECT CAST(CASE WHEN count(*) >= {_KMV_K}
+                   THEN ({_KMV_K} - 1) * {_KMV_SCALE} // max(h)
+                   ELSE count(*) END AS BIGINT) AS union_est,
+         count(*) AS m,
+         CAST(sum(in_a * in_b) AS BIGINT) AS m_both
+  FROM marked
+),
+final_est AS (
+  SELECT CAST((m_both * union_est) // m AS BIGINT) AS kmv_common_est,
+         CAST((m_both * 1000000) // m AS BIGINT) AS jaccard_e6
+  FROM est
+),
+exact AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_common FROM (
+    SELECT o_custkey FROM two WHERE o_orderstatus = 'F'
+    INTERSECT
+    SELECT o_custkey FROM two WHERE o_orderstatus = 'O'
+  )
+)
+SELECT x.exact_common, e.kmv_common_est, e.jaccard_e6,
+       abs(e.kmv_common_est - x.exact_common) * 100
+         <= greatest(x.exact_common, 1) * 25 AS within_25pct
+FROM exact x CROSS JOIN final_est e
+"""
+
+
+# ---------------------------------------------------------------------
 # Bitmap-index distinct counting
 # ---------------------------------------------------------------------
 
@@ -891,6 +1025,7 @@ QUERIES = {
     "agg_cms_frequency": agg_cms_frequency,
     "agg_kmv_distinct_checked": agg_kmv_distinct_checked,
     "agg_bitmap_distinct": agg_bitmap_distinct,
+    "agg_kmv_intersection_checked": agg_kmv_intersection_checked,
     "rag_hybrid_retrieval": rag_hybrid_retrieval,
     "j_bloom_filter_prune": j_bloom_filter_prune,
     "j_salted_skew_join": j_salted_skew_join,
@@ -902,6 +1037,7 @@ ORACLES = {
     "agg_cms_frequency": _CMS_ORACLE,
     "agg_kmv_distinct_checked": _KMV_ORACLE,
     "agg_bitmap_distinct": _BITMAP_ORACLE,
+    "agg_kmv_intersection_checked": _KMV_INTER_ORACLE,
     "rag_hybrid_retrieval": _rrf_oracle(),
     "j_bloom_filter_prune": _BLOOM_ORACLE,
     "j_salted_skew_join": _SALTED_ORACLE,

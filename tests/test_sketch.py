@@ -167,3 +167,32 @@ def test_stratified_exact_total_is_precisely_k(spark):
     for lang, n_s in strata.items():
         q = by_lang.get(lang, 0)
         assert abs(q - k * n_s / n) <= 1, (lang, q, k * n_s / n)
+
+
+def test_operators_handle_empty_inputs(spark):
+    """Degenerate-input hardening: zero-row fact/dim/doc frames must
+    yield empty (not erroring) results from the operator-level entry
+    points — the behavior a scheduled 100 TB pipeline needs when a
+    partition lands empty."""
+    from end_to_end_data_engineering_job_listings_etl_spark.plans.sketch import (
+        cdc_chunk_tokens,
+        kmv_merged_estimate,
+        salted_equi_join,
+    )
+
+    empty_fact = spark.createDataFrame([], "rid long, k long, v long")
+    empty_dim = spark.createDataFrame([], "k long, attr long")
+    assert salted_equi_join(empty_fact, empty_dim, "k", salt_src="rid").count() == 0
+    # one-sided empty: fact rows with no dim → inner join empty
+    fact = spark.createDataFrame([(1, 2, 3)], "rid long, k long, v long")
+    assert salted_equi_join(fact, empty_dim, "k", salt_src="rid").count() == 0
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert cdc_chunk_tokens(empty_docs).count() == 0
+    # whitespace-only text → zero tokens, zero chunks
+    ws_docs = spark.createDataFrame([(1, "   ")], "doc_id long, text string")
+    assert cdc_chunk_tokens(ws_docs).count() == 0
+
+    empty_keys = spark.createDataFrame([], "g string, k long")
+    est = kmv_merged_estimate(empty_keys, "g", "k").collect()[0]["kmv_est"]
+    assert est == 0
