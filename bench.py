@@ -133,6 +133,8 @@ HEADLINE = [
     "agg_bitmap_distinct",
     "samp_stratified_exact",
     "rag_hybrid_retrieval",
+    "agg_kmv_intersection_checked",
+    "inc_topk_merge",
 ]
 
 

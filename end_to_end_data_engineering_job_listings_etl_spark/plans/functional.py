@@ -494,7 +494,37 @@ def inc_join_view_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def inc_topk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental top-k maintenance from BOUNDED per-partition states:
+    the global top-10 orders by price equals the top-10 of the union of
+    each partition's top-10 — the k-bounded merge property that lets a
+    100 TB feed maintain a leaderboard by shipping k rows per partition
+    instead of re-scanning history. (Valid for per-ROW metrics like
+    max/price; a SUM-ranked top-k is NOT k-bounded-mergeable — for
+    those, merge full aggregate states first (``inc_agg_merge``) and
+    rank after.)
+
+    Fixture: the same %7 existing/delta split as inc_agg_merge; both
+    sides reduce to ≤10 rows before the merge, so the maintenance step
+    touches 20 rows regardless of history size. Oracle = top-10 over
+    everything."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("price_e2"),
+    )
+
+    def topk(df: DataFrame) -> DataFrame:
+        return df.orderBy(F.desc("price_e2"), F.asc("o_orderkey")).limit(10)
+
+    existing = topk(orders.filter(F.col("o_orderkey") % 7 != 0))
+    delta = topk(orders.filter(F.col("o_orderkey") % 7 == 0))
+    return topk(existing.unionByName(delta))
+
+
 QUERIES = {
+    "inc_topk_merge": inc_topk_merge,
     "inc_snapshot_diff": inc_snapshot_diff,
     "inc_cdc_apply": inc_cdc_apply,
     "inc_agg_merge": inc_agg_merge,
@@ -529,6 +559,13 @@ ORACLES = {
                max(o_orderdate) AS last_order
         FROM orders
         GROUP BY o_custkey
+    """,
+    "inc_topk_merge": """
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS price_e2
+        FROM orders
+        ORDER BY price_e2 DESC, o_orderkey
+        LIMIT 10
     """,
     "inc_join_view_maintain": """
         SELECT c.c_nationkey,

@@ -102,7 +102,8 @@ def _pinned(fn: Callable[[SparkSession, str], DataFrame]):
 # emb_l2_normalize_arrow, sink_inverted_index_roundtrip,
 # inc_join_view_maintain, w_cume_dist_nth, src_schema_evolution,
 # src_csv_malformed, op_grouped_agg_pandas, agg_bitmap_distinct,
-# samp_stratified_exact, rag_hybrid_retrieval.
+# samp_stratified_exact, rag_hybrid_retrieval, agg_kmv_intersection_checked,
+# inc_topk_merge.
 _WINDOW = [
     # extended aggregate family
     "agg_rollup_year_month",
