@@ -135,6 +135,7 @@ HEADLINE = [
     "rag_hybrid_retrieval",
     "agg_kmv_intersection_checked",
     "inc_topk_merge",
+    "fn_xml_roundtrip",
 ]
 
 

@@ -494,6 +494,44 @@ def inc_join_view_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingest surface (Spark 4 built-in ``from_xml``): orders
+    rendered to XML order records, parsed back with a declared schema,
+    and rolled up — the semi-structured format trio alongside JSON
+    (``fn_json_modes``/``from_json``) and VARIANT
+    (``fn_variant_extract``). The oracle aggregates the SOURCE columns
+    directly, so any loss in the render→parse roundtrip (type
+    coercion, whitespace, element order) breaks the value hash.
+
+    (Avro is the remaining columnar wire format; its data source
+    module is not deployed in this container — format gated, like
+    transformWithState's protobuf dependency.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    price_e2 = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
+    xml = F.concat(
+        F.lit("<order><k>"),
+        F.col("o_orderkey"),
+        F.lit("</k><status>"),
+        F.col("o_orderstatus"),
+        F.lit("</status><price>"),
+        price_e2,
+        F.lit("</price></order>"),
+    )
+    parsed = orders.select(xml.alias("xml")).select(
+        F.expr(
+            "from_xml(xml, 'k BIGINT, status STRING, price BIGINT')"
+        ).alias("r")
+    )
+    return (
+        parsed.groupBy(F.col("r.status").alias("status"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("r.price").cast("bigint").alias("revenue_e2"),
+        )
+        .orderBy("status")
+    )
+
+
 def inc_topk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental top-k maintenance from BOUNDED per-partition states:
     the global top-10 orders by price equals the top-10 of the union of
@@ -524,6 +562,7 @@ def inc_topk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "fn_xml_roundtrip": fn_xml_roundtrip,
     "inc_topk_merge": inc_topk_merge,
     "inc_snapshot_diff": inc_snapshot_diff,
     "inc_cdc_apply": inc_cdc_apply,
@@ -559,6 +598,15 @@ ORACLES = {
                max(o_orderdate) AS last_order
         FROM orders
         GROUP BY o_custkey
+    """,
+    "fn_xml_roundtrip": """
+        SELECT o_orderstatus AS status,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS revenue_e2
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY status
     """,
     "inc_topk_merge": """
         SELECT o_orderkey,
