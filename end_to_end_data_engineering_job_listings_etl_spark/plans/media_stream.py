@@ -863,6 +863,62 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Python streaming data source (restart-resume drain)
+# ---------------------------------------------------------------------------
+
+
+def src_python_stream_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the custom PYTHON streaming source
+    (sources/pages_stream.py) through FIVE sequential
+    ``availableNow`` runs against ONE checkpoint — each restart
+    resumes from the committed offset, so the parquet sink ends up
+    with every page exactly once no matter how many pages any single
+    run batches. This is the restart-resume/exactly-once property a
+    checkpointed ingest job lives on, exercised end-to-end through
+    the Spark 4 Python data source API (offsets as JSON dicts,
+    ``readBetweenOffsets`` replay).
+
+    The rollup is per-page counts + the first title; the oracle is
+    fully static (the feed is deterministic), so a dropped page, a
+    duplicated batch, or a mis-resumed offset all break the hash."""
+    from ..sources.pages_stream import N_PAGES, register
+
+    register(spark)
+    base = scratch_dir(prefix="pys_resume_")
+    out = os.path.join(base, "rows")
+    ck = os.path.join(base, "ck")
+    for _ in range(N_PAGES):
+        q = (
+            spark.readStream.format("pages_stream")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    rows = spark.read.parquet(out)
+    return (
+        rows.groupBy("page")
+        .agg(
+            F.count("*").cast("bigint").alias("n_recs"),
+            F.min("title").alias("first_title"),
+        )
+        .orderBy("page")
+    )
+
+
+_PYS_ORACLE = """
+SELECT CAST(p AS INTEGER) AS page,
+       CAST(10 AS BIGINT) AS n_recs,
+       'T' || p || '-0' AS first_title
+FROM generate_series(1, 5) t(p)
+ORDER BY page
+"""
+
+
+# ---------------------------------------------------------------------------
 # Malformed-record CSV ingest (PERMISSIVE mode)
 # ---------------------------------------------------------------------------
 
@@ -1122,6 +1178,7 @@ QUERIES = {
     "sink_inverted_index_roundtrip": sink_inverted_index_roundtrip,
     "src_schema_evolution": src_schema_evolution,
     "src_csv_malformed": src_csv_malformed,
+    "src_python_stream_resume": src_python_stream_resume,
     "sink_zorder_roundtrip": sink_zorder_roundtrip,
     "sink_observed_write": sink_observed_write,
     "src_jdbc_landing": src_jdbc_landing,
@@ -1175,6 +1232,7 @@ FROM orders GROUP BY o_orderstatus
     "sink_inverted_index_roundtrip": _IDX_ORACLE,
     "src_schema_evolution": _EVO_ORACLE,
     "src_csv_malformed": _CSV_BAD_ORACLE,
+    "src_python_stream_resume": _PYS_ORACLE,
     "sink_observed_write": """
 SELECT count(*) AS n_rows,
        CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT)

@@ -103,7 +103,9 @@ def _pinned(fn: Callable[[SparkSession, str], DataFrame]):
 # inc_join_view_maintain, w_cume_dist_nth, src_schema_evolution,
 # src_csv_malformed, op_grouped_agg_pandas, agg_bitmap_distinct,
 # samp_stratified_exact, rag_hybrid_retrieval, agg_kmv_intersection_checked,
-# inc_topk_merge, fn_xml_roundtrip.
+# inc_topk_merge, fn_xml_roundtrip, src_python_stream_resume (kept out
+# of the bench headline: 5 sequential stream starts ≈ 18 s of fixed
+# machinery cost would distort the total).
 _WINDOW = [
     # extended aggregate family
     "agg_rollup_year_month",
