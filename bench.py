@@ -136,6 +136,7 @@ HEADLINE = [
     "agg_kmv_intersection_checked",
     "inc_topk_merge",
     "fn_xml_roundtrip",
+    "w_ewma_decay",
 ]
 
 

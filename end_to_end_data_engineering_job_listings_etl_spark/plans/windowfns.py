@@ -109,6 +109,50 @@ def w_ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EWMA_FRAME = 8  # events per decay window
+
+
+def w_ewma_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed running metric (half-life decay) per user
+    — the time-series smoothing primitive (alerting baselines, session
+    engagement scores) in EXACT integer arithmetic: over each row's
+    trailing 8-event frame, fold acc ← acc div 2 + q (q = ⌊1e6·value⌋),
+    oldest first. alpha = 1/2 makes the recurrence a truncating shift,
+    so both engines' folds are bit-identical where a float EWMA's
+    pow(α, k) would drift in the last ulp.
+
+    Plan: one partitioned window collects the bounded frame, one
+    higher-order ``aggregate`` folds it — per-row state is 8 longs,
+    no UDF, no recursion. (An unbounded-history EWMA at scale keeps
+    the same shape via the segment-merge identity; the bounded frame
+    is the form dashboards actually use.)"""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWMA_FRAME - 1), 0)
+    )
+    q = F.floor(F.col("value") * 1_000_000).cast("long")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.collect_list(q).over(w).alias("__frame"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.expr(
+                "aggregate(slice(__frame, 2, size(__frame) - 1),"
+                " element_at(__frame, 1), (acc, x) -> acc div 2 + x)"
+            )
+            .cast("bigint")
+            .alias("ewma_e6"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def w_cume_dist_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The remaining ranked-window trio: cume_dist (as exact integer
     rank·1e6 div n — the same integral-division discipline as
@@ -315,6 +359,7 @@ QUERIES = {
     "w_moving_sum_30d": w_moving_sum_30d,
     "w_ntile_buckets": w_ntile_buckets,
     "w_cume_dist_nth": w_cume_dist_nth,
+    "w_ewma_decay": w_ewma_decay,
     "agg_grouping_sets": agg_grouping_sets,
     "fn_array_hof": fn_array_hof,
     "fn_posexplode_tokens": fn_posexplode_tokens,
@@ -395,6 +440,20 @@ ORACLES = {
           WINDOW w AS (PARTITION BY o_orderpriority
                        ORDER BY CAST(o_totalprice AS DECIMAL(12,2)), o_orderkey)
         )
+    """,
+    "w_ewma_decay": """
+        SELECT event_id, user_id,
+               CAST(list_reduce(frame, (acc, x) -> acc // 2 + x) AS BIGINT)
+                 AS ewma_e6
+        FROM (
+          SELECT event_id, user_id,
+                 list(CAST(floor(value * 1000000) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 7 PRECEDING AND CURRENT ROW
+                 ) AS frame
+          FROM events
+        )
+        ORDER BY event_id
     """,
     "w_cume_dist_nth": """
         SELECT o_orderkey, priority,
