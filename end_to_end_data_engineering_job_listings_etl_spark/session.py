@@ -43,6 +43,18 @@ def get_spark(app_name: str = "end_to_end_data_engineering_job_listings_etl_spar
         # expression families per eviction. A long-lived cluster
         # serving many plan shapes wants the same headroom.
         .config("spark.sql.codegen.cache.maxEntries", "5000")
+        # JIT code cache: the JVM default (240 MB) fills on a 90+-shape
+        # whole-stage-codegen surface run in one process — once full,
+        # HotSpot stops compiling and late queries run partially
+        # interpreted (measured: the same 68-query subset is ~19%
+        # slower inside a 95-query run than alone; restricted runs
+        # match round-3 timings exactly). 512 MB restores headroom;
+        # harmless when unused. Driver-only conf is enough: local mode
+        # executors share the driver JVM.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m",
+        )
         # Cached frames here are small dims / landing cuts (≪ heap);
         # skip columnar-cache compression to trade a little memory for
         # materially faster cache builds. Revisit if a deployment caches
