@@ -137,6 +137,8 @@ HEADLINE = [
     "inc_topk_merge",
     "fn_xml_roundtrip",
     "w_ewma_decay",
+    "sql_parameterized",
+    "profile_catalog_stats",
 ]
 
 

@@ -202,9 +202,101 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rule_name")
 
 
+def profile_catalog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CATALOG statistics path (``ANALYZE TABLE … FOR COLUMNS``)
+    under the checked-gate pattern: orders lands as a managed catalog
+    table (external location in scratch — nothing under the repo),
+    ANALYZE populates per-column min/max/null/NDV stats, and the query
+    reads them BACK out of the catalog and grades them against exact
+    aggregates — min/max/nulls must be exact, NDV (HLL-backed) within
+    10%. This is what feeds cost-based optimization: a stats-informed
+    join reorder is only as good as these numbers, so the engine's
+    ANALYZE output is itself oracle-gated like every other estimate
+    here (approx-NDV profile, approx percentiles, KMV, HLL union).
+
+    Driver-side work is two bounded fetches (a 1-row exact aggregate
+    and two DESCRIBE results — catalog metadata, not data). At 100 TB
+    ANALYZE runs the same one-pass approximate aggregates the
+    profile_table_approx path measures; the catalog is the store."""
+    import os as _os
+
+    from ..util import scratch_dir
+
+    cols = ("o_orderkey", "o_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(*cols)
+    spark.sql("DROP TABLE IF EXISTS jl_orders_stats")
+    path = _os.path.join(scratch_dir(prefix="cat_stats_"), "jl_orders_stats")
+    orders.write.mode("overwrite").option("path", path).saveAsTable(
+        "jl_orders_stats"
+    )
+    spark.sql(
+        "ANALYZE TABLE jl_orders_stats COMPUTE STATISTICS FOR COLUMNS "
+        + ", ".join(cols)
+    )
+
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+            F.countDistinct(c).alias(f"{c}__ndv"),
+        ]
+    exact = orders.agg(*aggs).collect()[0]
+
+    rows = []
+    for c in cols:
+        desc = {
+            r["info_name"]: r["info_value"]
+            for r in spark.sql(f"DESCRIBE EXTENDED jl_orders_stats {c}").collect()
+        }
+        s_min, s_max = int(desc["min"]), int(desc["max"])
+        s_nulls, s_ndv = int(desc["num_nulls"]), int(desc["distinct_count"])
+        e_min, e_max = exact[f"{c}__min"], exact[f"{c}__max"]
+        e_ndv = exact[f"{c}__ndv"]
+        rows.append(
+            (
+                c,
+                int(e_min),
+                int(e_max),
+                int(e_ndv),
+                s_min == e_min,
+                s_max == e_max,
+                s_nulls == 0,
+                abs(s_ndv - e_ndv) * 100 <= e_ndv * 10,
+            )
+        )
+    spark.sql("DROP TABLE IF EXISTS jl_orders_stats")
+    return spark.createDataFrame(
+        rows,
+        "col_name string, exact_min long, exact_max long, exact_ndv long, "
+        "stats_min_ok boolean, stats_max_ok boolean, stats_nulls_ok boolean, "
+        "stats_ndv_ok boolean",
+    ).orderBy("col_name")
+
+
+_CAT_STATS_ORACLE = """
+SELECT col_name,
+       CAST(exact_min AS BIGINT) AS exact_min,
+       CAST(exact_max AS BIGINT) AS exact_max,
+       CAST(exact_ndv AS BIGINT) AS exact_ndv,
+       TRUE AS stats_min_ok, TRUE AS stats_max_ok,
+       TRUE AS stats_nulls_ok, TRUE AS stats_ndv_ok
+FROM (
+  SELECT 'o_orderkey' AS col_name, min(o_orderkey) AS exact_min,
+         max(o_orderkey) AS exact_max, count(DISTINCT o_orderkey) AS exact_ndv
+  FROM orders
+  UNION ALL
+  SELECT 'o_custkey', min(o_custkey), max(o_custkey), count(DISTINCT o_custkey)
+  FROM orders
+)
+ORDER BY col_name
+"""
+
+
 QUERIES = {
     "profile_table": profile_table,
     "profile_table_approx_checked": profile_table_approx_checked,
+    "profile_catalog_stats": profile_catalog_stats,
     "dq_expectations": dq_expectations,
 }
 
@@ -222,6 +314,7 @@ _PROFILE_ORACLE = " UNION ALL ".join(
 
 ORACLES = {
     "profile_table": f"SELECT * FROM ({_PROFILE_ORACLE}) ORDER BY column_name",
+    "profile_catalog_stats": _CAT_STATS_ORACLE,
     # exact stats pinned + TRUE: a drifting HLL++ estimate fails the
     # value hash, not just a pytest tolerance assert
     "profile_table_approx_checked": (

@@ -130,7 +130,35 @@ def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_LATERAL_TOPN_SQL)
 
 
+_PARAM_SQL = """
+SELECT o_orderstatus AS status,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+            AS BIGINT) AS revenue_e2
+FROM v_orders_param
+WHERE o_totalprice > :min_price AND o_orderstatus != :excluded_status
+GROUP BY o_orderstatus
+ORDER BY status
+"""
+
+
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (``spark.sql(..., args={...})``) — the
+    injection-safe front door a SQL-serving layer uses: parameter
+    markers ``:min_price`` / ``:excluded_status`` bind as literals at
+    analysis time (so constant folding and predicate pushdown see real
+    values — check the plan: the filter reaches the scan), never as
+    string splices. The oracle inlines the same literals."""
+    from ..catalog import load_table
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_param")
+    return spark.sql(
+        _PARAM_SQL, args={"min_price": 50_000.0, "excluded_status": "P"}
+    )
+
+
 QUERIES = {
+    "sql_parameterized": sql_parameterized,
     "sql_v1_star": sql_v1_star,
     "sql_v2_star_dates": sql_v2_star_dates,
     "sql_v3_bridge_flat": sql_v3_bridge_flat,
@@ -140,6 +168,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sql_parameterized": """
+        SELECT o_orderstatus AS status,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS revenue_e2
+        FROM orders
+        WHERE o_totalprice > 50000.0 AND o_orderstatus != 'P'
+        GROUP BY o_orderstatus
+        ORDER BY status
+    """,
     "sql_v1_star": (
         f"{STAR_PREFIX} SELECT order_pk, o_orderkey, employer_name, segment_name,"
         " priority_name, nation_name, region_name, full_date FROM star_wide"
