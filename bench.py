@@ -139,6 +139,7 @@ HEADLINE = [
     "w_ewma_decay",
     "sql_parameterized",
     "profile_catalog_stats",
+    "fn_sql_udf",
 ]
 
 

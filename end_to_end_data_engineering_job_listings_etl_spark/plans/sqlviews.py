@@ -157,7 +157,36 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-language UDF (Spark 4 ``CREATE FUNCTION … RETURN expr``):
+    the money-scaling idiom declared ONCE as a catalog function and
+    reused from SQL text — unlike a Python UDF this inlines into the
+    plan at analysis time (no serialization boundary, stays inside
+    whole-stage codegen), which is why it's the right tool for shared
+    scalar business logic at scale. Oracle inlines the same
+    expression."""
+    from ..catalog import load_table
+
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION price_e2_udf(p DOUBLE) "
+        "RETURNS BIGINT RETURN CAST(CAST(p AS DECIMAL(12,2)) * 100 AS BIGINT)"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_udf")
+    return spark.sql(
+        """
+        SELECT o_orderpriority AS priority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(price_e2_udf(o_totalprice)) AS BIGINT) AS revenue_e2,
+               CAST(max(price_e2_udf(o_totalprice)) AS BIGINT) AS max_price_e2
+        FROM v_orders_udf
+        GROUP BY o_orderpriority
+        ORDER BY priority
+        """
+    )
+
+
 QUERIES = {
+    "fn_sql_udf": fn_sql_udf,
     "sql_parameterized": sql_parameterized,
     "sql_v1_star": sql_v1_star,
     "sql_v2_star_dates": sql_v2_star_dates,
@@ -168,6 +197,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    "fn_sql_udf": """
+        SELECT o_orderpriority AS priority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS revenue_e2,
+               CAST(max(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS max_price_e2
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY priority
+    """,
     "sql_parameterized": """
         SELECT o_orderstatus AS status,
                CAST(count(*) AS BIGINT) AS n_orders,
