@@ -140,6 +140,7 @@ HEADLINE = [
     "sql_parameterized",
     "profile_catalog_stats",
     "fn_sql_udf",
+    "sql_scripted_pipeline",
 ]
 
 

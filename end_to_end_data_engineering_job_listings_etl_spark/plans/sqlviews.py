@@ -185,7 +185,44 @@ def fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCRIPT_SQL = """
+BEGIN
+  DECLARE avg_price_e2 BIGINT;
+  SET avg_price_e2 = (
+    SELECT sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+             div count(*)
+    FROM v_orders_script
+  );
+  SELECT o_orderstatus AS status,
+         CAST(count(*) AS BIGINT) AS n_above_avg,
+         avg_price_e2 AS threshold_e2
+  FROM v_orders_script
+  WHERE CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) > avg_price_e2
+  GROUP BY o_orderstatus
+  ORDER BY status;
+END
+"""
+
+
+def sql_scripted_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4 BEGIN…END blocks): the procedural
+    two-step a stored-procedure shop writes — compute a corpus-level
+    scalar into a DECLAREd variable, then parameterize the main query
+    with it — executed as ONE script. The variable is bound
+    driver-side between statements; each statement is still a full
+    Catalyst plan (the scalar subquery runs distributed). Integer
+    threshold (sum div count) keeps both engines bit-exact; the oracle
+    is the equivalent correlated form."""
+    from ..catalog import load_table
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "v_orders_script"
+    )
+    return spark.sql(_SCRIPT_SQL)
+
+
 QUERIES = {
+    "sql_scripted_pipeline": sql_scripted_pipeline,
     "fn_sql_udf": fn_sql_udf,
     "sql_parameterized": sql_parameterized,
     "sql_v1_star": sql_v1_star,
@@ -197,6 +234,20 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sql_scripted_pipeline": """
+        WITH thr AS (
+          SELECT CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                        // count(*) AS BIGINT) AS t
+          FROM orders
+        )
+        SELECT o.o_orderstatus AS status,
+               CAST(count(*) AS BIGINT) AS n_above_avg,
+               CAST(max(thr.t) AS BIGINT) AS threshold_e2
+        FROM orders o CROSS JOIN thr
+        WHERE CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) > thr.t
+        GROUP BY o.o_orderstatus
+        ORDER BY status
+    """,
     "fn_sql_udf": """
         SELECT o_orderpriority AS priority,
                CAST(count(*) AS BIGINT) AS n_orders,

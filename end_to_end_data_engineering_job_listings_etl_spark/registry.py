@@ -106,7 +106,8 @@ def _pinned(fn: Callable[[SparkSession, str], DataFrame]):
 # inc_topk_merge, fn_xml_roundtrip, src_python_stream_resume (kept out
 # of the bench headline: 5 sequential stream starts ≈ 18 s of fixed
 # machinery cost would distort the total), w_ewma_decay,
-# sql_parameterized, profile_catalog_stats, fn_sql_udf.
+# sql_parameterized, profile_catalog_stats, fn_sql_udf,
+# sql_scripted_pipeline.
 _WINDOW = [
     # extended aggregate family
     "agg_rollup_year_month",
