@@ -141,6 +141,7 @@ HEADLINE = [
     "profile_catalog_stats",
     "fn_sql_udf",
     "sql_scripted_pipeline",
+    "agg_session_window_batch",
 ]
 
 

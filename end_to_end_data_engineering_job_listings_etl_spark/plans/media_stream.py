@@ -312,6 +312,28 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def agg_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` in BATCH mode — the same operator
+    stream_session_counts exercises through the streaming state store,
+    here compiled to sort-within-partition + merging aggregation over
+    the static table (one shuffle on the grouping key; no state store,
+    no watermark). Grouped per event_type (the streaming twin slices
+    per user) with the same end-exclusive gap rule, so both
+    session-window physical paths are independently oracle-pinned."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(F.col("ts").cast("timestamp").alias("ts"), "event_type")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "event_type")
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
 def stream_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session windows IN THE STREAMING ENGINE:
     ``session_window(ts, '30 minutes')`` merges events into
@@ -1164,6 +1186,7 @@ QUERIES = {
     "stream_user_totals": stream_user_totals,
     "stream_dedup": stream_dedup,
     "stream_session_counts": stream_session_counts,
+    "agg_session_window_batch": agg_session_window_batch,
     "stream_upsert_dim": stream_upsert_dim,
     "sink_bucketed_join": sink_bucketed_join,
     "sink_compaction": sink_compaction,
@@ -1256,6 +1279,26 @@ SELECT CAST(row_number() OVER (ORDER BY type_name) AS INTEGER) AS type_sk,
        type_name
 FROM (SELECT DISTINCT event_type AS type_name FROM events
       WHERE event_type IS NOT NULL)
+""",
+    "agg_session_window_batch": """
+WITH flagged AS (
+  SELECT event_type, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+), sessed AS (
+  SELECT event_type, ts,
+         sum(new_sess) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sessed GROUP BY event_type, session_id
 """,
     "stream_session_counts": """
 WITH flagged AS (
