@@ -142,6 +142,8 @@ HEADLINE = [
     "fn_sql_udf",
     "sql_scripted_pipeline",
     "agg_session_window_batch",
+    "fn_collation_dedup",
+    "samp_weighted_bernoulli",
 ]
 
 

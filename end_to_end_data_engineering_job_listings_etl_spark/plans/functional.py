@@ -494,6 +494,27 @@ def inc_join_view_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def fn_collation_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware semantics (Spark 4 ``collate``): the same
+    entity arriving with different casing — here each customer name
+    deterministically duplicated as UPPER and lower variants — counts
+    once under UTF8_LCASE and twice under binary collation. At 100 TB
+    the collated column makes case-insensitive joins/dedup a property
+    of the TYPE (hash-partitionable, codegen-compiled) instead of a
+    lower() wrapped around every use site (which breaks stats and
+    sargability). The oracle derives both counts from the base table."""
+    cust = load_table(spark, sf_dir, "customer").select("c_name")
+    variants = cust.select(F.upper("c_name").alias("v")).unionAll(
+        cust.select(F.lower("c_name").alias("v"))
+    )
+    return variants.agg(
+        F.countDistinct("v").cast("bigint").alias("n_binary_distinct"),
+        F.expr("count(DISTINCT collate(v, 'UTF8_LCASE'))")
+        .cast("bigint")
+        .alias("n_lcase_distinct"),
+    )
+
+
 def fn_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XML ingest surface (Spark 4 built-in ``from_xml``): orders
     rendered to XML order records, parsed back with a declared schema,
@@ -562,6 +583,7 @@ def inc_topk_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "fn_collation_dedup": fn_collation_dedup,
     "fn_xml_roundtrip": fn_xml_roundtrip,
     "inc_topk_merge": inc_topk_merge,
     "inc_snapshot_diff": inc_snapshot_diff,
@@ -598,6 +620,12 @@ ORACLES = {
                max(o_orderdate) AS last_order
         FROM orders
         GROUP BY o_custkey
+    """,
+    "fn_collation_dedup": """
+        SELECT CAST(count(DISTINCT upper(c_name)) + count(DISTINCT lower(c_name))
+                    AS BIGINT) AS n_binary_distinct,
+               CAST(count(DISTINCT lower(c_name)) AS BIGINT) AS n_lcase_distinct
+        FROM customer
     """,
     "fn_xml_roundtrip": """
         SELECT o_orderstatus AS status,

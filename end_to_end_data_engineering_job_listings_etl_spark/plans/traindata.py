@@ -901,7 +901,37 @@ def samp_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WB_DENOM = 8  # weight w ∈ 1..4 ⇒ inclusion probability w/8
+
+
+def samp_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Bernoulli sampling with EXACT per-item inclusion
+    probability w/8 — the quality-weighted downsampling step of a
+    curation pipeline (keep high-quality documents at 4× the rate of
+    low-quality ones) in the repo's replayable-hash idiom: keep doc
+    iff md5('wb|'||doc_id) mod 8 < w. No RNG, no shuffle, stable under
+    appends/retries like samp_hash_split; weights here derive from
+    token count (a stand-in for a quality score), integer 1..4.
+
+    (For weighted sampling WITHOUT replacement to an exact k, the
+    float-free composition is samp_stratified_exact over weight
+    buckets; A-ES-style keys need float pow and are deliberately
+    absent — cross-engine last-ulp drift would break the oracle
+    discipline.)"""
+    docs = load_table_dist(spark, sf_dir, "documents", cols=("doc_id", "text"))
+    sized = docs.select(
+        "doc_id",
+        (T.token_count("text") % 4 + 1).cast("long").alias("weight"),
+    )
+    keep = F.expr(
+        "cast(conv(substring(md5(concat('wb|', cast(doc_id as string))), 1, 8),"
+        f" 16, 10) as bigint) % {_WB_DENOM}"
+    ) < F.col("weight")
+    return sized.where(keep).orderBy("doc_id")
+
+
 QUERIES = {
+    "samp_weighted_bernoulli": samp_weighted_bernoulli,
     "samp_stratified_exact": samp_stratified_exact,
     "samp_hash_split": samp_hash_split,
     "text_repetition_signals": text_repetition_signals,
@@ -1158,4 +1188,17 @@ SELECT o.doc_id, o.lang
 FROM ordered o JOIN quotas u ON u.lang = o.lang
 WHERE o.rk <= u.quota
 ORDER BY o.lang, o.doc_id
+"""
+
+ORACLES["samp_weighted_bernoulli"] = f"""
+WITH sized AS (
+  SELECT doc_id,
+         CAST(len({_TOKS.format(e='text')}) % 4 + 1 AS BIGINT) AS weight
+  FROM documents
+)
+SELECT doc_id, weight
+FROM sized
+WHERE CAST(concat('0x', substr(md5('wb|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        % {_WB_DENOM} < weight
+ORDER BY doc_id
 """

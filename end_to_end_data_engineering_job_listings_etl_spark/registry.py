@@ -107,7 +107,8 @@ def _pinned(fn: Callable[[SparkSession, str], DataFrame]):
 # of the bench headline: 5 sequential stream starts ≈ 18 s of fixed
 # machinery cost would distort the total), w_ewma_decay,
 # sql_parameterized, profile_catalog_stats, fn_sql_udf,
-# sql_scripted_pipeline, agg_session_window_batch.
+# sql_scripted_pipeline, agg_session_window_batch, fn_collation_dedup,
+# samp_weighted_bernoulli.
 _WINDOW = [
     # extended aggregate family
     "agg_rollup_year_month",
