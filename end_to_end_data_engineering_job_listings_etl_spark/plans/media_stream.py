@@ -885,6 +885,105 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming corpus curation pipeline
+# ---------------------------------------------------------------------------
+
+
+def stream_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-curation funnel AS A STREAM — quality gate → streaming
+    exact dedup → leakage-stable split tag — in ONE continuous query
+    over a monitored landing directory, the shape a perpetually-fed
+    100 TB corpus actually runs (the batch twin is corpus_curation +
+    samp_hash_split):
+
+      documents stream → length ≥ 100 filter (narrow, scan-side)
+        → dropDuplicates on the md5 TEXT fingerprint (streaming state:
+          one entry per distinct text, the exact-dedup contract)
+        → split = md5(fingerprint) bucket (hash-split on the DEDUP KEY,
+          so whichever duplicate row survives, its split is identical —
+          survivor-independence is what makes the result deterministic
+          AND what keeps near-identical docs from straddling splits)
+        → parquet sink, availableNow drain.
+
+    The rollup (per-split doc count + character mass) is
+    survivor-independent by construction; the oracle is the batch
+    equivalent over DISTINCT text fingerprints."""
+    docs_dir = scratch_dir(prefix="docs_stream_")
+    os.symlink(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(docs_dir, "documents.parquet"),
+    )
+    schema = (
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1_000_000)
+        .parquet(docs_dir)
+    )
+    bucket = F.expr(
+        "cast(conv(substring(md5(concat('split|', fp)), 1, 8), 16, 10) as bigint)"
+        " % 100"
+    )
+    cur = (
+        stream.where(F.length("text") >= 100)
+        .withColumn("fp", F.md5("text"))
+        .dropDuplicates(["fp"])
+        .withColumn("bucket", bucket)
+        .withColumn(
+            "split",
+            F.when(F.col("bucket") < 80, F.lit("train"))
+            .when(F.col("bucket") < 90, F.lit("val"))
+            .otherwise(F.lit("test")),
+        )
+        .select("fp", F.length("text").alias("n_chars"), "split")
+    )
+    base = scratch_dir(prefix="stream_cur_")
+    out, ck = os.path.join(base, "rows"), os.path.join(base, "ck")
+    q = (
+        cur.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+_STREAM_CUR_ORACLE = """
+WITH kept AS (
+  SELECT md5(text) AS fp, min(len(text)) AS n_chars
+  FROM documents
+  WHERE len(text) >= 100
+  GROUP BY md5(text)
+),
+tagged AS (
+  SELECT fp, n_chars,
+         CAST(concat('0x', substr(md5('split|' || fp), 1, 8)) AS BIGINT) % 100
+           AS bucket
+  FROM kept
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM tagged
+GROUP BY 1
+ORDER BY split
+"""
+
+
+# ---------------------------------------------------------------------------
 # Python streaming data source (restart-resume drain)
 # ---------------------------------------------------------------------------
 
@@ -1202,6 +1301,7 @@ QUERIES = {
     "src_schema_evolution": src_schema_evolution,
     "src_csv_malformed": src_csv_malformed,
     "src_python_stream_resume": src_python_stream_resume,
+    "stream_curation_pipeline": stream_curation_pipeline,
     "sink_zorder_roundtrip": sink_zorder_roundtrip,
     "sink_observed_write": sink_observed_write,
     "src_jdbc_landing": src_jdbc_landing,
@@ -1256,6 +1356,7 @@ FROM orders GROUP BY o_orderstatus
     "src_schema_evolution": _EVO_ORACLE,
     "src_csv_malformed": _CSV_BAD_ORACLE,
     "src_python_stream_resume": _PYS_ORACLE,
+    "stream_curation_pipeline": _STREAM_CUR_ORACLE,
     "sink_observed_write": """
 SELECT count(*) AS n_rows,
        CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT)
