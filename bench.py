@@ -144,6 +144,7 @@ HEADLINE = [
     "agg_session_window_batch",
     "fn_collation_dedup",
     "samp_weighted_bernoulli",
+    "sql_pivot_clause",
 ]
 
 

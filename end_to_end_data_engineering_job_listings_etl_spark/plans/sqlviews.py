@@ -14,6 +14,7 @@ flattening to (pk, name) pairs), and the Q8 monthly rollup (query row
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .star import STAR_PREFIX, bridge_doc_keyword, dim_keyword, star_wide
 
@@ -221,7 +222,33 @@ def sql_scripted_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SCRIPT_SQL)
 
 
+_PIVOT_SQL = """
+SELECT *
+FROM (SELECT o_orderpriority AS priority, o_orderstatus AS status
+      FROM v_orders_pivot)
+PIVOT (count(*) AS n FOR status IN ('F' AS f, 'O' AS o, 'P' AS p))
+ORDER BY priority
+"""
+
+
+def sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL ``PIVOT`` clause (distinct surface from the DataFrame
+    ``groupBy().pivot()`` form exercised by agg_pivot_events): order
+    counts by priority pivoted across the three statuses. Pivot values
+    are declared literals, so the plan is a plain grouped conditional
+    aggregation — the oracle is exactly that."""
+    from ..catalog import load_table
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_pivot")
+    df = spark.sql(_PIVOT_SQL)
+    return df.select(
+        "priority",
+        *[F.col(c).cast("bigint").alias(c) for c in df.columns if c != "priority"],
+    )
+
+
 QUERIES = {
+    "sql_pivot_clause": sql_pivot_clause,
     "sql_scripted_pipeline": sql_scripted_pipeline,
     "fn_sql_udf": fn_sql_udf,
     "sql_parameterized": sql_parameterized,
@@ -234,6 +261,15 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sql_pivot_clause": """
+        SELECT o_orderpriority AS priority,
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f,
+               CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o,
+               CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY priority
+    """,
     "sql_scripted_pipeline": """
         WITH thr AS (
           SELECT CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))

@@ -109,7 +109,8 @@ def _pinned(fn: Callable[[SparkSession, str], DataFrame]):
 # sql_parameterized, profile_catalog_stats, fn_sql_udf,
 # sql_scripted_pipeline, agg_session_window_batch, fn_collation_dedup,
 # samp_weighted_bernoulli, stream_curation_pipeline (streaming machinery
-# cost — out of the bench headline like src_python_stream_resume).
+# cost — out of the bench headline like src_python_stream_resume),
+# sql_pivot_clause.
 _WINDOW = [
     # extended aggregate family
     "agg_rollup_year_month",
