@@ -15,6 +15,13 @@ and reports the per-query MEDIAN plus per-run totals. Host timing
 noise swung single-run totals ±25-50% round over round (ADVICE r3
 task 6); medians pin that down while "value" stays sum-of-medians,
 comparable at equal n_timed.
+
+Since round 5: queries whose base-run spread exceeds ±20% of their
+median get $SPARK_GRAFT_BENCH_EXTRA (default 2) additional cold
+subset passes — median-of-5 for the noisy tail, median-of-3 for the
+quiet majority — and the COMPLETE result JSON (all medians, spreads,
+sample counts, config) is persisted to ``bench_last.json`` so the
+committed artifact survives the driver's stdout-tail truncation.
 """
 
 from __future__ import annotations
@@ -154,6 +161,14 @@ def run_once() -> dict:
     sf = float(m.group(1)) if m else None
     spark = get_spark(app_name="end_to_end_data_engineering_job_listings_etl_spark-bench")
 
+    # Optional subset pass (used by the adaptive median-of-5 re-sampling
+    # of noisy queries): comma-separated query names, still cold —
+    # each subset pass is its own subprocess with a fresh JVM.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    headline = (
+        [n for n in HEADLINE if n in set(only.split(","))] if only else HEADLINE
+    )
+
     queries = registry.all_queries()
     # Warm each headline plan once at the smallest SF: whole-stage
     # codegen JIT + classloading are per-plan-shape one-time costs
@@ -162,7 +177,7 @@ def run_once() -> dict:
     # execution at the bench scale factor, which is what scales to a
     # long-lived cluster. (Memoized caches are keyed by sf_dir, so no
     # sf0.001 data survives into the timed runs.)
-    for name in HEADLINE:
+    for name in headline:
         try:
             queries[name](spark, "/root/testdata/sf0.001").write.format(
                 "noop"
@@ -175,7 +190,7 @@ def run_once() -> dict:
     # rest. (Errored queries contribute 0 to the total.)
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn = queries[name]
         t0 = time.perf_counter()
         try:
@@ -195,7 +210,7 @@ def run_once() -> dict:
         "value": total if not errors else None,
         "total_timed": total,
         "n_timed": len(timings),
-        "n_queries": len(HEADLINE),
+        "n_queries": len(headline),
         "unit": "sec",
         "queries": timings,
         "errors": errors,
@@ -260,38 +275,84 @@ def main() -> None:
         errors.update(r["errors"])
     if run_errors:
         errors["__runs__"] = "; ".join(run_errors)[:900]
+
+    # Adaptive median-of-5 (VERDICT r4 item 3): queries whose cold-run
+    # spread exceeds ±20% of their median get EXTRA cold subset passes
+    # (fresh subprocess each, SPARK_GRAFT_BENCH_ONLY narrows the pass to
+    # just the noisy names) so their medians settle over 5 samples while
+    # the quiet majority stays at 3.
+    n_extra = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "2"))
+    noisy = sorted(
+        name
+        for name, xs in samples.items()
+        if len(xs) == len(runs)
+        and name not in errors
+        and max(xs) - min(xs) > 0.4 * _median(xs)
+    )
+    if noisy and n_extra > 0:
+        env = dict(os.environ, SPARK_GRAFT_BENCH_ONLY=",".join(noisy))
+        for _ in range(n_extra):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--once"],
+                capture_output=True,
+                text=True,
+                env=env,
+            )
+            line = next(
+                (ln for ln in reversed(proc.stdout.splitlines()) if ln.strip()),
+                "",
+            )
+            try:
+                extra = json.loads(line)
+            except json.JSONDecodeError:
+                continue  # extra samples are best-effort
+            for name, sec in extra["queries"].items():
+                samples.setdefault(name, []).append(sec)
+
     medians = {
         name: round(_median(xs), 3)
         for name, xs in samples.items()
-        # a query must have a sample from EVERY successful run: a
+        # a query must have a sample from EVERY base run: a
         # sometimes-erroring query's partial median is not comparable
-        if len(xs) == len(runs) and name not in errors
+        # (extra noisy-query samples only ever extend a full set)
+        if len(xs) >= len(runs) and name not in errors
     }
     total = round(sum(medians.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall",
-                "value": total if not errors else None,
-                "total_timed": total,
-                "n_timed": len(medians),
-                "n_queries": len(HEADLINE),
-                "n_runs": len(runs),
-                "unit": "sec",
-                # per-query median across cold runs; spread records the
-                # [min, max] sample so variance is visible per query
-                "queries": medians,
-                "spread": {
-                    name: [round(min(xs), 3), round(max(xs), 3)]
-                    for name, xs in samples.items()
-                    if name in medians
-                },
-                "run_totals": [r["total_timed"] for r in runs],
-                "errors": errors,
-                "sf": runs[0].get("sf"),
-            }
+    result = {
+        "metric": "headline_total_wall",
+        "value": total if not errors else None,
+        "total_timed": total,
+        "n_timed": len(medians),
+        "n_queries": len(HEADLINE),
+        "n_runs": len(runs),
+        "unit": "sec",
+        # per-query median across cold runs; spread records the
+        # [min, max] sample so variance is visible per query
+        "queries": medians,
+        "spread": {
+            name: [round(min(xs), 3), round(max(xs), 3)]
+            for name, xs in samples.items()
+            if name in medians
+        },
+        "n_samples": {
+            name: len(xs) for name, xs in samples.items() if len(xs) > len(runs)
+        },
+        "resampled": noisy,
+        "run_totals": [r["total_timed"] for r in runs],
+        "errors": errors,
+        "sf": runs[0].get("sf"),
+    }
+    # The driver's BENCH capture keeps only a stdout tail (r4 lost ~60
+    # queries' medians to the 2000-char truncation) — persist the FULL
+    # result to a committed artifact so the in-repo record is
+    # self-sufficient (VERDICT r4 item 2).
+    try:
+        (Path(__file__).resolve().parent / "bench_last.json").write_text(
+            json.dumps(result, indent=1) + "\n"
         )
-    )
+    except OSError:
+        pass  # read-only checkout must not break the bench line
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

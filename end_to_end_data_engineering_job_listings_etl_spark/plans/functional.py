@@ -622,8 +622,13 @@ ORACLES = {
         GROUP BY o_custkey
     """,
     "fn_collation_dedup": """
-        SELECT CAST(count(DISTINCT upper(c_name)) + count(DISTINCT lower(c_name))
-                    AS BIGINT) AS n_binary_distinct,
+        WITH variants AS (
+          SELECT upper(c_name) AS v FROM customer
+          UNION ALL
+          SELECT lower(c_name) AS v FROM customer
+        )
+        SELECT CAST((SELECT count(DISTINCT v) FROM variants) AS BIGINT)
+                 AS n_binary_distinct,
                CAST(count(DISTINCT lower(c_name)) AS BIGINT) AS n_lcase_distinct
         FROM customer
     """,

@@ -52,13 +52,34 @@ from ..functions.text import tokens
 
 def _h32(sql_expr: str) -> str:
     """Spark SQL expr: first 8 md5 hex digits of ``sql_expr`` as a
-    BIGINT in [0, 2^32)."""
+    BIGINT in [0, 2^32).
+
+    NULL-key convention: ``sql_expr`` must never evaluate to NULL —
+    Spark's ``concat`` propagates NULL while DuckDB's skips it, so a
+    NULL input would silently diverge from the oracle. Call sites wrap
+    every nullable leaf column in :func:`_nn` / :func:`_nn_duck`
+    (coalesce to ``chr(1)``) so both engines hash the same bytes.
+    """
     return f"cast(conv(substring(md5({sql_expr}), 1, 8), 16, 10) as bigint)"
 
 
 def _h32_duck(sql_expr: str) -> str:
-    """DuckDB translation of :func:`_h32`."""
+    """DuckDB translation of :func:`_h32`. Same non-NULL input
+    convention — see :func:`_h32`."""
     return f"CAST(concat('0x', substr(md5({sql_expr}), 1, 8)) AS BIGINT)"
+
+
+def _nn(col_sql: str) -> str:
+    """NULL-normalized string form of a hash-key column (Spark SQL):
+    NULL → ``chr(1)`` (a byte that can't appear in the fixtures), so
+    concat never NULL-propagates and both engines hash identically.
+    Identity for non-NULL values — existing hash values are unchanged."""
+    return f"coalesce(cast(({col_sql}) as string), chr(1))"
+
+
+def _nn_duck(col_sql: str) -> str:
+    """DuckDB twin of :func:`_nn`."""
+    return f"coalesce(CAST(({col_sql}) AS VARCHAR), chr(1))"
 
 
 # ---------------------------------------------------------------------
@@ -92,7 +113,7 @@ def agg_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_type")
 
     def cell(i: int):
-        inner = f"concat('cms', '{i}', '|', event_type)"
+        inner = f"concat('cms', '{i}', '|', {_nn('event_type')})"
         return F.struct(
             F.lit(i).alias("h"),
             F.expr(f"{_h32(inner)} % {_CMS_W}").alias("bucket"),
@@ -125,7 +146,7 @@ def agg_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CMS_ORACLE = f"""
 WITH cells AS (
   SELECT t.h,
-         {_h32_duck("concat('cms', t.h, '|', e.event_type)")} % {_CMS_W} AS bucket
+         {_h32_duck(f"concat('cms', t.h, '|', {_nn_duck('e.event_type')})")} % {_CMS_W} AS bucket
   FROM events e, range({_CMS_D}) t(h)
 ),
 sketch AS (SELECT h, bucket, count(*) AS n FROM cells GROUP BY h, bucket),
@@ -136,7 +157,7 @@ est AS (
   CROSS JOIN range({_CMS_D}) t(h)
   JOIN sketch s
     ON s.h = t.h
-   AND s.bucket = {_h32_duck("concat('cms', t.h, '|', x.event_type)")} % {_CMS_W}
+   AND s.bucket = {_h32_duck(f"concat('cms', t.h, '|', {_nn_duck('x.event_type')})")} % {_CMS_W}
   GROUP BY x.event_type, x.exact_n
 )
 SELECT event_type,
@@ -164,7 +185,7 @@ def _bf_positions(key_sql: str) -> list[str]:
     """The K bit positions (Spark SQL exprs) for a join key."""
     out = []
     for i in range(_BF_K):
-        inner = f"concat('bf', '{i}', '|', {key_sql})"
+        inner = f"concat('bf', '{i}', '|', {_nn(key_sql)})"
         out.append(f"{_h32(inner)} % {_BF_M}")
     return out
 
@@ -174,7 +195,7 @@ def _bf_probe_sql(key_sql: str) -> str:
     ``words`` array (32-bit words as BIGINT cells, O(1) per probe)."""
     checks = []
     for i in range(_BF_K):
-        inner = f"concat('bf', '{i}', '|', {key_sql})"
+        inner = f"concat('bf', '{i}', '|', {_nn(key_sql)})"
         pos = f"({_h32(inner)} % {_BF_M})"
         checks.append(
             f"(element_at(words, cast({pos} div 32 as int) + 1)"
@@ -256,7 +277,7 @@ def _bf_probe_duck(key_sql: str) -> str:
     """DuckDB translation of :func:`_bf_probe_sql` against ``b.words``."""
     checks = []
     for i in range(_BF_K):
-        inner = f"concat('bf', '{i}', '|', {key_sql})"
+        inner = f"concat('bf', '{i}', '|', {_nn_duck(key_sql)})"
         pos = f"({_h32_duck(inner)} % {_BF_M})"
         checks.append(
             f"(b.words[CAST({pos} // 32 AS INTEGER) + 1]"
@@ -269,7 +290,7 @@ def _bf_positions_duck(key_sql: str) -> str:
     """DuckDB list literal of the K bit positions for a join key."""
     parts = []
     for i in range(_BF_K):
-        inner = f"concat('bf', '{i}', '|', {key_sql})"
+        inner = f"concat('bf', '{i}', '|', {_nn_duck(key_sql)})"
         parts.append(f"{_h32_duck(inner)} % {_BF_M}")
     return "[" + ", ".join(parts) + "]"
 
@@ -333,7 +354,7 @@ def salted_equi_join(
     which this module's callers assert separately.
     """
     salt_col = salt_src if salt_src is not None else fact.columns[0]
-    inner = f"concat('salt|', cast({salt_col} as string))"
+    inner = f"concat('salt|', {_nn(salt_col)})"
     salted_fact = fact.withColumn(
         "__salt", F.expr(f"{_h32(inner)} % {buckets}")
     )
@@ -626,7 +647,7 @@ def kmv_merged_estimate(
     tests; everything stays a DataFrame (no driver-side state)."""
     from pyspark.sql import Window
 
-    h = F.expr(_h32(f"cast({key_col} as string)"))
+    h = F.expr(_h32(_nn(key_col)))
     hashed = df.select(group_col, h.alias("h")).distinct()
     w = Window.partitionBy(group_col).orderBy("h")
     sketches = (
@@ -688,7 +709,7 @@ def agg_kmv_distinct_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KMV_ORACLE = f"""
 WITH hashed AS (
   SELECT DISTINCT o_orderstatus,
-         {_h32_duck("CAST(o_custkey AS VARCHAR)")} AS h
+         {_h32_duck(_nn_duck("o_custkey"))} AS h
   FROM orders
 ),
 sketches AS (
@@ -741,7 +762,7 @@ def agg_kmv_intersection_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus", "o_custkey"
     )
     two = orders.where(F.col("o_orderstatus").isin("F", "O"))
-    h = F.expr(_h32("cast(o_custkey as string)"))
+    h = F.expr(_h32(_nn("o_custkey")))
     hashed = two.select("o_orderstatus", h.alias("h")).distinct()
     w = Window.partitionBy("o_orderstatus").orderBy("h")
     sketches = (
@@ -801,7 +822,7 @@ WITH two AS (
 ),
 hashed AS (
   SELECT DISTINCT o_orderstatus,
-         {_h32_duck("CAST(o_custkey AS VARCHAR)")} AS h
+         {_h32_duck(_nn_duck("o_custkey"))} AS h
   FROM two
 ),
 sketches AS (

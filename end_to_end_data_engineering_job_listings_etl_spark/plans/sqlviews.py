@@ -236,14 +236,22 @@ def sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``groupBy().pivot()`` form exercised by agg_pivot_events): order
     counts by priority pivoted across the three statuses. Pivot values
     are declared literals, so the plan is a plain grouped conditional
-    aggregation — the oracle is exactly that."""
+    aggregation — the oracle is exactly that. Spark's PIVOT count(*)
+    yields NULL for a (priority, status) combination with no rows
+    where the oracle's CASE-sum yields 0, so each pivoted column is
+    coalesced to 0 — a no-op on dense fixtures, required for sparse
+    ones."""
     from ..catalog import load_table
 
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_pivot")
     df = spark.sql(_PIVOT_SQL)
     return df.select(
         "priority",
-        *[F.col(c).cast("bigint").alias(c) for c in df.columns if c != "priority"],
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
+            for c in df.columns
+            if c != "priority"
+        ],
     )
 
 

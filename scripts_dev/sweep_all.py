@@ -1,0 +1,106 @@
+"""Full-surface driver replica: run EVERY registered query through the
+strict oracle compare (tests/oracle_check.py::compare — the driver's
+hash semantics) and write a committed JSON artifact with per-query
+status + wall time, so the "N/N green" claim is reproducible in one
+command (VERDICT r4 "Next round" item 6).
+
+Usage:
+    python scripts_dev/sweep_all.py [--sf-dir DIR] [--out FILE] [name ...]
+
+Defaults: sf0.01 (the driver's correctness SF), artifact written to
+scripts_dev/sweep_r<ROUND>.json if --out not given (ROUND from
+$SWEEP_ROUND, default "5"). Imports __spark_entry__ by path exactly
+like the driver does, so registry wiring is exercised too.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import sys
+import time
+import traceback
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf_dir = "/root/testdata/sf0.01"
+    out = None
+    names = []
+    it = iter(args)
+    for a in it:
+        if a == "--sf-dir":
+            sf_dir = next(it)
+        elif a == "--out":
+            out = next(it)
+        else:
+            names.append(a)
+    if out is None:
+        out = str(
+            REPO / "scripts_dev" / f"sweep_r{os.environ.get('SWEEP_ROUND', '5')}.json"
+        )
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", str(REPO / "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from tests.oracle_check import compare, duckdb_conn
+    from end_to_end_data_engineering_job_listings_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="sweep-all", cpus=int(os.environ.get("SWEEP_CPUS", "16")))
+    con = duckdb_conn(sf_dir)
+    qs, oracles = mod.queries(), mod.oracle_sql()
+    names = names or list(qs)
+
+    t_start = time.time()
+    entry_rows = len(mod.entry(spark).collect())
+    results: dict[str, dict] = {}
+    n_green = n_rows_only = n_fail = 0
+    for i, name in enumerate(names):
+        t0 = time.time()
+        try:
+            df = qs[name](spark, sf_dir)
+            if name in oracles:
+                compare(df, con, oracles[name], name)
+                status = "GREEN"
+                n_green += 1
+            else:
+                status = f"rows-only:{df.count()}"
+                n_rows_only += 1
+            err = None
+        except Exception as e:  # noqa: BLE001 - artifact records everything
+            status = "FAIL"
+            err = f"{type(e).__name__}: {e}"[:400]
+            n_fail += 1
+            traceback.print_exc()
+        wall = round(time.time() - t0, 3)
+        results[name] = {"status": status, "sec": wall, **({"err": err} if err else {})}
+        print(f"[{i + 1}/{len(names)}] {name}: {status} ({wall}s)", flush=True)
+
+    artifact = {
+        "sf_dir": sf_dir,
+        "n_queries": len(names),
+        "n_green": n_green,
+        "n_rows_only": n_rows_only,
+        "n_fail": n_fail,
+        "entry_rows": entry_rows,
+        "total_sec": round(time.time() - t_start, 1),
+        "queries": results,
+    }
+    Path(out).write_text(json.dumps(artifact, indent=1) + "\n")
+    print(
+        f"\n{n_green} green / {n_rows_only} rows-only / {n_fail} FAIL"
+        f"  (entry_rows={entry_rows})  → {out}"
+    )
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
