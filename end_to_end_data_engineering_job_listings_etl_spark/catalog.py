@@ -37,6 +37,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     reader rejects; the bigint sniff below keeps that layout working
     (legacy nanosAsLong read + micros rebuild, truncation — matching
     how micros engines like DuckDB ingest nanos)."""
+    cachereg.touch(spark, sf_dir)
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         from pyspark.sql import functions as F
@@ -108,6 +109,26 @@ def load_table_dist(
             df = df.persist()
     _DIST_CACHE[key] = df
     return df
+
+
+def clear_caches(
+    spark: SparkSession | None = None, sf_dir: str | None = None
+) -> None:
+    """Evict (and unpersist) the memoized distributed-scan frames.
+    ``None`` is a wildcard on either axis; registered with
+    ``cachereg`` so the LRU dataset cap and the session-stop hook
+    evict automatically."""
+    for key in [
+        k
+        for k in _DIST_CACHE
+        if (spark is None or k[0] is spark) and (sf_dir is None or k[1] == sf_dir)
+    ]:
+        _DIST_CACHE.pop(key).unpersist()
+
+
+from . import cachereg  # noqa: E402  (import cycle: cachereg is leaf)
+
+cachereg.register_evictor(clear_caches)
 
 
 def load_tables(

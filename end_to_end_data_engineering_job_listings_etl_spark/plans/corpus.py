@@ -35,6 +35,37 @@ _MINHASH_K = 8
 _LSH_BANDS = 4
 _SHINGLE_K = 3
 
+# Scratch frames pinned by the latest dd_minhash_estimate call per
+# (session, sf_dir): superseded or evicted generations are released so
+# repeated calls in a long-lived process can't accumulate blocks.
+_TRANSIENT_PINS: dict[tuple[SparkSession, str], list[DataFrame]] = {}
+
+
+def _repin(spark: SparkSession, sf_dir: str, frames: list[DataFrame]) -> None:
+    from ..operators.ids import release_pins
+
+    release_pins(_TRANSIENT_PINS.pop((spark, sf_dir), []))
+    _TRANSIENT_PINS[(spark, sf_dir)] = frames
+
+
+def clear_caches(
+    spark: SparkSession | None = None, sf_dir: str | None = None
+) -> None:
+    """Release this module's transient pinned frames (cachereg hook)."""
+    from ..operators.ids import release_pins
+
+    for key in [
+        k
+        for k in _TRANSIENT_PINS
+        if (spark is None or k[0] is spark) and (sf_dir is None or k[1] == sf_dir)
+    ]:
+        release_pins(_TRANSIENT_PINS.pop(key))
+
+
+from .. import cachereg  # noqa: E402  (leaf module, no cycle)
+
+cachereg.register_evictor(clear_caches)
+
 
 def _e6(col) -> F.Column:
     return F.floor(col * 1_000_000).cast("long")
@@ -145,6 +176,10 @@ def dd_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = D.minhash_lsh_pairs(
         docs, "text", "doc_id", _MINHASH_K, _LSH_BANDS, _SHINGLE_K, sig=sigs
     ).localCheckpoint(eager=False)
+    # register both scratch frames for release on the next call for
+    # this (session, sf_dir) or on cachereg eviction — previously they
+    # leaked one generation per invocation
+    _repin(spark, sf_dir, [sigs, cands])
     # Exact-Jaccard machinery runs ONLY over docs that appear in a
     # candidate pair: at scale |candidates| ≪ |corpus|, so the
     # shingle inverted-index join is bounded by the candidate set, not

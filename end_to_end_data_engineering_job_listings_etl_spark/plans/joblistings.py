@@ -34,7 +34,7 @@ from ..functions.keywords import extract_keywords
 from ..functions.normalize import norm_initcap, norm_upper, parse_string_array
 from ..functions.relative_time import parse_relative_time
 from ..operators.dims import build_dim, build_dims_batched
-from ..operators.ids import exclusive_prefix_sum, ranked_ids
+from ..operators.ids import exclusive_prefix_sum, ranked_ids, release_pins
 
 SKILL_KEYWORDS = (
     "sql", "python", "spark", "aws", "excel", "tableau", "java", "airflow",
@@ -95,7 +95,12 @@ def build_star_schema(
             # pin_input=False: `tuples` is a groupBy output whose
             # shuffle files are reused across the sampling + exchange
             # jobs (skipped stages).
-            tuples, ordering, "__cnt", "__start", pin_input=False
+            tuples,
+            ordering,
+            "__cnt",
+            "__start",
+            pin_input=False,
+            pinned_out=shared_out,
         ).select(
             *[F.col(c).alias(f"__k{i}") for i, c in enumerate(ordering)],
             "__start",
@@ -223,7 +228,10 @@ def build_star_schema(
     # window), broadcast-joined back: neither the wide joined frame
     # nor the keys funnel through one task.
     pk_map = ranked_ids(
-        base.select("job_natural_key"), ["job_natural_key"], "job_posting_pk"
+        base.select("job_natural_key"),
+        ["job_natural_key"],
+        "job_posting_pk",
+        pinned_out=shared_out,
     )
     j = j.join(F.broadcast(pk_map), "job_natural_key")
     fact = j.select(
@@ -264,7 +272,10 @@ def build_star_schema(
 
 
 def landing_from_orders(
-    spark: SparkSession, sf_dir: str, with_natural_key: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    with_natural_key: bool = True,
+    pinned_out: list[DataFrame] | None = None,
 ) -> DataFrame:
     """A reference-shaped ``job_listings`` landing derived from the
     driver's parquet tables with pure column expressions — every column
@@ -309,6 +320,7 @@ def landing_from_orders(
             ),
             ["__t", "__e", "__u"],
             "job_natural_key",
+            pinned_out=pinned_out,
         ).select("o_orderkey", "job_natural_key")
         l = l.join(F.broadcast(nk_map), "o_orderkey")
         key_cols = [F.col("job_natural_key")]
@@ -358,24 +370,34 @@ def _jl_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     hit = _JL_STAR_CACHE.get(key)
     if hit is None:
         shared: list[DataFrame] = []
-        hit = build_star_schema(landing_from_orders(spark, sf_dir), shared_out=shared)
+        hit = build_star_schema(
+            landing_from_orders(spark, sf_dir, pinned_out=shared),
+            shared_out=shared,
+        )
         _JL_STAR_CACHE[key] = hit
         _JL_STAR_SHARED[key] = shared
     return hit
 
 
-def clear_caches(spark: SparkSession | None = None) -> None:
+def clear_caches(
+    spark: SparkSession | None = None, sf_dir: str | None = None
+) -> None:
     """Evict the memoized jl_* star builds and unpersist the batched
-    dim assigner's shared ranked frames. Scope to one session, or
-    everything with ``None`` (see plans/star.py::clear_caches)."""
-    for key in [k for k in _JL_STAR_CACHE if spark is None or key_has(k, spark)]:
+    dim assigner's shared ranked frames. Either axis may be ``None``
+    (wildcard); registered with ``cachereg`` for automatic eviction
+    (see plans/star.py::clear_caches)."""
+    for key in [
+        k
+        for k in _JL_STAR_CACHE
+        if (spark is None or k[0] is spark) and (sf_dir is None or k[1] == sf_dir)
+    ]:
         _JL_STAR_CACHE.pop(key)
-        for frame in _JL_STAR_SHARED.pop(key, []):
-            frame.unpersist()
+        release_pins(_JL_STAR_SHARED.pop(key, []))
 
 
-def key_has(key: tuple, spark: SparkSession) -> bool:
-    return any(k is spark for k in key if isinstance(k, SparkSession))
+from .. import cachereg  # noqa: E402  (leaf module, no cycle)
+
+cachereg.register_evictor(clear_caches)
 
 
 def jl_fact_checked(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -171,26 +171,43 @@ def _dims_bundle(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 _DIMS_BUNDLE_CACHE: dict[tuple[SparkSession, str], dict[str, DataFrame]] = {}
 _DIMS_SHARED: dict[tuple[SparkSession, str], list[DataFrame]] = {}
+# localCheckpoint frames pinned by the fact PK's two-phase rank, per
+# (session, sf_dir) — released (RDD-level) on eviction
+_STAR_PINNED: dict[tuple[SparkSession, str], list[DataFrame]] = {}
 
 
-def clear_caches(spark: SparkSession | None = None) -> None:
+def clear_caches(
+    spark: SparkSession | None = None, sf_dir: str | None = None
+) -> None:
     """Evict this module's per-(session, sf_dir) memo caches and
     unpersist every frame they pinned (landing, the star-plan memos,
-    and the dims bundle's shared ranked frame). Pass a session to
-    scope eviction to it; ``None`` clears everything. The hook for
-    long-lived multi-dataset processes, where the memo convention's
-    process-lifetime retention (ADVICE r3) is unwanted."""
+    and the dims bundle's shared ranked frame). Either axis may be
+    ``None`` (wildcard); registered with ``cachereg`` so a session's
+    LRU dataset cap and its stop hook evict automatically — a
+    long-lived multi-dataset process no longer has to know to call
+    this (VERDICT r4 item 4)."""
 
-    def _match(key) -> bool:
-        return spark is None or any(k is spark for k in key if isinstance(k, SparkSession))
+    def _match(k_spark: SparkSession, k_sf: str) -> bool:
+        return (spark is None or k_spark is spark) and (
+            sf_dir is None or k_sf == sf_dir
+        )
 
-    for cache in (_LANDING_CACHE, _PLAN_CACHE):
-        for key in [k for k in cache if _match(k)]:
-            cache.pop(key).unpersist()
-    for key in [k for k in _DIMS_BUNDLE_CACHE if _match(k)]:
+    from ..operators.ids import release_pins
+
+    for key in [k for k in _LANDING_CACHE if _match(k[0], k[1])]:
+        _LANDING_CACHE.pop(key).unpersist()
+    for key in [k for k in _PLAN_CACHE if _match(k[1], k[2])]:
+        _PLAN_CACHE.pop(key).unpersist()
+    for key in [k for k in _DIMS_BUNDLE_CACHE if _match(k[0], k[1])]:
         _DIMS_BUNDLE_CACHE.pop(key)
-        for frame in _DIMS_SHARED.pop(key, []):
-            frame.unpersist()
+        release_pins(_DIMS_SHARED.pop(key, []))
+    for key in [k for k in _STAR_PINNED if _match(k[0], k[1])]:
+        release_pins(_STAR_PINNED.pop(key))
+
+
+from .. import cachereg  # noqa: E402  (leaf module, no cycle)
+
+cachereg.register_evictor(clear_caches)
 
 
 @_memo_persist
@@ -300,7 +317,14 @@ def star_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     # output never funnels, and neither do the keys. Same values as a
     # global window over the joined frame (the oracle's
     # row_number() OVER (ORDER BY o_orderkey)).
-    keymap = ranked_ids(base.select("o_orderkey"), ["o_orderkey"], "order_pk")
+    keymap = ranked_ids(
+        base.select("o_orderkey"),
+        ["o_orderkey"],
+        "order_pk",
+        # checkpoint ownership: released with the rest of this
+        # (session, sf_dir)'s pinned frames on eviction
+        pinned_out=_STAR_PINNED.setdefault((spark, sf_dir), []),
+    )
     j = j.join(F.broadcast(keymap), "o_orderkey")
     return j.select(
         F.col("order_pk"),

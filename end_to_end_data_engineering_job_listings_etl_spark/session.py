@@ -64,6 +64,11 @@ def get_spark(app_name: str = "end_to_end_data_engineering_job_listings_etl_spar
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Session-stop eviction: closing the session clears every memo
+    # cache it pinned (cachereg module docstring has the lifecycle).
+    from . import cachereg
+
+    cachereg.hook_session(spark)
     return spark
 
 
