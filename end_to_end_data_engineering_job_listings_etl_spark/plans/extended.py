@@ -313,23 +313,27 @@ def agg_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials merge associatively.
 
     Domain bound: sum(x*x) with e2-scaled prices reaches ~4e18 at
-    sf0.01 — within BIGINT but not with much headroom. Past ~sf0.1,
-    drop the price scale (e0) or accumulate x² in DECIMAL(38,0)
-    internally and emit per-partition partials; the single-pass
-    mergeable SHAPE is the scale story, the e2 output scale is the
-    sf-bounded exactness gate."""
+    sf0.01 and OVERFLOWED int64 at the sf1 sweep (the r5 10x run
+    caught it live). The second-order sums therefore accumulate in
+    DECIMAL(38,0) (DuckDB: HUGEINT) and are emitted as exact decimal
+    DIGIT STRINGS — bit-identical across engines, hash-gate-stable
+    (no DECIMAL output column), and exact to 10^38, i.e. far past any
+    reachable scale factor. First-order sums stay BIGINT (headroom to
+    ~sf10000)."""
     orders = load_table(spark, sf_dir, "orders")
     x = (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast("bigint")
     y = F.col("o_custkey").cast("bigint")
+    xd = x.cast("decimal(19,0)")
+    yd = y.cast("decimal(19,0)")
     return (
         orders.groupBy("o_orderstatus")
         .agg(
             F.count("*").alias("n"),
             F.sum(x).alias("sum_x"),
             F.sum(y).alias("sum_y"),
-            F.sum(x * x).alias("sum_x2"),
-            F.sum(y * y).alias("sum_y2"),
-            F.sum(x * y).alias("sum_xy"),
+            F.sum(xd * xd).cast("string").alias("sum_x2"),
+            F.sum(yd * yd).cast("string").alias("sum_y2"),
+            F.sum(xd * yd).cast("string").alias("sum_xy"),
         )
         .orderBy("o_orderstatus")
     )
@@ -661,9 +665,9 @@ ORACLES = {
     "agg_exact_moments": """
         SELECT o_orderstatus, count(*) AS n,
                CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
-               CAST(sum(x * x) AS BIGINT) AS sum_x2,
-               CAST(sum(y * y) AS BIGINT) AS sum_y2,
-               CAST(sum(x * y) AS BIGINT) AS sum_xy
+               CAST(sum(CAST(x AS HUGEINT) * x) AS VARCHAR) AS sum_x2,
+               CAST(sum(CAST(y AS HUGEINT) * y) AS VARCHAR) AS sum_y2,
+               CAST(sum(CAST(x AS HUGEINT) * y) AS VARCHAR) AS sum_xy
         FROM (
           SELECT o_orderstatus,
                  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,

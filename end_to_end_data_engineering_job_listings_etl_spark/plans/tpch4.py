@@ -289,12 +289,17 @@ def q21_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
     )
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    # Group and tie-break on the supplier KEY, not the name: names are
+    # not unique (the r5 sf1 replica fixture has 10 suppliers per
+    # name, and real warehouses have homonyms), and a name-grouped
+    # oracle silently merged distinct suppliers while the key-grouped
+    # plan kept them apart — caught by the 10x strict sweep.
     return (
         blamed.groupBy("l_suppkey")
         .agg(F.count("*").alias("numwait"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .select("s_name", "numwait")
-        .orderBy(F.col("numwait").desc(), "s_name")
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_suppkey")
         .limit(20)
     )
 
@@ -417,13 +422,13 @@ ORACLES = {
                    CAST(sum(supp_late) AS BIGINT) AS n_late
             FROM per_os GROUP BY l_orderkey
         )
-        SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
         FROM per_os
         JOIN per_o USING (l_orderkey)
         JOIN supplier ON l_suppkey = s_suppkey
         WHERE supp_late = 1 AND n_supp >= 2 AND n_late = 1
-        GROUP BY s_name
-        ORDER BY numwait DESC, s_name
+        GROUP BY s_suppkey, s_name
+        ORDER BY numwait DESC, s_suppkey
         LIMIT 20
     """,
 }
