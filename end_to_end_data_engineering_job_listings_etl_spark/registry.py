@@ -81,97 +81,78 @@ def _pinned(fn: Callable[[SparkSession, str], DataFrame]):
 # not-yet-driver-checked surface into the window (every name here has a
 # DuckDB oracle — no rows-only checks waste a slot).
 #
-# Round 4 window: fills all 50 slots with never-driver-windowed names
-# (62 remained unbanked after r1-r3; every name below is DuckDB-oracled).
-# Deferred to round 5 (12): the two rows-only checks (agg_approx_distinct,
-# jl_star_fact) plus ten the round-3 judge already strict-replica-verified
-# green (dd_prefix_filter_pairs, text_dup_spans, samp_split_by_cluster,
-# samp_token_budget, text_chunk_overlap, graph_triangle_count,
-# src_json_records, src_jdbc_landing, agg_hll_partition_merge,
-# text_winnow_fingerprints) -- lowest incremental risk, so they yield
-# their slots to names no independent run has ever checked.
-#
-# Round-5 rotation pool (fill the window from these): the 10 deferred
-# oracled names above, plus the queries ADDED in round 4 (none has a
-# driver row yet; all are oracled and were green under the local
-# driver-replica sweep at sf0.01): inc_cdc_apply, stream_cdc_apply,
-# text_repetition_signals, samp_temperature_mixture,
-# profile_table_approx_checked, inc_agg_merge, agg_cms_frequency,
-# agg_kmv_distinct_checked, j_bloom_filter_prune, j_salted_skew_join,
-# text_cdc_chunks, text_bm25_topk, ml_gram_matrix,
-# emb_l2_normalize_arrow, sink_inverted_index_roundtrip,
-# inc_join_view_maintain, w_cume_dist_nth, src_schema_evolution,
-# src_csv_malformed, op_grouped_agg_pandas, agg_bitmap_distinct,
-# samp_stratified_exact, rag_hybrid_retrieval, agg_kmv_intersection_checked,
-# inc_topk_merge, fn_xml_roundtrip, src_python_stream_resume (kept out
-# of the bench headline: 5 sequential stream starts ≈ 18 s of fixed
-# machinery cost would distort the total), w_ewma_decay,
-# sql_parameterized, profile_catalog_stats, fn_sql_udf,
-# sql_scripted_pipeline, agg_session_window_batch, fn_collation_dedup,
-# samp_weighted_bernoulli, stream_curation_pipeline (streaming machinery
-# cost — out of the bench headline like src_python_stream_resume),
-# sql_pivot_clause.
+# Round 5 window: the driver has strict-checked 185 distinct names over
+# r1-r4; exactly 47 oracled names have NEVER appeared in any window
+# (they were all green in every local full-surface sweep, including
+# this round's sf0.01 and sf1 runs — scripts_dev/sweep_r5*.json).
+# All 47 fill the window, ordered by module family, plus the three
+# queries whose CODE changed in round 5 and therefore need fresh
+# driver rows: agg_exact_moments (DECIMAL(38,0) moment accumulation),
+# q21_sole_late_suppliers (key-grouped blame), dd_duplicate_clusters
+# (per-round checkpoint release). After this round every oracled name
+# in the registry has at least one driver-recorded strict check.
 _WINDOW = [
-    # extended aggregate family
-    "agg_rollup_year_month",
-    "agg_cube_status_priority",
-    "agg_argmax_event",
-    "agg_salted_distinct",
-    "agg_percentiles",
-    "agg_approx_percentile_checked",
-    "agg_approx_distinct_checked",
-    "agg_filtered_bools",
-    "agg_listagg_nations",
+    # functional / incremental
+    "fn_collation_dedup",
+    "fn_xml_roundtrip",
+    "inc_topk_merge",
+    "inc_cdc_apply",
+    "inc_agg_merge",
+    "inc_join_view_maintain",
+    # dedup / text
+    "dd_prefix_filter_pairs",
+    "text_chunk_overlap",
+    "text_winnow_fingerprints",
+    "text_repetition_signals",
+    "text_dup_spans",
+    "text_cdc_chunks",
+    "text_bm25_topk",
+    # SQL surfaces
+    "sql_pivot_clause",
+    "sql_scripted_pipeline",
+    "fn_sql_udf",
+    "sql_parameterized",
+    # sessionization / windows
+    "agg_session_window_batch",
+    "w_cume_dist_nth",
+    "w_ewma_decay",
+    # sinks / sources / streams
+    "sink_inverted_index_roundtrip",
+    "src_schema_evolution",
+    "src_csv_malformed",
+    "src_python_stream_resume",
+    "stream_curation_pipeline",
+    "src_jdbc_landing",
+    "src_json_records",
+    "stream_cdc_apply",
+    # sketches / aggregates
+    "agg_hll_partition_merge",
+    "agg_cms_frequency",
+    "agg_kmv_distinct_checked",
+    "agg_bitmap_distinct",
+    "agg_kmv_intersection_checked",
+    # ML / embeddings / graph
+    "ml_gram_matrix",
+    "emb_l2_normalize_arrow",
+    "op_grouped_agg_pandas",
+    "graph_triangle_count",
+    "rag_hybrid_retrieval",
+    # sampling / splits
+    "samp_weighted_bernoulli",
+    "samp_stratified_exact",
+    "samp_temperature_mixture",
+    "samp_split_by_cluster",
+    "samp_token_budget",
+    # profiling
+    "profile_table_approx_checked",
+    "profile_catalog_stats",
+    # joins
+    "j_bloom_filter_prune",
+    "j_salted_skew_join",
+    # round-5 code changes needing fresh driver rows
     "agg_exact_moments",
-    "agg_price_histogram",
-    "agg_pivot_events",
-    "agg_unpivot_events",
-    # set ops / join shapes
-    "set_except_customers",
-    "set_intersect_customers",
-    "j_semi_big_spenders",
-    "j_anti_no_orders",
-    # event-sequence operators
-    "op_asof_last_view",
-    "op_sessionize",
-    "ev_funnel",
-    "ev_cohort_retention",
-    "w_max_concurrency",
-    # pricing / lineitem analytics
-    "li_pricing_summary",
-    "li_shipping_priority",
-    "li_late_shipment_priority",
-    "li_revenue_topk",
-    "li_running_total",
-    "li_supplier_nation_revenue",
-    # TPC-H shapes (tpch3 + tpch4)
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q9_product_profit",
-    "q17_small_quantity",
-    "q2_min_balance_supplier",
-    "q5_local_supplier_volume",
-    "q11_nation_stock_share",
-    "q16_supplier_variety",
-    "q20_dominant_suppliers",
     "q21_sole_late_suppliers",
-    # SQL view shapes
-    "sql_recursive_month_spine",
-    "sql_lateral_topn",
-    # sinks / sources / incremental
-    "sink_zorder_roundtrip",
-    "sink_observed_write",
-    "inc_snapshot_diff",
-    # streaming
-    "stream_fullouter_interval_join",
-    # star-layer variants / text
-    "dim_company_bucketed",
-    "fn_explode_outer_keywords",
-    "text_top_bigrams",
-    # profiling / data quality
-    "profile_table",
-    "dq_expectations",
+    "dd_duplicate_clusters",
 ]
 
 
