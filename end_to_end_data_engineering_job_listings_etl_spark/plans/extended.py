@@ -278,6 +278,62 @@ def er_name_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ER_BLOCK_CAP = 16  # refine any block wider than this
+
+
+def er_blocking_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER blocking with OVERSIZED-BLOCK REFINEMENT — the production
+    answer to the quadratic blowup the plain block join shows on
+    duplicate-heavy data (r5 sf1 bench: er_name_blocking_pairs went
+    80x over 10x data because every name block widened 10x and pair
+    count is quadratic in block width).
+
+    Mechanism: measure block widths on the clean side in one tiny
+    aggregate (broadcast back); any block wider than {cap} records
+    joins on an EXTENDED key (blk + c_nationkey — a typo-stable
+    attribute) instead, splitting the hot block ~25 ways. True links
+    keep 100% recall BY CONSTRUCTION: a customer's clean and dirty
+    rows share the nationkey, so refinement can only drop coincidental
+    cross-customer pairs inside oversized blocks — the standard,
+    documented skew trade. Work per block is capped at
+    ~max(cap, width/n_nations)^2 instead of width^2; everything stays
+    two broadcast joins + one equi-join, no new shuffle.
+    """.replace("{cap}", str(_ER_BLOCK_CAP))
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", F.lower(F.trim("c_name")).alias("name")
+    )
+    k = F.col("c_custkey")
+    dirty = (
+        F.when(k % 3 == 0, F.concat(F.expr("substring(name, 1, length(name) - 1)"), F.lit("x")))
+        .when(k % 3 == 1, F.concat(F.col("name"), F.expr("substring(name, length(name), 1)")))
+        .otherwise(F.col("name"))
+    )
+    blk = F.substring("name", 14, 4)
+    sizes = (
+        cust.select(blk.alias("blk"))
+        .groupBy("blk")
+        .agg(F.count("*").alias("__n"))
+    )
+    rk = F.when(
+        F.col("__n") <= _ER_BLOCK_CAP, F.col("blk")
+    ).otherwise(F.concat(F.col("blk"), F.lit("|"), F.col("c_nationkey").cast("string")))
+    a = (
+        cust.select("c_custkey", "c_nationkey", "name", blk.alias("blk"))
+        .join(F.broadcast(sizes), "blk")
+        .select(F.col("c_custkey").alias("id_a"), F.col("name").alias("name_a"), rk.alias("rk"))
+    )
+    b = (
+        cust.select("c_custkey", "c_nationkey", dirty.alias("name"), blk.alias("blk"))
+        .join(F.broadcast(sizes), "blk")
+        .select(F.col("c_custkey").alias("id_b"), F.col("name").alias("name_b"), rk.alias("rk"))
+    )
+    return (
+        a.join(b, "rk")
+        .select("id_a", "id_b", F.levenshtein("name_a", "name_b").alias("lev"))
+        .filter(F.col("lev") <= _ER_MAX_LEV)
+    )
+
+
 def agg_listagg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LISTAGG / string_agg surface with a deterministic order:
     comma-joined sorted nation names per region. collect_list's
@@ -522,6 +578,7 @@ QUERIES = {
     "agg_exact_moments": agg_exact_moments,
     "agg_price_histogram": agg_price_histogram,
     "er_name_blocking_pairs": er_name_blocking_pairs,
+    "er_blocking_refined": er_blocking_refined,
     "agg_pivot_events": agg_pivot_events,
     "agg_unpivot_events": agg_unpivot_events,
     "dim_company_bucketed": dim_company_bucketed,
@@ -684,6 +741,39 @@ ORACLES = {
           FROM orders
         )
         GROUP BY bucket ORDER BY bucket
+    """,
+    "er_blocking_refined": """
+        WITH c AS (
+          SELECT c_custkey, c_nationkey, lower(trim(c_name)) AS name,
+                 substr(lower(trim(c_name)), 14, 4) AS blk
+          FROM customer
+        ), d AS (
+          SELECT c_custkey, c_nationkey, blk,
+                 CASE WHEN c_custkey % 3 = 0
+                        THEN substr(name, 1, length(name) - 1) || 'x'
+                      WHEN c_custkey % 3 = 1
+                        THEN name || substr(name, length(name), 1)
+                      ELSE name END AS name
+          FROM c
+        ), sz AS (
+          SELECT blk, count(*) AS n FROM c GROUP BY blk
+        ), ca AS (
+          SELECT c.c_custkey, c.name,
+                 CASE WHEN s.n <= 16 THEN c.blk
+                      ELSE c.blk || '|' || CAST(c.c_nationkey AS VARCHAR)
+                 END AS rk
+          FROM c JOIN sz s USING (blk)
+        ), db AS (
+          SELECT d.c_custkey, d.name,
+                 CASE WHEN s.n <= 16 THEN d.blk
+                      ELSE d.blk || '|' || CAST(d.c_nationkey AS VARCHAR)
+                 END AS rk
+          FROM d JOIN sz s USING (blk)
+        )
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               CAST(levenshtein(a.name, b.name) AS INTEGER) AS lev
+        FROM ca a JOIN db b USING (rk)
+        WHERE levenshtein(a.name, b.name) <= 2
     """,
     "er_name_blocking_pairs": """
         WITH c AS (

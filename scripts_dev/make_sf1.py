@@ -22,7 +22,9 @@ per replica, so joins stay referentially meaningful at scale:
 
 DuckDB does the replication (columnar read -> COPY parquet, no Spark
 session needed). Usage:
-    python scripts_dev/make_sf1.py [out_dir]   # default /tmp/sf1
+    python scripts_dev/make_sf1.py [out_dir] [replicas]
+Defaults: /tmp/sf1, 10 replicas (sf1). `replicas=100` builds an
+sf10-equivalent (~2.3 GB) for the spot-check scaling curve.
 """
 
 from __future__ import annotations
@@ -34,7 +36,7 @@ import duckdb
 
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
-REPLICAS = 10
+REPLICAS = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 
 # table -> columns to shift by i * (max(pk_of_that_domain)+1)
 # domain spans are computed from the PRIMARY table of each key domain.
@@ -70,6 +72,7 @@ SYMLINK = ("region", "nation")
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
     con = duckdb.connect()
+    con.execute(f"SET threads={os.environ.get('MAKE_SF_THREADS', '8')}")
 
     spans: dict[str, int] = {}
     for dom, (table, col) in DOMAINS.items():

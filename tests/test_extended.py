@@ -56,3 +56,27 @@ def test_asof_join_backward_semantics(spark):
             (v for v in by_user.get(r["user_id"], []) if v <= r["ts_us"]), default=None
         )
         assert r["last_view_us"] == expect
+
+
+def test_er_refined_keeps_all_true_links(spark):
+    """Oversized-block refinement may only drop coincidental
+    cross-customer pairs: every TRUE link (clean row matched to its
+    own dirty twin, id_a == id_b) found by the plain block join must
+    survive refinement — the nationkey extension is constant within a
+    customer, so recall of true links is 100% by construction."""
+    from end_to_end_data_engineering_job_listings_etl_spark.plans.extended import (
+        er_blocking_refined,
+        er_name_blocking_pairs,
+    )
+
+    plain = {
+        r["id_a"]
+        for r in er_name_blocking_pairs(spark, SF_DIR).collect()
+        if r["id_a"] == r["id_b"]
+    }
+    refined = {
+        r["id_a"]
+        for r in er_blocking_refined(spark, SF_DIR).collect()
+        if r["id_a"] == r["id_b"]
+    }
+    assert plain and plain <= refined
