@@ -142,7 +142,11 @@ _WINDOW = [
     "samp_stratified_exact",
     "samp_temperature_mixture",
     "samp_split_by_cluster",
-    "samp_token_budget",
+    # samp_token_budget yields its slot to the round-5 ER operator:
+    # it already carries an independent strict check (the r3 judge's
+    # out-of-window replica), while er_blocking_refined is new this
+    # round and has only local sweep rows so far.
+    "er_blocking_refined",
     # profiling
     "profile_table_approx_checked",
     "profile_catalog_stats",
