@@ -152,10 +152,11 @@ HEADLINE = [
     "fn_collation_dedup",
     "samp_weighted_bernoulli",
     "sql_pivot_clause",
-    # round-5 addition: oversized-block-refined ER join (the scale fix
+    # round-5 additions: oversized-block-refined ER join (the scale fix
     # for er_name_blocking_pairs' quadratic growth on duplicate-heavy
-    # data, demonstrated by the sf1 pair)
+    # data, demonstrated by the sf1 pair) and greedy sequence packing
     "er_blocking_refined",
+    "samp_pack_sequences",
 ]
 
 

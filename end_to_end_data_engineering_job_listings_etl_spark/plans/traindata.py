@@ -169,6 +169,65 @@ def samp_split_by_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BUDGET_TOKENS = 600  # per-source token budget (binds at every test SF)
 
+_PACK_CAP = 256  # tokens per packed training sequence (whole docs)
+_PACK_BUFFER = 64  # docs per packer buffer (chunk)
+
+
+def samp_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence PACKING — the LLM-training step that bins
+    whole documents into fixed token-capacity sequences (docs are
+    never split; a doc longer than the capacity gets a bin of its
+    own). Greedy fill is inherently sequential (each decision depends
+    on the running fill), so it cannot be a window expression; the
+    distributed form is the BUFFER-BOUNDED one production packers
+    use: the corpus splits into fixed 64-doc buffers (chunk =
+    doc_id div 64), each buffer packs independently in one
+    `applyInPandas` task over the NARROW (doc_id, n_tokens)
+    projection — token counting stays a JVM-side expression, only
+    id+count metadata crosses into Python, and parallelism GROWS
+    with the corpus (one task per buffer; a boundary wastes at most
+    one partial bin per buffer, the usual packer trade). Output:
+    per-(chunk, bin) doc count and token fill, every row pinned by
+    the oracle's recursive-CTE replay of the same greedy recurrence
+    — the recursion advances all buffers in lockstep, so its depth
+    is the BUFFER size (64), constant in corpus scale."""
+    import pandas as pd
+
+    docs = load_table_dist(spark, sf_dir, "documents", cols=("doc_id", "text"))
+    sized = docs.select(
+        "doc_id",
+        T.token_count("text").cast("bigint").alias("n_tokens"),
+        F.expr(f"doc_id div {_PACK_BUFFER}").alias("chunk_id"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins: list[int] = []
+        bin_id, fill = 0, 0
+        for i, nt in enumerate(pdf["n_tokens"]):
+            if i == 0:
+                fill = nt
+            elif fill + nt <= _PACK_CAP:
+                fill += nt
+            else:
+                bin_id += 1
+                fill = nt
+            bins.append(bin_id)
+        pdf["bin_id"] = bins
+        return pdf[["doc_id", "chunk_id", "n_tokens", "bin_id"]]
+
+    packed = sized.groupBy("chunk_id").applyInPandas(
+        pack, "doc_id bigint, chunk_id bigint, n_tokens bigint, bin_id bigint"
+    )
+    return (
+        packed.groupBy("chunk_id", "bin_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("chunk_id", "bin_id")
+    )
+
 
 def samp_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget-aware mixture sampling: each source contributes
@@ -939,6 +998,7 @@ QUERIES = {
     "text_dup_spans": text_dup_spans,
     "samp_split_by_cluster": samp_split_by_cluster,
     "samp_token_budget": samp_token_budget,
+    "samp_pack_sequences": samp_pack_sequences,
     "samp_reservoir_per_stratum": samp_reservoir_per_stratum,
     "samp_mixture": samp_mixture,
     "text_pack_batches": text_pack_batches,
@@ -997,6 +1057,33 @@ ORACLES["samp_token_budget"] = f"""
            CAST(sum(n_tokens) AS BIGINT) AS n_tokens_kept
     FROM cum WHERE cum_tokens - n_tokens < {_BUDGET_TOKENS}
     GROUP BY source ORDER BY source
+"""
+
+ORACLES["samp_pack_sequences"] = f"""
+    WITH RECURSIVE sized AS (
+      SELECT doc_id,
+             CAST(len({_TOKS.format(e='text')}) AS BIGINT) AS n_tokens,
+             doc_id // {_PACK_BUFFER} AS chunk_id
+      FROM documents
+    ), ord AS (
+      SELECT *, row_number() OVER (PARTITION BY chunk_id ORDER BY doc_id) AS rn
+      FROM sized
+    ), p AS (
+      SELECT chunk_id, rn, doc_id, n_tokens,
+             CAST(0 AS BIGINT) AS bin_id, n_tokens AS fill
+      FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.chunk_id, o.rn, o.doc_id, o.n_tokens,
+             CASE WHEN p.fill + o.n_tokens <= {_PACK_CAP}
+                  THEN p.bin_id ELSE p.bin_id + 1 END,
+             CASE WHEN p.fill + o.n_tokens <= {_PACK_CAP}
+                  THEN p.fill + o.n_tokens ELSE o.n_tokens END
+      FROM p JOIN ord o ON o.chunk_id = p.chunk_id AND o.rn = p.rn + 1
+    )
+    SELECT chunk_id, bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM p GROUP BY chunk_id, bin_id ORDER BY chunk_id, bin_id
 """
 
 ORACLES["text_dup_spans"] = f"""

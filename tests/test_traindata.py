@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from end_to_end_data_engineering_job_listings_etl_spark.plans import corpus, traindata
 from tests.conftest import SF_DIR
 from tests.oracle_check import compare
@@ -114,3 +116,34 @@ def test_cluster_split_never_splits_a_cluster(spark):
     for r in rows:
         by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
     assert all(len(s) == 1 for s in by_cluster.values())
+
+
+def test_pack_sequences_invariants(spark):
+    """Greedy packing contract: every bin fits the capacity unless it
+    holds a single oversized document; docs are never split (total
+    docs and tokens conserved); bins within a shard are densely
+    numbered from 0."""
+    from end_to_end_data_engineering_job_listings_etl_spark.plans.traindata import (
+        _PACK_CAP,
+        samp_pack_sequences,
+    )
+    from end_to_end_data_engineering_job_listings_etl_spark.functions.text import token_count
+    from end_to_end_data_engineering_job_listings_etl_spark.catalog import load_table
+
+    rows = samp_pack_sequences(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_tokens"] <= _PACK_CAP or r["n_docs"] == 1
+    total_docs = sum(r["n_docs"] for r in rows)
+    total_tokens = sum(r["n_tokens"] for r in rows)
+    docs = load_table(spark, SF_DIR, "documents")
+    agg = docs.agg(
+        F.count("*").alias("n"),
+        F.sum(token_count("text")).alias("t"),
+    ).collect()[0]
+    assert total_docs == agg["n"] and total_tokens == agg["t"]
+    by_chunk = {}
+    for r in rows:
+        by_chunk.setdefault(r["chunk_id"], []).append(r["bin_id"])
+    for bins in by_chunk.values():
+        assert sorted(bins) == list(range(len(bins)))
