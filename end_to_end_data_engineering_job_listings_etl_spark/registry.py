@@ -123,7 +123,10 @@ _WINDOW = [
     "src_python_stream_resume",
     "stream_curation_pipeline",
     "src_jdbc_landing",
-    "src_json_records",
+    # src_json_records yields its slot to the round-5 packing
+    # operator: it already carries the r4 judge's strict check, while
+    # samp_pack_sequences is new this round (local sweeps only so far).
+    "samp_pack_sequences",
     "stream_cdc_apply",
     # sketches / aggregates
     "agg_hll_partition_merge",
