@@ -159,6 +159,36 @@ HEADLINE = [
     "samp_pack_sequences",
 ]
 
+# Queries that share a per-(session, sf_dir) memo cache: the FIRST
+# group member to run in a pass pays the one-time materialization
+# (landing + dims + star persist, or the jl star bundle). A noisy-query
+# subset pass must therefore include the noisy query's memo peers —
+# otherwise the resampled query pays a build cost it never pays in a
+# full pass, and the mixed median drifts (ADVICE r5 item 2). Peers run
+# (and are timed) in the subset, but only the NOISY names' extra
+# samples are merged back into the medians.
+MEMO_PEER_GROUPS: list[set[str]] = [
+    # plans/star.py::_LANDING_CACHE/_PLAN_CACHE/_DIMS_BUNDLE_CACHE
+    {
+        "fact_orders",
+        "star_wide",
+        "bi_top15_employers",
+        "bi_monthly_trend",
+        "bi_revenue_by_segment",
+        "bi_top_keywords",
+    },
+    # plans/joblistings.py::_JL_STAR_CACHE
+    {"jl_fact_checked", "jl_fact_fallback_checked"},
+]
+
+
+def _with_memo_peers(names: set[str]) -> set[str]:
+    out = set(names)
+    for group in MEMO_PEER_GROUPS:
+        if out & group:
+            out |= group
+    return out
+
 
 def run_once() -> dict:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -230,10 +260,67 @@ def _median(xs: list[float]) -> float:
     return s[mid] if n % 2 else (s[mid - 1] + s[mid]) / 2
 
 
+# The driver's BENCH capture keeps only the LAST 2000 characters of
+# stdout and json-parses the final line within that window. With 100+
+# headline queries the full result line is ~3-4 KB, so r4 and r5 both
+# recorded ``parsed: None`` — the committed bench_last.json survived,
+# but the driver-side artifact carried no numbers at all. The printed
+# line must therefore fit the tail window; the COMPLETE result still
+# goes to bench_last.json.
+_TAIL_LIMIT = 1850
+
+
+def _tail_safe_line(result: dict, limit: int = _TAIL_LIMIT) -> str:
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "sf": result.get("sf"),
+        "total_timed": result.get("total_timed"),
+        "n_timed": result.get("n_timed"),
+        "n_queries": result.get("n_queries"),
+        "n_runs": result.get("n_runs"),
+        "run_totals": result.get("run_totals"),
+        "queries": {},
+        "queries_omitted": 0,
+        "full": "bench_last.json",
+        "errors": {
+            k: str(v)[:120] for k, v in list(result["errors"].items())[:3]
+        },
+    }
+    dumps = lambda: json.dumps(compact, separators=(",", ":"))  # noqa: E731
+    # Fill queries in HEADLINE (= recorded-baseline) priority order until
+    # the serialized line would exceed the tail window.
+    timings = result["queries"]
+    names = [n for n in HEADLINE if n in timings]
+    names += [n for n in timings if n not in set(names)]
+    for name in names:
+        compact["queries"][name] = timings[name]
+        if len(dumps()) > limit:
+            del compact["queries"][name]
+            compact["queries_omitted"] = len(timings) - len(
+                compact["queries"]
+            )
+            break
+    compact["queries_omitted"] = len(timings) - len(compact["queries"])
+    line = dumps()
+    if len(line) > limit:  # pathological error strings — drop them too
+        compact["errors"] = {"__truncated__": str(len(result["errors"]))}
+        line = dumps()
+    return line
+
+
 def main() -> None:
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     if n_runs <= 1:
-        print(json.dumps(run_once()))
+        result = run_once()
+        try:
+            (Path(__file__).resolve().parent / "bench_last.json").write_text(
+                json.dumps(result, indent=1) + "\n"
+            )
+        except OSError:
+            pass
+        print(_tail_safe_line(result))
         return
 
     import subprocess
@@ -295,7 +382,8 @@ def main() -> None:
         and max(xs) - min(xs) > 0.4 * _median(xs)
     )
     if noisy and n_extra > 0:
-        env = dict(os.environ, SPARK_GRAFT_BENCH_ONLY=",".join(noisy))
+        subset = sorted(_with_memo_peers(set(noisy)))
+        env = dict(os.environ, SPARK_GRAFT_BENCH_ONLY=",".join(subset))
         for _ in range(n_extra):
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--once"],
@@ -312,7 +400,8 @@ def main() -> None:
             except json.JSONDecodeError:
                 continue  # extra samples are best-effort
             for name, sec in extra["queries"].items():
-                samples.setdefault(name, []).append(sec)
+                if name in noisy:  # peers ran only to pay the memo build
+                    samples.setdefault(name, []).append(sec)
 
     medians = {
         name: round(_median(xs), 3)
@@ -347,17 +436,16 @@ def main() -> None:
         "errors": errors,
         "sf": runs[0].get("sf"),
     }
-    # The driver's BENCH capture keeps only a stdout tail (r4 lost ~60
-    # queries' medians to the 2000-char truncation) — persist the FULL
-    # result to a committed artifact so the in-repo record is
-    # self-sufficient (VERDICT r4 item 2).
+    # Persist the FULL result (all medians, spreads, config) to the
+    # committed artifact, then print a line guaranteed to fit the
+    # driver's 2000-char stdout-tail capture (see _tail_safe_line).
     try:
         (Path(__file__).resolve().parent / "bench_last.json").write_text(
             json.dumps(result, indent=1) + "\n"
         )
     except OSError:
         pass  # read-only checkout must not break the bench line
-    print(json.dumps(result))
+    print(_tail_safe_line(result))
 
 
 if __name__ == "__main__":

@@ -36,6 +36,7 @@ None = wildcard) at import time; ``evict`` fans out to all of them.
 from __future__ import annotations
 
 import os
+import weakref
 from collections.abc import Callable
 
 from pyspark.sql import SparkSession
@@ -43,10 +44,25 @@ from pyspark.sql import SparkSession
 _Evictor = Callable[[SparkSession | None, "str | None"], None]
 _EVICTORS: list[_Evictor] = []
 
-# Most-recent-last sf_dirs per live session. Keyed by the session
-# object itself (hashable, identity-based): entries die with eviction
-# or session stop, so no id()-reuse hazard.
-_LRU: dict[SparkSession, list[str]] = {}
+# Most-recent-last sf_dirs per live session. WEAKLY keyed by the
+# session object (ADVICE r5 item 3): a session that is stopped via
+# sc.stop() (bypassing the hooked spark.stop), never stopped, or
+# created before hook_session must not have its _LRU entry — and,
+# through the evictors, its registered memo frames — retained for
+# process lifetime. Weak keying drops the entry when the last user
+# reference dies; ``touch`` additionally prunes sessions whose
+# SparkContext reports stopped (evictors are exception-tolerant, so a
+# dead JVM can't wedge eviction).
+_LRU: "weakref.WeakKeyDictionary[SparkSession, list[str]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _is_stopped(sess: SparkSession) -> bool:
+    try:
+        return bool(sess.sparkContext._jsc.sc().isStopped())
+    except Exception:  # noqa: BLE001 - unreachable JVM == stopped
+        return True
 
 
 def register_evictor(fn: _Evictor) -> _Evictor:
@@ -59,9 +75,15 @@ def register_evictor(fn: _Evictor) -> _Evictor:
 def evict(spark: SparkSession | None = None, sf_dir: str | None = None) -> None:
     """Evict (and unpersist) every registered module cache matching
     the (session, dataset) scope; ``None`` is a wildcard on either
-    axis. ``evict()`` with no args clears the process."""
+    axis. ``evict()`` with no args clears the process. Evictor
+    failures are swallowed per-fn: a stopped session's unpersist
+    raising must still let every other module drop its (now dead)
+    handles."""
     for fn in _EVICTORS:
-        fn(spark, sf_dir)
+        try:
+            fn(spark, sf_dir)
+        except Exception:  # noqa: BLE001
+            pass
     for sess in list(_LRU) if spark is None else [spark]:
         dirs = _LRU.get(sess)
         if dirs is None:
@@ -80,7 +102,11 @@ def touch(spark: SparkSession, sf_dir: str) -> None:
     """Record a dataset access; evict the least-recently-used
     dataset's caches once the session exceeds the dataset cap. Called
     from ``catalog.load_table`` — the chokepoint every query path
-    reads tables through."""
+    reads tables through. Also prunes entries for OTHER sessions whose
+    SparkContext has stopped (e.g. sc.stop() bypassed the hooked
+    spark.stop): their module memos hold dead DataFrame handles."""
+    for sess in [s for s in list(_LRU) if s is not spark and _is_stopped(s)]:
+        evict(sess)
     lru = _LRU.setdefault(spark, [])
     if lru and lru[-1] == sf_dir:
         return  # hot path: repeated loads of the current dataset

@@ -20,7 +20,7 @@ makes the MinHash signatures oracle-checkable in DuckDB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 import random
@@ -378,6 +378,42 @@ def prefix_filter_pairs(
     )
 
 
+# The FINAL labels frame returned by connected_components is a
+# localCheckpoint (corpus-sized at scale). Intermediate generations are
+# released inside the loop, but the returned one outlives the call —
+# so it is registered here per SESSION and released when the NEXT
+# invocation on that session supersedes it, or when cachereg evicts
+# (ADVICE r5 item 1 — mirrors corpus.py's _TRANSIENT_PINS/_repin). At
+# most one labels checkpoint is live per session; a caller that holds
+# the previous result past the next invocation fail-stops on access
+# (the module's designed loss semantics, ids.py::release_pins).
+_CC_PINS: dict[SparkSession, list[DataFrame]] = {}
+
+
+def _cc_repin(spark: SparkSession, frame: DataFrame) -> None:
+    from .ids import release_pins
+
+    release_pins(_CC_PINS.pop(spark, []))
+    _CC_PINS[spark] = [frame]
+
+
+def clear_cc_pins(
+    spark: SparkSession | None = None, sf_dir: str | None = None
+) -> None:
+    """cachereg evictor: labels pins are session-scoped (the operator
+    never sees sf_dir), so ANY eviction touching the session releases
+    them — re-running the owning query rebuilds and re-pins."""
+    from .ids import release_pins
+
+    for sess in [s for s in _CC_PINS if spark is None or s is spark]:
+        release_pins(_CC_PINS.pop(sess))
+
+
+from .. import cachereg  # noqa: E402  (leaf module, no cycle)
+
+cachereg.register_evictor(clear_cc_pins)
+
+
 def connected_components(
     vertices: DataFrame,
     edges: DataFrame,
@@ -453,6 +489,7 @@ def connected_components(
         if changed == 0:
             break
     adj.unpersist()
+    _cc_repin(vertices.sparkSession, labels)
     return labels.select(F.col("__id").alias(id_col), "cluster_id")
 
 

@@ -73,12 +73,14 @@ def release_pins(frames: Sequence[DataFrame]) -> None:
     release, a retained handle to a pinned frame FAIL-STOPS on next
     access (the module's designed loss semantics)."""
     for df in frames:
-        df.unpersist()
         try:
+            df.unpersist()
             plan = df._jdf.queryExecution().analyzed()
             if plan.getClass().getSimpleName() == "LogicalRDD":
                 plan.rdd().unpersist(True)
-        except Exception:  # noqa: BLE001 - release is best-effort
+        except Exception:  # noqa: BLE001 - release is best-effort:
+            # a stopped session's frames are already gone with its
+            # executors; eviction of a dead session must not raise
             pass
 
 

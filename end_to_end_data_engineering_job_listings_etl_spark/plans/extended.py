@@ -289,7 +289,7 @@ def er_blocking_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     count is quadratic in block width).
 
     Mechanism: measure block widths on the clean side in one tiny
-    aggregate (broadcast back); any block wider than {cap} records
+    aggregate (broadcast back); any block wider than _ER_BLOCK_CAP (16)
     joins on an EXTENDED key (blk + c_nationkey — a typo-stable
     attribute) instead, splitting the hot block ~25 ways. True links
     keep 100% recall BY CONSTRUCTION: a customer's clean and dirty
@@ -298,7 +298,7 @@ def er_blocking_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented skew trade. Work per block is capped at
     ~max(cap, width/n_nations)^2 instead of width^2; everything stays
     two broadcast joins + one equi-join, no new shuffle.
-    """.replace("{cap}", str(_ER_BLOCK_CAP))
+    """
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", F.lower(F.trim("c_name")).alias("name")
     )

@@ -163,3 +163,102 @@ def test_local_checkpoint_loss_fail_stop(spark):
         # dead memo handles (if any appeared) must not leak into later
         # tests that would reuse them
         cachereg.evict()
+
+
+def test_connected_components_pins_released_on_reinvocation(spark):
+    """ADVICE r5 item 1: the FINAL labels checkpoint returned by
+    connected_components is registered per session and released when
+    the next invocation supersedes it — at most ONE labels checkpoint
+    lives per session, and cachereg eviction drops it too."""
+    from end_to_end_data_engineering_job_listings_etl_spark.operators import dedup
+
+    cachereg.evict()
+    baseline = _persistent_ids(spark)
+    verts = spark.range(0, 100).select(F.col("id").alias("doc_id"))
+    edges = spark.range(0, 99).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    out1 = dedup.connected_components(verts, edges)
+    assert out1.count() == 100
+    assert len(dedup._CC_PINS.get(spark, [])) == 1
+    first_created = _persistent_ids(spark) - baseline
+    assert first_created  # the labels checkpoint really is pinned
+    out2 = dedup.connected_components(verts, edges)
+    assert out2.count() == 100
+    # the first invocation's checkpoint blocks are gone...
+    assert not (_persistent_ids(spark) & first_created)
+    # ...and only one generation is registered
+    assert len(dedup._CC_PINS.get(spark, [])) == 1
+    # cachereg eviction releases the survivor: zero orphans
+    cachereg.evict(spark)
+    assert spark not in dedup._CC_PINS
+    assert not (_persistent_ids(spark) - baseline)
+
+
+def test_dead_session_pruned_on_touch(spark):
+    """ADVICE r5 item 3: a session stopped OUTSIDE the hooked
+    spark.stop (sc.stop(), or never hooked at all) must not retain its
+    _LRU entry and memo frames forever — touch() prunes entries whose
+    SparkContext reports stopped and fans out eviction for them."""
+
+    class DeadSession:  # no sparkContext at all → _is_stopped() True
+        pass
+
+    dead = DeadSession()
+    cachereg._LRU[dead] = ["/some/sf_dir"]
+    calls = []
+
+    def spy(sess, sf_dir):
+        calls.append((sess, sf_dir))
+
+    cachereg.register_evictor(spy)
+    try:
+        cachereg.touch(spark, SF_A)
+        assert (dead, None) in calls  # evictors fanned out for it
+        assert dead not in cachereg._LRU
+        assert spark in cachereg._LRU  # the live session is untouched
+    finally:
+        cachereg._EVICTORS.remove(spy)
+        cachereg.evict(spark)
+
+
+def test_lru_is_weakly_keyed():
+    """A session object whose last user reference dies leaves no _LRU
+    entry behind (WeakKeyDictionary), independent of any stop path."""
+    import gc
+
+    class GhostSession:
+        pass
+
+    ghost = GhostSession()
+    cachereg._LRU[ghost] = ["/x"]
+    n_with_ghost = len(cachereg._LRU)
+    del ghost
+    gc.collect()
+    assert len(cachereg._LRU) == n_with_ghost - 1
+
+
+def test_evictor_failure_does_not_wedge_eviction():
+    """evict() swallows a single evictor's exception so every other
+    module still drops its handles (dead-JVM unpersist tolerance)."""
+
+    calls = []
+
+    def bad(sess, sf_dir):
+        raise RuntimeError("dead JVM")
+
+    def good(sess, sf_dir):
+        calls.append((sess, sf_dir))
+
+    class Sentinel:
+        pass
+
+    sentinel = Sentinel()
+    cachereg._EVICTORS.insert(0, bad)
+    cachereg.register_evictor(good)
+    try:
+        cachereg.evict(sentinel)
+        assert (sentinel, None) in calls
+    finally:
+        cachereg._EVICTORS.remove(bad)
+        cachereg._EVICTORS.remove(good)
