@@ -157,6 +157,10 @@ HEADLINE = [
     # data, demonstrated by the sf1 pair) and greedy sequence packing
     "er_blocking_refined",
     "samp_pack_sequences",
+    # round-6 additions: incremental cross-batch dedup and CCNet-style
+    # per-language quality bucketing — banked the round they land
+    "inc_dedup_merge",
+    "text_quality_buckets",
 ]
 
 # Queries that share a per-(session, sf_dir) memo cache: the FIRST

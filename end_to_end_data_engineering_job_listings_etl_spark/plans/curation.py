@@ -156,6 +156,46 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language quality bucketing: rank every document
+    by its statistical-LM fluency score WITHIN its language and cut
+    head / middle / tail thirds — the partition CCNet feeds to
+    downstream sampling (train mostly on head+middle, keep tail for
+    ablations). Composes ``text_bigram_lm_score`` (the count-based
+    perplexity stand-in) with a per-language ntile; ties broken by
+    doc_id so the cut is engine-independent.
+
+    Scale shape: the scorer is two corpus aggs + one model join
+    (see text_bigram_lm_score); bucketing shuffles once on lang.
+    Exact ntile ranks inside each language partition — per-language
+    sorts run in parallel across languages, and a heavily skewed
+    language (en at 100 TB) swaps to threshold bucketing from an
+    approx_percentile sketch of the same scores (two fixed cutpoints
+    instead of a full sort); the exact form here is what the oracle
+    gate can hash."""
+    from pyspark.sql import Window
+
+    scores = text_bigram_lm_score(spark, sf_dir)
+    langs = load_table_dist(spark, sf_dir, "documents", cols=("doc_id", "lang"))
+    t = F.ntile(3).over(
+        Window.partitionBy("lang").orderBy(
+            F.desc("lm_score_e6"), F.asc("doc_id")
+        )
+    )
+    return (
+        scores.join(langs, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "lm_score_e6",
+            F.when(t == 1, F.lit("head"))
+            .when(t == 2, F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )
+
+
 _CHUNK = 10  # tokens per dedup chunk
 _ORD_BASE = 100_000  # ord_key = doc_id * base + chunk_idx (idx ≪ base)
 
@@ -327,6 +367,7 @@ def sem_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "text_repetition_metrics": text_repetition_metrics,
     "text_bigram_lm_score": text_bigram_lm_score,
+    "text_quality_buckets": text_quality_buckets,
     "text_chunk_dedup": text_chunk_dedup,
     "text_chunk_overlap": text_chunk_overlap,
     "sem_dedup_clusters": sem_dedup_clusters,
@@ -380,6 +421,37 @@ ORACLES = {
                CAST(sum(m.s) // count(*) AS BIGINT) AS lm_score_e6
         FROM bg JOIN model m USING (bg)
         GROUP BY doc_id
+    """,
+    "text_quality_buckets": """
+        WITH bgi AS (
+            SELECT doc_id, t, unnest(range(1, len(t))) AS i
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        ), bg AS (
+            SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg FROM bgi
+        ), c2 AS (
+            SELECT bg, count(*) AS c2 FROM bg GROUP BY bg
+        ), c1 AS (
+            SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1
+            FROM bg GROUP BY 1
+        ), model AS (
+            SELECT c2.bg, (1000000 * c2.c2) // c1.c1 AS s
+            FROM c2 JOIN c1 ON split_part(c2.bg, ' ', 1) = c1.w1
+        ), scores AS (
+            SELECT doc_id,
+                   CAST(sum(m.s) // count(*) AS BIGINT) AS lm_score_e6
+            FROM bg JOIN model m USING (bg)
+            GROUP BY doc_id
+        ), ranked AS (
+            SELECT s.doc_id, d.lang, s.lm_score_e6,
+                   ntile(3) OVER (PARTITION BY d.lang
+                                  ORDER BY s.lm_score_e6 DESC,
+                                           s.doc_id ASC) AS nt
+            FROM scores s JOIN documents d ON s.doc_id = d.doc_id
+        )
+        SELECT doc_id, lang, lm_score_e6,
+               CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM ranked
     """,
     "text_chunk_overlap": f"""
         WITH toked AS (

@@ -989,7 +989,58 @@ def samp_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sized.where(keep).orderBy("doc_id")
 
 
+_INC_FP_TOKENS = 8  # prefix-fingerprint width (tokens)
+
+
+def inc_dedup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-batch dedup — the continuous-ingest form of
+    the dedup layer: an incoming batch is checked against the EXISTING
+    corpus fingerprint index AND within itself, and every batch
+    document gets a verdict: ``dup_corpus`` (fingerprint already in
+    the corpus — corpus precedence), ``dup_batch`` (first seen earlier
+    in this batch), ``accepted`` (genuinely new). This is what a
+    training-data pipeline runs per ingest cycle, where re-running
+    full-corpus dedup from scratch would be O(corpus) per batch.
+
+    Fingerprint = md5 of the first 8 tokens (prefix fingerprinting —
+    catches boilerplate/retitled near-copies that exact full-text
+    hashing misses, cheap enough to index every document). Corpus =
+    doc_id % 10 < 2, batch = the rest (deterministic stand-ins for
+    yesterday's corpus and today's ingest; the small-corpus split
+    keeps all three verdicts populated at every test SF).
+
+    Scale shape: the corpus side reduces to DISTINCT fingerprints
+    (at 100 TB this index is pre-materialized and bucketed by fp, so
+    the probe is a co-located join, no corpus re-scan); batch-side
+    first-occurrence is one window over fp (same shuffle key as the
+    probe join — md5-uniform, skew-free). No broadcast assumption:
+    both joins shuffle on fp and survive a corpus 1000× the batch."""
+    docs = load_table_dist(spark, sf_dir, "documents", cols=("doc_id", "text"))
+    fp = F.md5(
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, _INC_FP_TOKENS))
+    )
+    tagged = docs.select("doc_id", fp.alias("fp"))
+    corpus_fps = (
+        tagged.filter(F.col("doc_id") % 10 < 2).select("fp").distinct()
+    )
+    batch = tagged.filter(F.col("doc_id") % 10 >= 2)
+    rk = F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+    return (
+        batch.withColumn("__rk", rk)
+        .join(corpus_fps.withColumn("__hit", F.lit(1)), "fp", "left")
+        .select(
+            "doc_id",
+            "fp",
+            F.when(F.col("__hit").isNotNull(), F.lit("dup_corpus"))
+            .when(F.col("__rk") > 1, F.lit("dup_batch"))
+            .otherwise(F.lit("accepted"))
+            .alias("status"),
+        )
+    )
+
+
 QUERIES = {
+    "inc_dedup_merge": inc_dedup_merge,
     "samp_weighted_bernoulli": samp_weighted_bernoulli,
     "samp_stratified_exact": samp_stratified_exact,
     "samp_hash_split": samp_hash_split,
@@ -1275,6 +1326,25 @@ SELECT o.doc_id, o.lang
 FROM ordered o JOIN quotas u ON u.lang = o.lang
 WHERE o.rk <= u.quota
 ORDER BY o.lang, o.doc_id
+"""
+
+ORACLES["inc_dedup_merge"] = f"""
+    WITH fps AS (
+      SELECT doc_id,
+             md5(array_to_string(string_split(text, ' ')[1:{_INC_FP_TOKENS}], ' ')) AS fp
+      FROM documents
+    ), corpus AS (
+      SELECT DISTINCT fp FROM fps WHERE doc_id % 10 < 2
+    ), batch AS (
+      SELECT doc_id, fp,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+      FROM fps WHERE doc_id % 10 >= 2
+    )
+    SELECT b.doc_id, b.fp,
+           CASE WHEN c.fp IS NOT NULL THEN 'dup_corpus'
+                WHEN b.rk > 1 THEN 'dup_batch'
+                ELSE 'accepted' END AS status
+    FROM batch b LEFT JOIN corpus c ON b.fp = c.fp
 """
 
 ORACLES["samp_weighted_bernoulli"] = f"""

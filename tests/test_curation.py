@@ -78,3 +78,22 @@ def test_sem_dedup_threshold_margin():
             iu = np.triu_indices(len(idx), 1)
             margin = min(margin, np.abs(s[iu] - 0.2999995).min())
         assert margin > 1e-9, (sf, margin)
+
+
+def test_quality_buckets_are_ordered_and_balanced(spark):
+    """Within each language: walking documents by (score desc, doc_id)
+    the bucket sequence is head… middle… tail… (never interleaved) and
+    the three buckets differ in size by at most one — the ntile
+    contract CCNet-style bucketing relies on."""
+    rows = curation.text_quality_buckets(spark, SF_DIR).collect()
+    order = {"head": 0, "middle": 1, "tail": 2}
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert by_lang  # at least one language present
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: (-r["lm_score_e6"], r["doc_id"]))
+        ranks = [order[r["bucket"]] for r in rs]
+        assert ranks == sorted(ranks), lang
+        sizes = [ranks.count(k) for k in range(3)]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)

@@ -147,3 +147,35 @@ def test_pack_sequences_invariants(spark):
         by_chunk.setdefault(r["chunk_id"], []).append(r["bin_id"])
     for bins in by_chunk.values():
         assert sorted(bins) == list(range(len(bins)))
+
+
+def test_inc_dedup_merge_invariants(spark):
+    """Verdict semantics the hash gate can't express directly: every
+    batch document gets exactly one verdict, all three verdicts occur,
+    accepted fingerprints are unique among accepted AND absent from
+    the corpus side (so replaying the merge can never admit a dup)."""
+    out = traindata.inc_dedup_merge(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_batch = docs.filter(F.col("doc_id") % 10 >= 2).count()
+    assert len(out) == n_batch
+    assert len({r["doc_id"] for r in out}) == n_batch
+    statuses = {r["status"] for r in out}
+    assert statuses == {"accepted", "dup_batch", "dup_corpus"}
+    accepted = [r["fp"] for r in out if r["status"] == "accepted"]
+    assert len(accepted) == len(set(accepted))
+    # recompute corpus fingerprints independently
+    from pyspark.sql import functions as SF
+    fps = docs.select(
+        "doc_id",
+        SF.md5(
+            SF.concat_ws(" ", SF.slice(SF.split("text", " "), 1, 8))
+        ).alias("fp"),
+    )
+    corpus = {
+        r["fp"] for r in fps.filter(SF.col("doc_id") % 10 < 2).collect()
+    }
+    assert not (set(accepted) & corpus)
+    # corpus precedence: anything whose fp is in the corpus is dup_corpus
+    for r in out:
+        if r["fp"] in corpus:
+            assert r["status"] == "dup_corpus"
