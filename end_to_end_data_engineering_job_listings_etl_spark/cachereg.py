@@ -117,7 +117,10 @@ def touch(spark: SparkSession, sf_dir: str) -> None:
     while len(lru) > cap:
         old = lru.pop(0)
         for fn in _EVICTORS:
-            fn(spark, old)
+            try:
+                fn(spark, old)
+            except Exception:  # noqa: BLE001 - same tolerance as evict()
+                pass
 
 
 def hook_session(spark: SparkSession) -> None:
