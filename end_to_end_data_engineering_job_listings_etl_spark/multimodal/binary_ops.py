@@ -109,6 +109,55 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, FEATURES_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("resized_bytes", T.LongType()),
+        T.StructField("resized_md5", T.StringType()),
+        T.StructField("new_width", T.IntegerType()),
+        T.StructField("new_height", T.IntegerType()),
+    ]
+)
+
+
+def resize(media: DataFrame, factor: int = 2) -> DataFrame:
+    """'Resize' image payloads by stride-``factor`` byte sampling — the
+    shape of a real downsample (payload in, smaller payload + scaled
+    dims out), with the pixel resampler stubbed to a byte slice like
+    ``_decode``. Runs per Arrow batch inside ``mapInPandas``; payload
+    bytes never reach the driver, and the output carries only the
+    resized content hash + metadata, so downstream plans stay narrow.
+    Swap the slice for a PIL ``Image.resize`` when codecs ship."""
+    from ..session import ship_package
+
+    ship_package(media.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            originals = [bytes(p) for p in pdf["payload"]]
+            resized = [p[::factor] for p in originals]
+            dims = [_decode(p) for p in originals]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "resized_bytes": [len(p) for p in resized],
+                    "resized_md5": [
+                        hashlib.md5(p).hexdigest() for p in resized
+                    ],
+                    "new_width": pd.array(
+                        [max(d[0] // factor, 1) for d in dims], dtype="int32"
+                    ),
+                    "new_height": pd.array(
+                        [max(d[1] // factor, 1) for d in dims], dtype="int32"
+                    ),
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        run, RESIZE_SCHEMA
+    )
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' for video payloads: one row per sampled offset
     (explode of byte offsets — the shape of real frame extraction,

@@ -507,6 +507,18 @@ def mm_frame_sample_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def mm_resize_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image 'resize' (stride-2 byte downsample, the stubbed-codec
+    stand-in for a real pixel resampler) through the Arrow-batched
+    ``mapInPandas`` path, under the hash gate: the oracle recomputes
+    the strided payload + md5 with a list_transform over char offsets
+    and the halved stub dims with hex-digit arithmetic — completing
+    the decode / featurize / resize / frame-sample quartet."""
+    from ..multimodal.binary_ops import resize
+
+    return resize(media_from_documents(spark, sf_dir), factor=2)
+
+
 def sink_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K5 partitioned parquet write → re-scan with a partition filter →
     aggregate. The oracle computes the same aggregate off the source
@@ -1299,6 +1311,7 @@ QUERIES = {
     "mm_meta_checked": mm_meta_checked,
     "mm_features": mm_features,
     "mm_frame_sample_checked": mm_frame_sample_checked,
+    "mm_resize_checked": mm_resize_checked,
     "stream_static_join": stream_static_join,
     "stream_interval_join": stream_interval_join,
     "sink_partitioned_roundtrip": sink_partitioned_roundtrip,
@@ -1477,6 +1490,31 @@ SELECT doc_id AS media_id,
 FROM documents
 CROSS JOIN (SELECT unnest(generate_series(0, 127, 64)) AS off) t
 WHERE doc_id % 3 = 2""",
+    "mm_resize_checked": """
+WITH h AS (
+  SELECT doc_id, repeat(md5(text), 4) AS hx
+  FROM documents WHERE doc_id % 3 = 0
+),
+s AS (
+  SELECT doc_id, hx,
+         array_to_string(list_transform(generate_series(1, 128, 2),
+           o -> substr(hx, CAST(o AS INT), 1)), '') AS strided
+  FROM h
+),
+b AS (
+  SELECT doc_id, strided,
+    (strpos('0123456789abcdef', substr(md5(hx), 1, 1)) - 1) * 16
+      + strpos('0123456789abcdef', substr(md5(hx), 2, 1)) - 1 AS b0,
+    (strpos('0123456789abcdef', substr(md5(hx), 3, 1)) - 1) * 16
+      + strpos('0123456789abcdef', substr(md5(hx), 4, 1)) - 1 AS b1
+  FROM s
+)
+SELECT doc_id AS media_id,
+       CAST(length(strided) AS BIGINT) AS resized_bytes,
+       md5(strided) AS resized_md5,
+       CAST(GREATEST((16 + b0 % 240) // 2, 1) AS INT) AS new_width,
+       CAST(GREATEST((16 + b1 % 240) // 2, 1) AS INT) AS new_height
+FROM b""",
     "sink_partitioned_roundtrip": """
 SELECT event_type, COUNT(*) AS n_events,
        CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT)

@@ -105,6 +105,28 @@ def test_frame_sample_offsets(spark):
         assert offs[0] == 0 and offs[-1] <= n_bytes[mid] - 1
 
 
+def test_resize_stride_semantics(spark):
+    import hashlib
+
+    from end_to_end_data_engineering_job_listings_etl_spark.multimodal.binary_ops import (
+        _decode,
+        resize,
+    )
+
+    media = synth_media(spark, 18).repartition(3)
+    out = {r["media_id"]: r for r in resize(media, factor=2).collect()}
+    src = {r["media_id"]: r for r in media.collect()}
+    # images only (kind cycle: image at media_id % 3 == 0)
+    assert set(out) == {i for i in range(18) if i % 3 == 0}
+    for mid, r in out.items():
+        payload = bytes(src[mid]["payload"])
+        strided = payload[::2]
+        assert r["resized_bytes"] == len(strided)
+        assert r["resized_md5"] == hashlib.md5(strided).hexdigest()
+        w, h, _ = _decode(payload)
+        assert (r["new_width"], r["new_height"]) == (max(w // 2, 1), max(h // 2, 1))
+
+
 def test_bucketed_join_is_shuffle_free_on_key(spark):
     """The bucketed-warehouse join must be a sort-merge join with NO
     exchange on the join key: the write-time bucketing IS the shuffle,
