@@ -93,6 +93,7 @@ HEADLINE = [
     # layer enters the recorded baseline the same round it is banked
     # (totals are comparable only at equal n_timed — recorded since r3)
     "sem_dedup_clusters",
+    "sem_dedup_scaled",
     "text_quality_classifier",
     "samp_mixture",
     "stream_chained_window_agg",

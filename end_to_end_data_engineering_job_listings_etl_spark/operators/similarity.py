@@ -103,6 +103,62 @@ def ivf_assign(
     return corpus.select(F.col(id_col), best.alias("centroid_id"))
 
 
+def ivf_assign_arrow(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroids: Sequence[tuple[int, Sequence[float]]],
+) -> DataFrame:
+    """``ivf_assign`` at production k: same contract (max-cosine
+    centroid, ties → higher centroid id, zero-norm → no match rank)
+    but the centroid matrix rides the task closure into an
+    Arrow-batched ``mapInPandas`` GEMM instead of a k-term Catalyst
+    expression — one narrow pass whose cost is a (batch × dim) @
+    (dim × k) matmul, so k can track corpus size (SemDeDup's cell-
+    size control) without exploding the plan. ``ivf_assign`` stays
+    the right call for literal-small k (≤ ~16)."""
+    import numpy as np
+
+    cids = np.array([c for c, _ in centroids], dtype=np.int64)
+    order = np.argsort(cids)  # ascending, so reversed-argmax = highest cid
+    cmat = np.stack(
+        [np.asarray(v, dtype=np.float64) for _, v in centroids]
+    )[order]
+    cids = cids[order]
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, corpus.schema[id_col].dataType),
+            T.StructField("centroid_id", T.IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            x = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            xn = np.sqrt((x * x).sum(axis=1))
+            denom = np.outer(xn, cnorm)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom != 0, (x @ cmat.T) / denom, -np.inf)
+            rev = cos[:, ::-1]
+            pos = rev.argmax(axis=1)  # first max in reversed = highest cid
+            best = cids[len(cids) - 1 - pos]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "centroid_id": best.astype("int32"),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(run, out_schema)
+
+
 def ivf_topk(
     corpus: DataFrame,
     vec_col: str,

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table_dist
 from ..functions.vectors import cosine
-from ..operators.similarity import ivf_assign
+from ..operators.similarity import ivf_assign, ivf_assign_arrow
 from .corpus import _cos
 
 
@@ -327,6 +327,13 @@ def sem_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("v"),
     )
 
+    return _sem_cell_stats(va)
+
+
+def _sem_cell_stats(va: DataFrame) -> DataFrame:
+    """Per-cell assigned/dropped counts: blocked within-cell GEMM over
+    (centroid_id, vec_id, v) — shared by the fixed-k and scaled-k
+    SemDeDup queries. Peak memory O(block × cell), compute O(cell²)."""
     threshold = _SEM_THRESHOLD
 
     def cell_stats(key, pdf):
@@ -364,6 +371,39 @@ def sem_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEM_TARGET_CELL = 500
+
+
+def sem_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the PRODUCTION scale control: k grows with the
+    corpus (k = max(N // 500, 1), target cell ≈ 500 vectors) instead
+    of ``sem_dedup_clusters``' fixed k=4, so the within-cell GEMM
+    stays O(N × cell) = linear in N while fixed-k is O(N²/k) —
+    measured at sf10 the fixed-k query runs 75x its sf1 time
+    (exponent 1.88) and this one stays near-linear (BASELINE.md
+    round-6 sf10 section). Centroids are the first k vec_ids
+    (deterministic and SQL-mirrorable; distinct embeddings under the
+    replica fixtures, which shift ids but keep content); assignment
+    is one Arrow GEMM pass (``ivf_assign_arrow``) — no k-term
+    Catalyst expression, so k ∝ N never explodes the plan. Same
+    output contract as sem_dedup_clusters."""
+    emb = load_table_dist(spark, sf_dir, "embeddings", cols=("vec_id", "embedding"))
+    k = max(emb.count() // _SEM_TARGET_CELL, 1)
+    rows = (
+        emb.filter(F.col("vec_id") < k).select("vec_id", "embedding").collect()
+    )
+    centroids = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in rows
+    ]
+    assigned = ivf_assign_arrow(emb, "embedding", "vec_id", centroids)
+    va = emb.join(assigned, "vec_id").select(
+        "centroid_id",
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    return _sem_cell_stats(va)
+
+
 QUERIES = {
     "text_repetition_metrics": text_repetition_metrics,
     "text_bigram_lm_score": text_bigram_lm_score,
@@ -371,6 +411,7 @@ QUERIES = {
     "text_chunk_dedup": text_chunk_dedup,
     "text_chunk_overlap": text_chunk_overlap,
     "sem_dedup_clusters": sem_dedup_clusters,
+    "sem_dedup_scaled": sem_dedup_scaled,
 }
 
 _CID_CASE = "CASE vec_id WHEN 0 THEN 0 WHEN 7 THEN 1 WHEN 13 THEN 2 WHEN 42 THEN 3 END"
@@ -497,6 +538,39 @@ ORACLES = {
         ), cents AS (
             SELECT {_CID_CASE} AS cid, v AS cv
             FROM e WHERE vec_id IN (0, 7, 13, 42)
+        ), sims AS (
+            SELECT e.vec_id, c.cid, {_cos("e.v", "c.cv")} AS sim
+            FROM e CROSS JOIN cents c
+        ), assigned AS (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY sim DESC, cid DESC) AS rn
+                FROM sims
+            ) WHERE rn = 1
+        ), va AS (
+            SELECT a.cid, e.vec_id, e.v FROM assigned a JOIN e USING (vec_id)
+        ), dropped AS (
+            SELECT cid, count(*) AS n_dropped FROM (
+                SELECT DISTINCT a.cid, b.vec_id
+                FROM va a JOIN va b
+                  ON a.cid = b.cid AND a.vec_id < b.vec_id
+                WHERE round({_cos("a.v", "b.v")}, 6) >= {_SEM_THRESHOLD}
+            ) GROUP BY cid
+        )
+        SELECT va.cid AS centroid_id, count(*) AS n_assigned,
+               COALESCE(any_value(dropped.n_dropped), 0) AS n_dropped
+        FROM va LEFT JOIN dropped ON va.cid = dropped.cid
+        GROUP BY va.cid
+    """,
+    "sem_dedup_scaled": f"""
+        WITH e AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), par AS (
+            SELECT greatest(count(*) // {_SEM_TARGET_CELL}, 1) AS k FROM e
+        ), cents AS (
+            SELECT CAST(e.vec_id AS INT) AS cid, e.v AS cv
+            FROM e, par WHERE e.vec_id < par.k
         ), sims AS (
             SELECT e.vec_id, c.cid, {_cos("e.v", "c.cv")} AS sim
             FROM e CROSS JOIN cents c

@@ -46,6 +46,22 @@ def test_sem_dedup_covers_all_vectors(spark):
     assert 0 <= agg["dropped"] < n_vecs
 
 
+def test_sem_dedup_scaled_cell_control(spark):
+    """The k ∝ N variant must (a) cover every vector exactly once,
+    (b) pick k = max(N // 500, 1) cells keyed by the first-k vec_ids,
+    and (c) agree with sem_dedup_clusters' total drop accounting
+    discipline (0 ≤ dropped < assigned per cell)."""
+    df = curation.sem_dedup_scaled(spark, SF_DIR).collect()
+    n_vecs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    k = max(n_vecs // curation._SEM_TARGET_CELL, 1)
+    assert sum(r["n_assigned"] for r in df) == n_vecs
+    assert {r["centroid_id"] for r in df} <= set(range(k))
+    for r in df:
+        assert 0 <= r["n_dropped"] < r["n_assigned"] or (
+            r["n_assigned"] == 1 and r["n_dropped"] == 0
+        )
+
+
 def test_sem_dedup_threshold_margin():
     """The BLAS-matmul pair stage is exact under the strict value-hash
     gate only because no within-cell pair's cosine sits near the
