@@ -162,6 +162,10 @@ HEADLINE = [
     # per-language quality bucketing — banked the round they land
     "inc_dedup_merge",
     "text_quality_buckets",
+    # incremental LSH merge, keep-best canonical selection, PQ/ADC scan
+    "inc_lsh_merge",
+    "dd_keep_best",
+    "sim_pq_adc",
 ]
 
 # Queries that share a per-(session, sf_dir) memo cache: the FIRST

@@ -23,6 +23,18 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def sq_l2(a: Column, b: Column) -> Column:
+    """Squared L2 distance of two array<numeric> columns — the same
+    left-to-right ``F.aggregate`` fold as :func:`dot`, so a DuckDB
+    ``list_aggregate(list_transform(range ...), 'sum')`` over the same
+    index order reproduces it bit for bit."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)

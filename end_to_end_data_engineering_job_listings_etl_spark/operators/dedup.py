@@ -99,6 +99,39 @@ def minhash_signature(
     return based.groupBy(id_col).agg(*mins)
 
 
+def lsh_buckets(
+    sig: DataFrame,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Stacked (id, bucket) rows from a MinHash signature frame — the
+    LSH band index itself. The band number is folded into the bucket
+    hash, so buckets never collide across bands.
+
+    This is the persistable side of an incremental near-dup merge: at
+    scale the corpus index is materialized ONCE as bucket-partitioned
+    parquet and only probed per ingest batch (see
+    plans/traindata.py::inc_lsh_merge)."""
+    rows_per_band = num_hashes // bands
+    band_cols = [
+        "md5(concat_ws('|', '{b}', {cols})) AS band_{b}".format(
+            b=b,
+            cols=", ".join(
+                f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.selectExpr(id_col, *band_cols)
+    return banded.selectExpr(
+        id_col,
+        "explode(array({})) AS bucket".format(
+            ", ".join(f"band_{b}" for b in range(bands))
+        ),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -117,23 +150,7 @@ def minhash_lsh_pairs(
     corpus-wide signature shuffle then runs once, not per consumer."""
     if sig is None:
         sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_k)
-    rows_per_band = num_hashes // bands
-    band_cols = [
-        "md5(concat_ws('|', '{b}', {cols})) AS band_{b}".format(
-            b=b,
-            cols=", ".join(
-                f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)
-            ),
-        )
-        for b in range(bands)
-    ]
-    banded = sig.selectExpr(id_col, *band_cols)
-    stacked = banded.selectExpr(
-        id_col,
-        "explode(array({})) AS bucket".format(
-            ", ".join(f"band_{b}" for b in range(bands))
-        ),
-    )
+    stacked = lsh_buckets(sig, id_col, num_hashes, bands)
     a = stacked.alias("a")
     b = stacked.alias("b")
     return (

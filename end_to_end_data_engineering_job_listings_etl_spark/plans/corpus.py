@@ -354,6 +354,102 @@ def sim_lsh_ann_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_ann(emb, "embedding", "vec_id", q, k=10, n_planes=6, max_hamming=6)
 
 
+_PQ_M = 4  # subspaces
+_PQ_DSUB = 16  # dims per subspace (4 x 16 = embedding dim 64)
+_PQ_NCODES = 8  # codewords per subspace = subvectors of vec_id 0..7
+_PQ_QUERY_ID = 1
+_PQ_TOPK = 20
+
+
+def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization with asymmetric-distance (ADC) scan — the
+    compression tier under IVF for billion-vector ANN (IVF-PQ). Each
+    64-d vector is encoded as 4 sub-codes (argmin squared-L2 to a
+    per-subspace codebook); query distance is the sum of 4 LUT entries
+    (query-subvector -> codeword distances), never touching the raw
+    vector. Output: top-20 vec_ids by ADC distance with their codes.
+
+    The codebook is derived from the data itself (subvectors of
+    vec_id < 8) so the WHOLE path — encode, LUT, ADC ranking — runs
+    under the strict hash gate: the DuckDB oracle recomputes identical
+    codes and distances (same left-to-right fold, same tie rules).
+
+    Scale posture: codes are 4 small ints per vector (~64x smaller
+    than 64 float32s) — the ADC scan reads ONLY the code columns plus
+    a broadcast 8x4 LUT; the encode pass is one broadcast join of the
+    corpus against the codebook (at real k this becomes the Arrow GEMM
+    pass of ``ivf_assign_arrow``, see sem_dedup_scaled). Nothing
+    shuffles except the final TakeOrdered."""
+    from pyspark.sql import Window
+
+    from ..functions.vectors import sq_l2
+
+    emb = load_table_dist(spark, sf_dir, "embeddings", cols=("vec_id", "embedding"))
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cb = base.filter(F.col("vec_id") < _PQ_NCODES).select(
+        F.col("vec_id").alias("j"), F.col("v").alias("cv")
+    )
+    per_j = base.crossJoin(F.broadcast(cb)).select(
+        "vec_id",
+        "j",
+        *[
+            sq_l2(
+                F.slice("v", m * _PQ_DSUB + 1, _PQ_DSUB),
+                F.slice("cv", m * _PQ_DSUB + 1, _PQ_DSUB),
+            ).alias(f"d_{m}")
+            for m in range(_PQ_M)
+        ],
+    )
+    ranked = per_j.select(
+        "vec_id",
+        "j",
+        *[
+            F.row_number()
+            .over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.asc(f"d_{m}"), F.asc("j")
+                )
+            )
+            .alias(f"rn_{m}")
+            for m in range(_PQ_M)
+        ],
+    )
+    codes = ranked.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col(f"rn_{m}") == 1, F.col("j")))
+            .cast("int")
+            .alias(f"code_{m}")
+            for m in range(_PQ_M)
+        ]
+    )
+    # LUT: the query row's own codeword distances (8 rows x 4 cols).
+    qd = per_j.filter(F.col("vec_id") == _PQ_QUERY_ID).select(
+        "j", *[F.col(f"d_{m}").alias(f"qd_{m}") for m in range(_PQ_M)]
+    )
+    out = codes
+    for m in range(_PQ_M):
+        out = out.join(
+            F.broadcast(
+                qd.select(F.col("j").alias(f"code_{m}"), f"qd_{m}")
+            ),
+            f"code_{m}",
+        )
+    adc = F.col("qd_0")
+    for m in range(1, _PQ_M):
+        adc = adc + F.col(f"qd_{m}")
+    return (
+        out.select(
+            "vec_id",
+            *[f"code_{m}" for m in range(_PQ_M)],
+            adc.alias("__adc"),
+            _e6(adc).alias("adc_e6"),
+        )
+        .orderBy(F.asc("__adc"), F.asc("vec_id"))
+        .limit(_PQ_TOPK)
+        .drop("__adc")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -470,7 +566,48 @@ QUERIES = {
     "sim_lsh_ann": sim_lsh_ann,
     "sim_lsh_ann_checked": sim_lsh_ann_checked,
     "sim_ivf_topk": sim_ivf_topk,
+    "sim_pq_adc": sim_pq_adc,
 }
+
+
+def _pq_sql_dist(m: int, a: str, b: str) -> str:
+    off = m * _PQ_DSUB
+    return (
+        f"list_aggregate(list_transform(range(1, {_PQ_DSUB + 1}), "
+        f"i -> ({a}[{off} + i] - {b}[{off} + i]) * ({a}[{off} + i] - {b}[{off} + i])), 'sum')"
+    )
+
+
+_PQ_ORACLE = f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cb AS (
+      SELECT vec_id AS j, v AS cv FROM base WHERE vec_id < {_PQ_NCODES}
+    ), per_j AS (
+      SELECT b.vec_id, c.j,
+             {", ".join(f"{_pq_sql_dist(m, 'b.v', 'c.cv')} AS d_{m}" for m in range(_PQ_M))}
+      FROM base b CROSS JOIN cb c
+    ), ranked AS (
+      SELECT vec_id, j,
+             {", ".join(f"row_number() OVER (PARTITION BY vec_id ORDER BY d_{m}, j) AS rn_{m}" for m in range(_PQ_M))}
+      FROM per_j
+    ), codes AS (
+      SELECT vec_id,
+             {", ".join(f"CAST(max(CASE WHEN rn_{m} = 1 THEN j END) AS INTEGER) AS code_{m}" for m in range(_PQ_M))}
+      FROM ranked GROUP BY vec_id
+    ), qd AS (
+      SELECT j, {", ".join(f"d_{m} AS qd_{m}" for m in range(_PQ_M))}
+      FROM per_j WHERE vec_id = {_PQ_QUERY_ID}
+    ), scored AS (
+      SELECT c.vec_id, {", ".join(f"c.code_{m}" for m in range(_PQ_M))},
+             {" + ".join(f"q{m}.qd_{m}" for m in range(_PQ_M))} AS adc
+      FROM codes c
+      {" ".join(f"JOIN qd q{m} ON q{m}.j = c.code_{m}" for m in range(_PQ_M))}
+    )
+    SELECT vec_id, {", ".join(f"code_{m}" for m in range(_PQ_M))},
+           CAST(floor(adc * 1000000) AS BIGINT) AS adc_e6
+    FROM scored ORDER BY adc, vec_id LIMIT {_PQ_TOPK}
+"""
 
 ORACLES = {
     "text_stats": f"""
@@ -676,4 +813,5 @@ ORACLES = {
         FROM keyed GROUP BY 1
     """,
     # sim_lsh_ann: intentionally no oracle (rows-only) — see docstring.
+    "sim_pq_adc": _PQ_ORACLE,
 }

@@ -38,8 +38,15 @@ from ..functions.text import word_shingles
 from ..operators import dedup as D
 from ..operators import similarity as S
 from .corpus import (
+    _BAND_EXPRS,
     _JACCARD_MAX_ID,
+    _LSH_BANDS,
+    _MINHASH_CTE,
+    _MINHASH_K,
     _PUNCT_CLASS,
+    _QUALITY,
+    _SHINGLE_K,
+    _SHINGLED_CTE,
     _SHINGLES,
     _TOKS,
     _TOKS_LOWER,
@@ -1039,8 +1046,86 @@ def inc_dedup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def inc_lsh_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``inc_dedup_merge``'s NEAR-dup sibling: an ingest batch is
+    screened against the existing corpus through the MinHash-LSH band
+    index instead of an exact fingerprint — the merge step a
+    continuously-crawled training corpus actually runs (exact dedup
+    misses retitled/boilerplate-shifted near-copies). Per batch doc:
+    the number of distinct corpus documents sharing >= 1 LSH band
+    bucket, and the accept/reject verdict. Corpus = doc_id % 10 < 2,
+    batch = the rest (same deterministic split as inc_dedup_merge).
+
+    Scale shape: the corpus side is exactly
+    ``operators.dedup.lsh_buckets`` output — at 100 TB that index is
+    materialized ONCE as bucket-partitioned parquet and never
+    recomputed; the batch side computes signatures for the new docs
+    only and probes with a join on bucket (md5-uniform, skew-free,
+    shuffle bounded by batch x bands). Candidates would then flow to
+    the exact verifier (``dd_minhash_estimate``'s machinery); the
+    band-hit verdict here is the recall-side gate."""
+    docs = load_table_dist(spark, sf_dir, "documents", cols=("doc_id", "text"))
+    sig = D.minhash_signature(docs, "text", "doc_id", _MINHASH_K, _SHINGLE_K)
+    buckets = D.lsh_buckets(sig, "doc_id", _MINHASH_K, _LSH_BANDS)
+    corpus_b = buckets.filter(F.col("doc_id") % 10 < 2).select(
+        F.col("doc_id").alias("corpus_id"), "bucket"
+    )
+    batch_b = buckets.filter(F.col("doc_id") % 10 >= 2)
+    hits = (
+        batch_b.join(corpus_b, "bucket")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("corpus_id").alias("n_corpus_hits"))
+    )
+    batch_docs = docs.filter(F.col("doc_id") % 10 >= 2).select("doc_id")
+    n_hits = F.coalesce(F.col("n_corpus_hits"), F.lit(0).cast("long"))
+    return batch_docs.join(hits, "doc_id", "left").select(
+        "doc_id",
+        n_hits.alias("n_corpus_hits"),
+        F.when(n_hits > 0, F.lit("dup_near_corpus"))
+        .otherwise(F.lit("accepted"))
+        .alias("status"),
+    )
+
+
+def dd_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical selection by QUALITY: within each near-dup cluster
+    keep the highest-quality document (ties -> lowest doc_id), not the
+    lowest-id one. ``dd_duplicate_clusters`` answers "which docs are
+    the same"; this answers the question production dedup actually
+    ships — "which copy do we train on". Same bounded candidate set /
+    threshold as the cluster query; quality is the same rubric the
+    curation funnel uses (``functions.text.quality_score``).
+
+    Scale shape: clustering is the O(log d) component rounds; the
+    keep decision is ONE window over cluster_id (same shuffle key as
+    the final label join — no extra exchange beyond the ranking
+    sort)."""
+    docs = load_table_dist(spark, sf_dir, "documents", cols=("doc_id", "text")).filter(
+        F.col("doc_id") < _JACCARD_MAX_ID
+    )
+    edges = D.jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
+    labels = D.connected_components(docs.select("doc_id"), edges, id_col="doc_id")
+    quality = docs.select(
+        "doc_id",
+        F.floor(T.quality_score("text") * 1_000_000)
+        .cast("long")
+        .alias("quality_e6"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_e6"), F.asc("doc_id")
+    )
+    return labels.join(quality, "doc_id").select(
+        "doc_id",
+        "cluster_id",
+        "quality_e6",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
 QUERIES = {
     "inc_dedup_merge": inc_dedup_merge,
+    "inc_lsh_merge": inc_lsh_merge,
+    "dd_keep_best": dd_keep_best,
     "samp_weighted_bernoulli": samp_weighted_bernoulli,
     "samp_stratified_exact": samp_stratified_exact,
     "samp_hash_split": samp_hash_split,
@@ -1062,6 +1147,52 @@ QUERIES = {
     "samp_global_shuffle": samp_global_shuffle,
     "text_url_dedup": text_url_dedup,
 }
+
+ORACLES["inc_lsh_merge"] = f"""
+    WITH {_SHINGLED_CTE}, {_MINHASH_CTE},
+    banded AS (SELECT doc_id, {_BAND_EXPRS} FROM signatures),
+    stacked AS (
+      SELECT doc_id, unnest([{", ".join(f"band_{b}" for b in range(_LSH_BANDS))}]) AS bucket
+      FROM banded
+    ),
+    hits AS (
+      SELECT b.doc_id, count(DISTINCT c.doc_id) AS n_corpus_hits
+      FROM stacked b JOIN stacked c USING (bucket)
+      WHERE b.doc_id % 10 >= 2 AND c.doc_id % 10 < 2
+      GROUP BY b.doc_id
+    )
+    SELECT d.doc_id, coalesce(h.n_corpus_hits, 0) AS n_corpus_hits,
+           CASE WHEN coalesce(h.n_corpus_hits, 0) > 0 THEN 'dup_near_corpus'
+                ELSE 'accepted' END AS status
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 2) d
+    LEFT JOIN hits h ON h.doc_id = d.doc_id
+"""
+
+ORACLES["dd_keep_best"] = f"""
+    WITH RECURSIVE {_JACC_EDGES_CTE},
+    jedges AS (
+      SELECT id_a AS a, id_b AS b FROM jpairs
+      UNION ALL
+      SELECT id_b, id_a FROM jpairs
+    ),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM documents WHERE doc_id < {_JACCARD_MAX_ID}
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN jedges e ON r.dst = e.a
+    ),
+    labels AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+    q AS (
+      SELECT doc_id, CAST(floor(({_QUALITY}) * 1000000) AS BIGINT) AS quality_e6
+      FROM documents WHERE doc_id < {_JACCARD_MAX_ID}
+    ),
+    ranked AS (
+      SELECT l.doc_id, l.cluster_id, q.quality_e6,
+             row_number() OVER (PARTITION BY l.cluster_id
+                                ORDER BY q.quality_e6 DESC, l.doc_id) AS rk
+      FROM labels l JOIN q ON q.doc_id = l.doc_id
+    )
+    SELECT doc_id, cluster_id, quality_e6, rk = 1 AS keep FROM ranked
+"""
 
 ORACLES["samp_split_by_cluster"] = f"""
     WITH RECURSIVE {_JACC_EDGES_CTE},

@@ -87,3 +87,24 @@ def test_prefix_filter_exact_at_non_binary_threshold(spark):
         for r in D.prefix_filter_pairs(docs, "text", "doc_id", threshold=tau).collect()
     }
     assert full == pref
+
+
+def test_pq_adc_self_coding_and_query_rank(spark):
+    """PQ structural invariants: codes are valid codebook indices; each
+    codeword vector codes to ITSELF in every subspace (its distance is
+    exactly 0); the query vector (a codeword here) therefore has
+    ADC = 0 and ranks first."""
+    rows = corpus.sim_pq_adc(spark, SF_DIR).collect()
+    assert rows, "non-empty"
+    for r in rows:
+        for m in range(corpus._PQ_M):
+            assert 0 <= r[f"code_{m}"] < corpus._PQ_NCODES
+        assert r["adc_e6"] >= 0
+    by_id = {r["vec_id"]: r for r in rows}
+    for j in range(corpus._PQ_NCODES):
+        if j in by_id:
+            assert all(
+                by_id[j][f"code_{m}"] == j for m in range(corpus._PQ_M)
+            ), f"codeword {j} must self-code"
+    assert rows[0]["vec_id"] == corpus._PQ_QUERY_ID
+    assert rows[0]["adc_e6"] == 0

@@ -179,3 +179,50 @@ def test_inc_dedup_merge_invariants(spark):
     for r in out:
         if r["fp"] in corpus:
             assert r["status"] == "dup_corpus"
+
+
+def test_inc_lsh_merge_invariants(spark):
+    """Recall-side semantics the hash gate can't express: every batch
+    doc gets exactly one verdict; a batch doc whose TEXT is byte-equal
+    to a corpus doc's must be flagged (identical shingle set ->
+    identical signature -> identical bands: LSH recall on exact dups
+    is 1 by construction)."""
+    out = {r["doc_id"]: r for r in traindata.inc_lsh_merge(spark, SF_DIR).collect()}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_batch = docs.filter(F.col("doc_id") % 10 >= 2).count()
+    assert len(out) == n_batch
+    corpus_texts = {
+        r["text"]
+        for r in docs.filter(F.col("doc_id") % 10 < 2)
+        .select("text")
+        .collect()
+    }
+    exact_dups = [
+        r["doc_id"]
+        for r in docs.filter(F.col("doc_id") % 10 >= 2).collect()
+        if r["text"] in corpus_texts
+    ]
+    for did in exact_dups:
+        assert out[did]["status"] == "dup_near_corpus", did
+        assert out[did]["n_corpus_hits"] >= 1
+    for r in out.values():
+        assert (r["status"] == "dup_near_corpus") == (r["n_corpus_hits"] > 0)
+
+
+def test_dd_keep_best_invariants(spark):
+    """Exactly one keeper per cluster; the keeper maximizes quality
+    (ties -> lowest doc_id); labels agree with dd_duplicate_clusters."""
+    rows = traindata.dd_keep_best(spark, SF_DIR).collect()
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in traindata.dd_duplicate_clusters(spark, SF_DIR).collect()
+    }
+    assert {r["doc_id"]: r["cluster_id"] for r in rows} == labels
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for members in by_cluster.values():
+        keepers = [r for r in members if r["keep"]]
+        assert len(keepers) == 1
+        best = min(members, key=lambda r: (-r["quality_e6"], r["doc_id"]))
+        assert keepers[0]["doc_id"] == best["doc_id"]
