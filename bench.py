@@ -166,6 +166,7 @@ HEADLINE = [
     "inc_lsh_merge",
     "dd_keep_best",
     "sim_pq_adc",
+    "emb_random_projection",
 ]
 
 # Queries that share a per-(session, sf_dir) memo cache: the FIRST

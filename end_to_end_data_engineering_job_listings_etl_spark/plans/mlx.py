@@ -709,8 +709,80 @@ ORDER BY event_type
 """
 
 
+_RP_IN = 64  # embedding dim
+_RP_OUT = 8  # projected dim
+_RP_SEED = 42424242
+
+
+def _rp_matrix() -> list[list[float]]:
+    """Deterministic Achlioptas-style +/-1 projection matrix (seeded,
+    data-independent — the same literals are embedded in the static
+    SQL oracle)."""
+    import random
+
+    rng = random.Random(_RP_SEED)
+    return [
+        [1.0 if rng.random() < 0.5 else -1.0 for _ in range(_RP_IN)]
+        for _ in range(_RP_OUT)
+    ]
+
+
+_RP_SCALE = 1.0 / (_RP_OUT**0.5)
+
+
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection 64 -> 8 dims: the
+    standard pre-shrink before LSH bucketing / clustering at corpus
+    scale (Achlioptas ±1 rows, scaled 1/sqrt(d_out), expected norm
+    preserved). Output: per vector, the 8 projected coordinates as
+    floor(x·1e6) integers.
+
+    Scale posture: a pure narrow map — the matrix is 512 literal
+    doubles folded into whole-stage codegen (no join, no shuffle, no
+    Python); projected vectors are 8x smaller, so every downstream
+    distance pass (IVF assign, LSH, k-means) reads 8x fewer bytes.
+    The fold order of each dot product matches the DuckDB oracle's
+    list fold bit for bit (same discipline as ml_kmeans_step)."""
+    from ..functions.vectors import dot
+
+    emb = load_table_dist(spark, sf_dir, "embeddings", cols=("vec_id", "embedding"))
+    v = F.col("embedding").cast("array<double>")
+    mat = _rp_matrix()
+    return emb.select(
+        "vec_id",
+        *[
+            F.floor((dot(v, lit_vector(mat[d])) * F.lit(_RP_SCALE)) * 1_000_000)
+            .cast("long")
+            .alias(f"p_{d}_e6")
+            for d in range(_RP_OUT)
+        ],
+    )
+
+
+def _rp_sql_row(row: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in row) + "]::DOUBLE[]"
+
+
+_RP_ORACLE = f"""
+    WITH m AS (
+      SELECT {", ".join(f"{_rp_sql_row(row)} AS r{d}" for d, row in enumerate(_rp_matrix()))}
+    ), e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT e.vec_id,
+           {", ".join(
+               f"CAST(floor((list_aggregate(list_transform(range(1, {_RP_IN + 1}), "
+               f"i -> e.v[i] * m.r{d}[i]), 'sum') * {_RP_SCALE!r}) * 1000000) AS BIGINT) "
+               f"AS p_{d}_e6"
+               for d in range(_RP_OUT)
+           )}
+    FROM e CROSS JOIN m
+"""
+
+
 QUERIES = {
     "text_tfidf_top_terms": text_tfidf_top_terms,
+    "emb_random_projection": emb_random_projection,
     "ml_kmeans_step": ml_kmeans_step,
     "ml_gram_matrix": ml_gram_matrix,
     "emb_l2_normalize_arrow": emb_l2_normalize_arrow,
@@ -727,6 +799,7 @@ QUERIES = {
 
 ORACLES = {
     "text_tfidf_top_terms": _TFIDF_ORACLE,
+    "emb_random_projection": _RP_ORACLE,
     "ml_kmeans_step": _KM_ORACLE,
     "ml_gram_matrix": _GRAM_ORACLE,
     "emb_l2_normalize_arrow": _L2_ORACLE,

@@ -51,3 +51,29 @@ def test_triangle_corner_counts_sum_to_3x(spark):
     )
     assert total_corners is not None and total_corners > 0
     assert total_corners % 3 == 0
+
+
+def test_random_projection_preserves_expected_norm(spark):
+    """JL property: E[||proj||^2] == ||v||^2 under the 1/sqrt(d_out)
+    scaling. Per-vector the ratio is chi^2-noisy at d_out=8, but the
+    MEAN ratio over the fixture's 500 vectors concentrates near 1 —
+    deterministic fixture + seeded matrix, so the bound is stable."""
+    from end_to_end_data_engineering_job_listings_etl_spark.plans import mlx
+
+    proj = {
+        r["vec_id"]: [r[f"p_{d}_e6"] / 1e6 for d in range(mlx._RP_OUT)]
+        for r in mlx.emb_random_projection(spark, SF_DIR).collect()
+    }
+    emb = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    ratios = []
+    for vid, p in proj.items():
+        orig = sum(x * x for x in emb[vid])
+        if orig > 0:
+            ratios.append(sum(x * x for x in p) / orig)
+    mean = sum(ratios) / len(ratios)
+    assert 0.8 < mean < 1.2, mean
