@@ -380,8 +380,6 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus against the codebook (at real k this becomes the Arrow GEMM
     pass of ``ivf_assign_arrow``, see sem_dedup_scaled). Nothing
     shuffles except the final TakeOrdered."""
-    from pyspark.sql import Window
-
     from ..functions.vectors import sq_l2
 
     emb = load_table_dist(spark, sf_dir, "embeddings", cols=("vec_id", "embedding"))
@@ -400,45 +398,61 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             for m in range(_PQ_M)
         ],
     )
-    ranked = per_j.select(
-        "vec_id",
-        "j",
+    # argmin per subspace as ONE map-side-combining aggregation:
+    # min(struct(d, j)) picks the lexicographic minimum — smallest
+    # distance, ties -> lowest codeword index, the exact selection
+    # rule the oracle's row_number() OVER (ORDER BY d, j) applies.
+    # (vs 4 same-key window sorts: one exchange, partial agg before
+    # it, no sort at all.)
+    codes = per_j.groupBy("vec_id").agg(
         *[
-            F.row_number()
-            .over(
-                Window.partitionBy("vec_id").orderBy(
-                    F.asc(f"d_{m}"), F.asc("j")
-                )
-            )
-            .alias(f"rn_{m}")
-            for m in range(_PQ_M)
-        ],
-    )
-    codes = ranked.groupBy("vec_id").agg(
-        *[
-            F.max(F.when(F.col(f"rn_{m}") == 1, F.col("j")))
+            F.min(F.struct(F.col(f"d_{m}").alias("d"), F.col("j").alias("j")))
+            .getField("j")
             .cast("int")
             .alias(f"code_{m}")
             for m in range(_PQ_M)
         ]
     )
-    # LUT: the query row's own codeword distances (8 rows x 4 cols).
-    qd = per_j.filter(F.col("vec_id") == _PQ_QUERY_ID).select(
-        "j", *[F.col(f"d_{m}").alias(f"qd_{m}") for m in range(_PQ_M)]
-    )
-    out = codes
-    for m in range(_PQ_M):
-        out = out.join(
-            F.broadcast(
-                qd.select(F.col("j").alias(f"code_{m}"), f"qd_{m}")
-            ),
-            f"code_{m}",
-        )
-    adc = F.col("qd_0")
+    # LUT: query-subvector -> codeword squared distances, 8x4 doubles.
+    # The query IS a codeword row here, so ONE O(8)-row collect of the
+    # codebook yields it (the _query_vec precedent); the Python fold
+    # below replays the engine fold's exact IEEE op order
+    # (0.0 + (x-y)*(x-y) + ...), so the literals are bit-identical to
+    # what a join against per_j would have produced — and the 4 LUT
+    # lookups become literal CASE maps instead of 4 broadcast joins
+    # re-scanning the corpus subtree.
+    cb_rows = sorted(cb.collect(), key=lambda r: r["j"])
+    cbv = [[float(x) for x in r["cv"]] for r in cb_rows]
+    qv = cbv[_PQ_QUERY_ID]
+
+    def fold_sq(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + (x - y) * (x - y)
+        return acc
+
+    lut = [
+        [
+            fold_sq(
+                qv[m * _PQ_DSUB : (m + 1) * _PQ_DSUB],
+                cbv[j][m * _PQ_DSUB : (m + 1) * _PQ_DSUB],
+            )
+            for j in range(_PQ_NCODES)
+        ]
+        for m in range(_PQ_M)
+    ]
+
+    def lut_case(m: int) -> F.Column:
+        expr = F.when(F.col(f"code_{m}") == 0, F.lit(lut[m][0]))
+        for j in range(1, _PQ_NCODES):
+            expr = expr.when(F.col(f"code_{m}") == j, F.lit(lut[m][j]))
+        return expr
+
+    adc = lut_case(0)
     for m in range(1, _PQ_M):
-        adc = adc + F.col(f"qd_{m}")
+        adc = adc + lut_case(m)
     return (
-        out.select(
+        codes.select(
             "vec_id",
             *[f"code_{m}" for m in range(_PQ_M)],
             adc.alias("__adc"),

@@ -738,9 +738,11 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor(x·1e6) integers.
 
     Scale posture: a pure narrow map — the matrix is 512 literal
-    doubles folded into whole-stage codegen (no join, no shuffle, no
-    Python); projected vectors are 8x smaller, so every downstream
-    distance pass (IVF assign, LSH, k-means) reads 8x fewer bytes.
+    doubles baked into ONE Project's expressions (no join, no
+    shuffle, no Python; higher-order array folds evaluate outside
+    whole-stage codegen, same as every cosine query here); projected
+    vectors are 8x smaller, so every downstream distance pass (IVF
+    assign, LSH, k-means) reads 8x fewer bytes.
     The fold order of each dot product matches the DuckDB oracle's
     list fold bit for bit (same discipline as ml_kmeans_step)."""
     from ..functions.vectors import dot
