@@ -167,6 +167,7 @@ HEADLINE = [
     "dd_keep_best",
     "sim_pq_adc",
     "emb_random_projection",
+    "sim_ivfpq_topk",
 ]
 
 # Queries that share a per-(session, sf_dir) memo cache: the FIRST

@@ -87,11 +87,14 @@ def ivf_assign(
     vec_col: str,
     id_col: str,
     centroids: Sequence[tuple[int, Sequence[float]]],
+    keep: Sequence[str] = (),
 ) -> DataFrame:
     """IVF coarse quantization: assign every vector to its
     max-cosine centroid (ties → higher centroid id, deterministic).
     One narrow map stage; the centroid list is a literal (broadcast by
-    construction). Returns (id, centroid_id)."""
+    construction). Returns (id, *keep, centroid_id) — pass ``keep``
+    to carry extra columns through so downstream consumers (e.g. the
+    IVF-PQ encode) never need a join back on the id."""
     v = F.col(vec_col).cast("array<double>")
     cells = [
         F.struct(
@@ -100,7 +103,9 @@ def ivf_assign(
         for cid, cvec in centroids
     ]
     best = F.array_max(F.array(*cells))["cid"]
-    return corpus.select(F.col(id_col), best.alias("centroid_id"))
+    return corpus.select(
+        F.col(id_col), *[F.col(c) for c in keep], best.alias("centroid_id")
+    )
 
 
 def ivf_assign_arrow(

