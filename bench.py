@@ -168,6 +168,12 @@ HEADLINE = [
     "sim_pq_adc",
     "emb_random_projection",
     "sim_ivfpq_topk",
+    # round-6 selection/eval layer: DSIR importance resampling, the
+    # Gopher rule battery, ANN recall measurement, audio windowing
+    "samp_dsir_select",
+    "text_gopher_rules",
+    "ev_ann_recall",
+    "mm_audio_energy_checked",
 ]
 
 # Queries that share a per-(session, sf_dir) memo cache: the FIRST

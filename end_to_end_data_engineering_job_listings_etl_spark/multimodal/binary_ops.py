@@ -173,3 +173,60 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
         F.explode(offsets).alias("frame_offset"),
         F.substring(F.col("payload"), F.col("frame_offset") + 1, 8).alias("frame_bytes"),
     )
+
+
+AUDIO_WINDOWS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("win_idx", T.IntegerType()),
+        T.StructField("energy", T.LongType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+
+def audio_windows(
+    media: DataFrame, window_bytes: int = 16, center: int = 80
+) -> DataFrame:
+    """Frame-windowed energy/peak over audio payloads: treat the
+    payload as 8-bit PCM samples, cut fixed windows, emit per-window
+    energy = sum((sample - center)^2) and peak = max(|sample -
+    center|) — the shape of a real audio feature pass (RMS/VAD
+    framing), with the decoder stubbed to raw-byte samples. Runs per
+    Arrow batch inside ``mapInPandas`` (numpy reshape + integer sums);
+    payload bytes never reach the driver. Swap the frombuffer for a
+    soundfile/librosa decode when codecs ship — the framing, schema,
+    and batch shape stay identical."""
+    from ..session import ship_package
+
+    ship_package(media.sparkSession)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, wins, energies, peaks = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples = np.frombuffer(bytes(payload), dtype=np.uint8).astype(
+                    np.int64
+                )
+                n_win = len(samples) // window_bytes
+                dev = samples[: n_win * window_bytes].reshape(
+                    n_win, window_bytes
+                ) - center
+                ids.extend([mid] * n_win)
+                wins.extend(range(n_win))
+                energies.extend((dev * dev).sum(axis=1).tolist())
+                peaks.extend(np.abs(dev).max(axis=1).tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "win_idx": pd.array(wins, dtype="int32"),
+                    "energy": pd.array(energies, dtype="int64"),
+                    "peak": pd.array(peaks, dtype="int32"),
+                }
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        run, AUDIO_WINDOWS_SCHEMA
+    )

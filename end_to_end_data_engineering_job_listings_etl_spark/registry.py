@@ -27,6 +27,7 @@ from .plans import (
     pricing,
     profiling,
     relational,
+    selection,
     sketch,
     sqlviews,
     star,
@@ -59,6 +60,7 @@ _MODULES = [
     tpch4,
     profiling,
     sketch,
+    selection,
 ]
 
 
@@ -77,89 +79,75 @@ def _pinned(fn: Callable[[SparkSession, str], DataFrame]):
 
 # The driver's correctness gate checks the FIRST 50 entries of
 # all_queries() each round. Queries already driver-verified in a prior
-# round keep their banked rows, so each round this list rotates the
-# not-yet-driver-checked surface into the window (every name here has a
-# DuckDB oracle — no rows-only checks waste a slot).
+# round keep their banked rows, so each round this list rotates fresh
+# or least-recently-checked surface into the window (every name here
+# has a DuckDB oracle — no rows-only checks waste a slot).
 #
-# Round 5 window: the driver has strict-checked 185 distinct names over
-# r1-r4; exactly 47 oracled names have NEVER appeared in any window
-# (they were all green in every local full-surface sweep, including
-# this round's sf0.01 and sf1 runs — scripts_dev/sweep_r5*.json).
-# All 47 fill the window, ordered by module family, plus the three
-# queries whose CODE changed in round 5 and therefore need fresh
-# driver rows: agg_exact_moments (DECIMAL(38,0) moment accumulation),
-# q21_sole_late_suppliers (key-grouped blame), dd_duplicate_clusters
-# (per-round checkpoint release). After this round every oracled name
-# in the registry has at least one driver-recorded strict check.
+# Round 6 window: the 13 queries ADDED this round (9 from the first
+# round-6 session: incremental dedup/LSH merge, quality buckets,
+# resize, SemDeDup scaling, keep-best, PQ/ADC, JL projection, IVF-PQ;
+# 4 from the second: DSIR selection, Gopher rules, ANN recall@k,
+# audio windowing) lead — none has ever had a driver row. The
+# remaining 37 slots rotate the heavyweight families whose last
+# driver rows are oldest (not re-windowed in r5): the full jl star
+# layer, the dedup/similarity families, and the TPC-H shapes.
 _WINDOW = [
-    # functional / incremental
-    "fn_collation_dedup",
-    "fn_xml_roundtrip",
-    "inc_topk_merge",
-    "inc_cdc_apply",
-    "inc_agg_merge",
-    "inc_join_view_maintain",
-    # dedup / text
-    "dd_prefix_filter_pairs",
-    "text_chunk_overlap",
-    "text_winnow_fingerprints",
-    "text_repetition_signals",
-    "text_dup_spans",
-    "text_cdc_chunks",
-    "text_bm25_topk",
-    # SQL surfaces
-    "sql_pivot_clause",
-    "sql_scripted_pipeline",
-    "fn_sql_udf",
-    "sql_parameterized",
-    # sessionization / windows
-    "agg_session_window_batch",
-    "w_cume_dist_nth",
-    "w_ewma_decay",
-    # sinks / sources / streams
-    "sink_inverted_index_roundtrip",
-    "src_schema_evolution",
-    "src_csv_malformed",
-    "src_python_stream_resume",
-    "stream_curation_pipeline",
-    "src_jdbc_landing",
-    # src_json_records yields its slot to the round-5 packing
-    # operator: it already carries the r4 judge's strict check, while
-    # samp_pack_sequences is new this round (local sweeps only so far).
-    "samp_pack_sequences",
-    "stream_cdc_apply",
-    # sketches / aggregates
-    "agg_hll_partition_merge",
-    "agg_cms_frequency",
-    "agg_kmv_distinct_checked",
-    "agg_bitmap_distinct",
-    "agg_kmv_intersection_checked",
-    # ML / embeddings / graph
-    "ml_gram_matrix",
-    "emb_l2_normalize_arrow",
-    "op_grouped_agg_pandas",
-    "graph_triangle_count",
-    "rag_hybrid_retrieval",
-    # sampling / splits
-    "samp_weighted_bernoulli",
-    "samp_stratified_exact",
-    "samp_temperature_mixture",
-    "samp_split_by_cluster",
-    # samp_token_budget yields its slot to the round-5 ER operator:
-    # it already carries an independent strict check (the r3 judge's
-    # out-of-window replica), while er_blocking_refined is new this
-    # round and has only local sweep rows so far.
-    "er_blocking_refined",
-    # profiling
-    "profile_table_approx_checked",
-    "profile_catalog_stats",
-    # joins
-    "j_bloom_filter_prune",
-    "j_salted_skew_join",
-    # round-5 code changes needing fresh driver rows
-    "agg_exact_moments",
-    "q21_sole_late_suppliers",
-    "dd_duplicate_clusters",
+    # round-6 additions (first session)
+    "inc_dedup_merge",
+    "text_quality_buckets",
+    "mm_resize_checked",
+    "sem_dedup_scaled",
+    "inc_lsh_merge",
+    "dd_keep_best",
+    "sim_pq_adc",
+    "emb_random_projection",
+    "sim_ivfpq_topk",
+    # round-6 additions (second session): selection/eval layer
+    "samp_dsir_select",
+    "text_gopher_rules",
+    "ev_ann_recall",
+    "mm_audio_energy_checked",
+    # rotation: jl star layer
+    "jl_bridge_checked",
+    "jl_dim_company_checked",
+    "jl_dim_date_checked",
+    "jl_dim_employment_type_checked",
+    "jl_dim_job_details_checked",
+    "jl_dim_location_checked",
+    "jl_dim_publisher_checked",
+    "jl_dim_skill_checked",
+    "jl_fact_checked",
+    "jl_fact_fallback_checked",
+    # rotation: dedup family
+    "dd_containment_pairs",
+    "dd_dedup_stats",
+    "dd_embedding_neardup",
+    "dd_jaccard_pairs",
+    "dd_lsh_candidates",
+    "dd_minhash_estimate",
+    "dd_minhash_signatures",
+    "dd_simhash",
+    "sem_dedup_clusters",
+    # rotation: similarity family
+    "sim_cosine_topk",
+    "sim_ivf_topk_checked",
+    "sim_knn_join",
+    "sim_lsh_ann_checked",
+    # rotation: TPC-H shapes
+    "q2_min_balance_supplier",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q11_nation_stock_share",
+    "q16_supplier_variety",
+    "q17_small_quantity",
+    "q20_dominant_suppliers",
+    "li_big_orders",
+    "li_disjunctive_part_join",
+    "li_late_shipment_priority",
+    "li_lateness_by_class",
 ]
 
 

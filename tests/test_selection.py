@@ -1,0 +1,98 @@
+"""Round-6 selection/eval layer (DSIR resampling, Gopher rules, ANN
+recall harness, audio windowing) vs DuckDB oracle, plus invariants
+the hash can't see."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from end_to_end_data_engineering_job_listings_etl_spark.plans import selection
+from tests.conftest import SF_DIR
+from tests.oracle_check import compare
+
+
+@pytest.mark.parametrize("name", sorted(selection.QUERIES))
+def test_selection_matches_oracle(spark, duck, name):
+    compare(
+        selection.QUERIES[name](spark, SF_DIR), duck, selection.ORACLES[name], name
+    )
+
+
+def test_dsir_selects_topk_toward_target(spark):
+    """Selection is exactly _DSIR_TOPK rows (or the corpus if smaller),
+    scores positive, and the selected docs skew toward the target
+    slice relative to the corpus base rate — the one property DSIR
+    exists to deliver."""
+    rows = selection.samp_dsir_select(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "lang")
+    n_docs = docs.count()
+    assert len(rows) == min(selection._DSIR_TOPK, n_docs)
+    assert all(r["n_feats"] > 0 for r in rows)
+    scores = [r["score_e6"] for r in rows]
+    assert len(set(scores)) > 1  # a real spread, not a constant
+    sel_ids = [r["doc_id"] for r in rows]
+    langs = {r["doc_id"]: r["lang"] for r in docs.collect()}
+    base_rate = sum(1 for v in langs.values() if v == "en") / n_docs
+    sel_rate = sum(1 for i in sel_ids if langs[i] == "en") / len(sel_ids)
+    assert sel_rate > base_rate
+
+
+def test_gopher_every_rule_fires_and_keep_is_conjunction(spark):
+    df = selection.text_gopher_rules(spark, SF_DIR)
+    flags = [c for c in df.columns if c.startswith("pass_")]
+    agg = df.agg(
+        F.count("*").alias("n"),
+        *[F.sum(F.col(c).cast("int")).alias(c) for c in flags],
+    ).collect()[0]
+    # every rule must discriminate: some pass, some fail (the
+    # deterministic markup dirt guarantees the line/symbol rules fire)
+    for c in ("pass_symbol_ratio", "pass_bullet_lines", "pass_ellipsis_lines"):
+        assert 0 < agg[c] < agg["n"], c
+    bad = df.filter(
+        F.col("keep")
+        != (
+            F.col("pass_word_count")
+            & F.col("pass_mean_word_len")
+            & F.col("pass_symbol_ratio")
+            & F.col("pass_bullet_lines")
+            & F.col("pass_ellipsis_lines")
+            & F.col("pass_alpha_words")
+            & F.col("pass_stopwords")
+        )
+    ).count()
+    assert bad == 0
+
+
+def test_ann_recall_bounded_and_candidates_sublinear(spark):
+    """recall_e6 in [0, 1e6]; n_hit <= k; the nprobe=2 candidate set
+    must be a strict subset of the corpus (the whole point of IVF)."""
+    rows = selection.ev_ann_recall(spark, SF_DIR).collect()
+    n_vecs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    assert len(rows) == len(selection._ANN_PROBE_IDS)
+    for r in rows:
+        assert 0 <= r["n_hit"] <= selection._ANN_K
+        assert r["recall_e6"] == r["n_hit"] * (1_000_000 // selection._ANN_K)
+        assert 0 < r["n_cand"] < n_vecs
+
+
+def test_audio_windows_shape_and_bounds(spark):
+    """8 windows per audio payload (128 bytes / 16), energy equals the
+    sum of squared deviations of md5-hex ASCII codes — bounded by the
+    hex alphabet's worst case — and peak <= 32 ('0' -> |48-80|)."""
+    from end_to_end_data_engineering_job_listings_etl_spark.plans.media_stream import (
+        media_from_documents,
+    )
+
+    df = selection.mm_audio_energy_checked(spark, SF_DIR)
+    rows = df.collect()
+    n_audio = (
+        media_from_documents(spark, SF_DIR).filter(F.col("kind") == "audio").count()
+    )
+    assert len(rows) == 8 * n_audio
+    per_media = {}
+    for r in rows:
+        per_media.setdefault(r["media_id"], set()).add(r["win_idx"])
+        assert 0 <= r["peak"] <= 32
+        assert 0 <= r["energy"] <= 16 * 32 * 32
+    assert all(wins == set(range(8)) for wins in per_media.values())
