@@ -174,6 +174,8 @@ HEADLINE = [
     "text_gopher_rules",
     "ev_ann_recall",
     "mm_audio_energy_checked",
+    "text_c4_filters",
+    "rag_mmr_rerank",
 ]
 
 # Queries that share a per-(session, sf_dir) memo cache: the FIRST

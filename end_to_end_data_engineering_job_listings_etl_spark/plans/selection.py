@@ -373,6 +373,224 @@ def mm_audio_energy_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# text_c4_filters — the C4 line/page cleaning battery
+# ---------------------------------------------------------------------------
+
+# Deterministic dirt so every rule fires on the single-line fixture;
+# identical literals in the SQL oracle. Each planted line isolates ONE
+# rule: it passes every other line rule, so a drop is attributable.
+_C4_GOOD_LINE = "It was the best of times for data curation systems."
+_C4_GOOD_REPS = 3  # appended for doc_id % 4 != 0 -> those docs CAN reach >= 3 kept
+_C4_SHORT_LINE = "ok."  # terminal punct but 1 word -> word-count rule
+_C4_NOPUNCT_LINE = "read more now maybe later"  # 5 words, no terminal punct
+_C4_JS_LINE = "Please enable javascript support to view this content."
+_C4_LOREM_LINE = "Lorem ipsum dolor sit amet consectetur."
+_C4_BRACE_LINE = "if (x) { return y; }"
+_C4_BADWORD_LINE = "This page sadly mentions badword1 in passing."
+
+_C4_MIN_LINE_WORDS = 5
+_C4_MIN_SENTENCES = 3
+_C4_BADWORDS = ("badword1", "badword2", "badword3")
+_C4_TERMINALS = (".", "!", "?", '"')
+
+
+def _c4_rendered() -> F.Column:
+    def _planted(mod: int, line: str, reps: int = 1) -> F.Column:
+        return F.when(
+            F.col("doc_id") % mod == 0, F.repeat(F.lit("\n" + line), reps)
+        ).otherwise(F.lit(""))
+
+    return F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 4 != 0,
+            F.repeat(F.lit("\n" + _C4_GOOD_LINE), _C4_GOOD_REPS),
+        ).otherwise(F.lit("")),
+        F.lit("\n" + _C4_SHORT_LINE),
+        F.lit("\n" + _C4_NOPUNCT_LINE),
+        _planted(7, _C4_JS_LINE),
+        _planted(23, _C4_LOREM_LINE),
+        _planted(19, _C4_BRACE_LINE),
+        _planted(29, _C4_BADWORD_LINE),
+    )
+
+
+def text_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning (Raffel et al. 2020 §2.2) as one narrow map — the
+    third published filter battery alongside CCNet buckets
+    (text_quality_buckets) and the Gopher rules (text_gopher_rules).
+    Line level: keep a line iff it has >= 5 words, ends in terminal
+    punctuation, and does not mention javascript. Page level: drop a
+    page with < 3 retained lines (the "3 sentences" rule), any
+    bad-word, 'lorem ipsum', or a curly brace. Output carries the
+    retained-text md5 so the CLEANED TEXT itself — not just the
+    counts — sits under the hash gate. No shuffle anywhere."""
+    docs = load_table_dist(spark, sf_dir, "documents", cols=("doc_id", "text"))
+    staged = docs.select("doc_id", _c4_rendered().alias("r"))
+
+    def _line_keep(l: F.Column) -> F.Column:
+        words = F.filter(F.split(F.trim(l), r"\s+"), lambda t: t != "")
+        return (
+            (F.size(words) >= _C4_MIN_LINE_WORDS)
+            & F.substring(F.rtrim(l), -1, 1).isin(*_C4_TERMINALS)
+            & ~F.contains(F.lower(l), F.lit("javascript"))
+        )
+
+    lines = F.split(F.col("r"), "\n")
+    kept = F.filter(lines, _line_keep)
+    has_badword = None
+    for w in _C4_BADWORDS:
+        hit = F.contains(F.lower(F.col("r")), F.lit(w))
+        has_badword = hit if has_badword is None else (has_badword | hit)
+    m = staged.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.md5(F.array_join(kept, "\n")).alias("kept_md5"),
+        F.contains(F.lower(F.col("r")), F.lit("lorem ipsum")).alias("has_lorem"),
+        F.contains(F.col("r"), F.lit("{")).alias("has_brace"),
+        has_badword.alias("has_badword"),
+    )
+    return m.select(
+        "*",
+        (
+            (F.col("n_kept") >= _C4_MIN_SENTENCES)
+            & ~F.col("has_lorem")
+            & ~F.col("has_brace")
+            & ~F.col("has_badword")
+        ).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rag_mmr_rerank — maximal marginal relevance diversified rerank
+# ---------------------------------------------------------------------------
+
+_MMR_POOL = 20
+_MMR_K = 5
+_MMR_LAMBDA_TENTHS = 7  # λ = 0.7: mmr = 7·rel_e6 − 3·max_sim_e6 (×10)
+
+
+def rag_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR (Carbonell & Goldstein 1998) over the cosine top-20 pool
+    for query vec_id 0: greedily pick k=5 candidates maximizing
+    λ·relevance − (1−λ)·max-similarity-to-already-selected — the
+    diversification stage every production retrieval stack runs after
+    the ANN pass. Candidate generation (the O(N·d) part) is one
+    engine scan + TakeOrdered; the greedy itself runs on the head
+    node over the BOUNDED pool (O(k·pool) = 100 integer ops), with
+    pairwise cosines replaying the engine fold bit for bit — the
+    sim_ivfpq_topk probe-selection precedent. All comparisons are
+    BIGINT e6 fixed-point with (score desc, vec_id) tie-break, a
+    total order, so the selected set AND ranks are engine-independent;
+    the oracle replays the greedy as k−1 unrolled SQL steps. Output
+    rel_e6 values come from the engine scan, not the driver."""
+    import math
+
+    emb = load_table_dist(spark, sf_dir, "embeddings", cols=("vec_id", "embedding"))
+    q = _query_vec(spark, sf_dir, 0)
+    scored = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.floor(
+            cosine(F.col("embedding").cast("array<double>"), lit_vector(q))
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("rel_e6"),
+    )
+    pool = scored.orderBy(F.desc("rel_e6"), F.asc("vec_id")).limit(_MMR_POOL)
+    rows = pool.collect()  # bounded: _MMR_POOL rows
+
+    def fold_dot(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def sim_e6(a: list[float], b: list[float]) -> int:
+        denom = math.sqrt(fold_dot(a, a)) * math.sqrt(fold_dot(b, b))
+        return math.floor(fold_dot(a, b) / denom * 1_000_000)
+
+    vecs = {r["vec_id"]: [float(x) for x in r["v"]] for r in rows}
+    rel = {r["vec_id"]: r["rel_e6"] for r in rows}
+    lam = _MMR_LAMBDA_TENTHS
+    selected: list[int] = []
+    while len(selected) < min(_MMR_K, len(rows)):
+        best = None
+        for vid, v in vecs.items():
+            if vid in selected:
+                continue
+            ms = max((sim_e6(v, vecs[s]) for s in selected), default=0)
+            key = (-(lam * rel[vid] - (10 - lam) * ms), vid)
+            if best is None or key < best[0]:
+                best = (key, vid)
+        selected.append(best[1])
+
+    rank_map = F.create_map(
+        *[
+            x
+            for i, vid in enumerate(selected, start=1)
+            for x in (F.lit(vid), F.lit(i))
+        ]
+    )
+    return (
+        scored.filter(F.col("vec_id").isin(selected))
+        .select(
+            rank_map[F.col("vec_id")].cast("int").alias("mmr_rank"),
+            "vec_id",
+            "rel_e6",
+        )
+        .orderBy("mmr_rank")
+    )
+
+
+def _mmr_oracle() -> str:
+    lam, k = _MMR_LAMBDA_TENTHS, _MMR_K
+    steps, prev = [], "sel1"
+    for t in range(2, k + 1):
+        steps.append(
+            f"""m{t} AS (
+      SELECT c.vec_id, c.rel_e6, max(p.sim_e6) AS ms
+      FROM pool c
+      JOIN pairs p ON p.a_id = c.vec_id
+      JOIN {prev} s ON p.b_id = s.vec_id
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev})
+      GROUP BY c.vec_id, c.rel_e6
+    ), p{t} AS (
+      SELECT vec_id, {t} AS mmr_rank FROM m{t}
+      ORDER BY {lam} * rel_e6 - {10 - lam} * ms DESC, vec_id
+      LIMIT 1
+    ), sel{t} AS (
+      SELECT * FROM {prev} UNION ALL SELECT * FROM p{t}
+    )"""
+        )
+        prev = f"sel{t}"
+    joined = ", ".join(steps)
+    return f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), qv AS (
+      SELECT v AS q FROM base WHERE vec_id = 0
+    ), scored AS (
+      SELECT b.vec_id, b.v,
+             CAST(floor({_cos('b.v', 'qv.q')} * 1000000) AS BIGINT) AS rel_e6
+      FROM base b CROSS JOIN qv WHERE b.vec_id != 0
+    ), pool AS (
+      SELECT * FROM scored ORDER BY rel_e6 DESC, vec_id LIMIT {_MMR_POOL}
+    ), pairs AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             CAST(floor({_cos('a.v', 'b.v')} * 1000000) AS BIGINT) AS sim_e6
+      FROM pool a JOIN pool b ON a.vec_id != b.vec_id
+    ), sel1 AS (
+      SELECT vec_id, 1 AS mmr_rank FROM pool ORDER BY rel_e6 DESC, vec_id LIMIT 1
+    ), {joined}
+    SELECT s.mmr_rank, s.vec_id, c.rel_e6
+    FROM {prev} s JOIN pool c USING (vec_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
 
@@ -563,6 +781,51 @@ ORACLES = {
              AS INTEGER) AS peak
     FROM wins
 """,
+    "text_c4_filters": f"""
+    WITH rendered AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 4 != 0
+                     THEN repeat(chr(10) || '{_C4_GOOD_LINE}', {_C4_GOOD_REPS})
+                     ELSE '' END
+             || chr(10) || '{_C4_SHORT_LINE}'
+             || chr(10) || '{_C4_NOPUNCT_LINE}'
+             || CASE WHEN doc_id % 7 = 0
+                     THEN chr(10) || '{_C4_JS_LINE}' ELSE '' END
+             || CASE WHEN doc_id % 23 = 0
+                     THEN chr(10) || '{_C4_LOREM_LINE}' ELSE '' END
+             || CASE WHEN doc_id % 19 = 0
+                     THEN chr(10) || '{_C4_BRACE_LINE.replace("'", "''")}'
+                     ELSE '' END
+             || CASE WHEN doc_id % 29 = 0
+                     THEN chr(10) || '{_C4_BADWORD_LINE}' ELSE '' END AS r
+      FROM documents
+    ), staged AS (
+      SELECT doc_id, r,
+             string_split(r, chr(10)) AS ln,
+             list_filter(string_split(r, chr(10)),
+               l -> len(list_filter(string_split_regex(trim(l), '\\s+'),
+                                    x -> x != '')) >= {_C4_MIN_LINE_WORDS}
+                    AND right(rtrim(l), 1) IN ('.', '!', '?', '"')
+                    AND NOT contains(lower(l), 'javascript')) AS kept
+      FROM rendered
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(ln) AS BIGINT) AS n_lines,
+             CAST(len(kept) AS BIGINT) AS n_kept,
+             md5(coalesce(array_to_string(kept, chr(10)), '')) AS kept_md5,
+             contains(lower(r), 'lorem ipsum') AS has_lorem,
+             contains(r, '{{') AS has_brace,
+             ({" OR ".join(f"contains(lower(r), '{w}')" for w in _C4_BADWORDS)})
+               AS has_badword
+      FROM staged
+    )
+    SELECT doc_id, n_lines, n_kept, kept_md5, has_lorem, has_brace, has_badword,
+           (n_kept >= {_C4_MIN_SENTENCES}
+            AND NOT has_lorem AND NOT has_brace AND NOT has_badword) AS keep
+    FROM m
+""",
+    "rag_mmr_rerank": _mmr_oracle(),
 }
 
 QUERIES = {
@@ -570,4 +833,6 @@ QUERIES = {
     "text_gopher_rules": text_gopher_rules,
     "ev_ann_recall": ev_ann_recall,
     "mm_audio_energy_checked": mm_audio_energy_checked,
+    "text_c4_filters": text_c4_filters,
+    "rag_mmr_rerank": rag_mmr_rerank,
 }

@@ -76,6 +76,76 @@ def test_ann_recall_bounded_and_candidates_sublinear(spark):
         assert 0 < r["n_cand"] < n_vecs
 
 
+def test_c4_rules_discriminate_and_keep_is_consistent(spark):
+    df = selection.text_c4_filters(spark, SF_DIR).cache()
+    try:
+        n = df.count()
+        # every planted page-level hazard occurs somewhere and not everywhere
+        for c in ("has_lorem", "has_brace", "has_badword"):
+            k = df.filter(F.col(c)).count()
+            assert 0 < k < n, c
+        # every doc carries the short + no-punct planted lines, so the
+        # line rules always drop something: kept < total lines
+        assert df.filter(F.col("n_kept") >= F.col("n_lines")).count() == 0
+        # the javascript line is dropped at the LINE level: a js-planted
+        # doc (7|doc_id, no other page hazard) can still be kept
+        kept_js = df.filter(
+            (F.col("doc_id") % 7 == 0) & F.col("keep")
+        ).count()
+        assert kept_js > 0
+        bad = df.filter(
+            F.col("keep")
+            != (
+                (F.col("n_kept") >= selection._C4_MIN_SENTENCES)
+                & ~F.col("has_lorem")
+                & ~F.col("has_brace")
+                & ~F.col("has_badword")
+            )
+        ).count()
+        assert bad == 0
+    finally:
+        df.unpersist()
+
+
+def test_mmr_rank1_is_top_relevance_and_output_bounded(spark):
+    """Rank 1 must be the plain argmax of relevance (MMR's first pick
+    has no diversity term); all picks come from the top-20 pool; ranks
+    are exactly 1..k."""
+    from pyspark.sql import functions as SF
+
+    out = selection.rag_mmr_rerank(spark, SF_DIR).collect()
+    assert [r["mmr_rank"] for r in out] == list(range(1, selection._MMR_K + 1))
+    assert len({r["vec_id"] for r in out}) == len(out)
+
+    from end_to_end_data_engineering_job_listings_etl_spark.catalog import load_table_dist
+    from end_to_end_data_engineering_job_listings_etl_spark.functions.vectors import cosine, lit_vector
+    from end_to_end_data_engineering_job_listings_etl_spark.plans.corpus import _query_vec
+
+    q = _query_vec(spark, SF_DIR, 0)
+    emb = load_table_dist(spark, SF_DIR, "embeddings", cols=("vec_id", "embedding"))
+    pool = (
+        emb.filter(SF.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            SF.floor(
+                cosine(SF.col("embedding").cast("array<double>"), lit_vector(q))
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("rel_e6"),
+        )
+        .orderBy(SF.desc("rel_e6"), SF.asc("vec_id"))
+        .limit(selection._MMR_POOL)
+        .collect()
+    )
+    pool_ids = [r["vec_id"] for r in pool]
+    assert out[0]["vec_id"] == pool_ids[0]
+    assert all(r["vec_id"] in set(pool_ids) for r in out)
+    # the engine-sourced rel_e6 must agree with the independent scan
+    rel = {r["vec_id"]: r["rel_e6"] for r in pool}
+    assert all(r["rel_e6"] == rel[r["vec_id"]] for r in out)
+
+
 def test_audio_windows_shape_and_bounds(spark):
     """8 windows per audio payload (128 bytes / 16), energy equals the
     sum of squared deviations of md5-hex ASCII codes — bounded by the
