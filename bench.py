@@ -176,6 +176,7 @@ HEADLINE = [
     "mm_audio_energy_checked",
     "text_c4_filters",
     "rag_mmr_rerank",
+    "dd_soft_dedup_weights",
 ]
 
 # Queries that share a per-(session, sf_dir) memo cache: the FIRST

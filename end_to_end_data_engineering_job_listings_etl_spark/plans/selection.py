@@ -591,6 +591,33 @@ def _mmr_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# dd_soft_dedup_weights — down-weight duplicates instead of dropping
+# ---------------------------------------------------------------------------
+
+
+def dd_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication (the down-weighting alternative to hard
+    dedup, per SlimPajama/SoftDeDup-style pipelines): every document
+    keeps flowing, but its sampling weight is the reciprocal of its
+    exact-duplicate multiplicity, so each CONTENT item contributes
+    unit mass to the training mixture no matter how many copies the
+    crawl found. Completes the dedup family's keep/drop/down-weight
+    triad (dd_keep_best / dedup_exact / this). w_e6 = 1e6 div n_dup —
+    exact integer division, engine-independent. ONE shuffle: a count
+    window over the normalized fingerprint; no join, no second pass."""
+    docs = load_table_dist(spark, sf_dir, "documents", cols=("doc_id", "text"))
+    fp = docs.select("doc_id", T.fingerprint("text").alias("fp"))
+    w = Window.partitionBy("fp")
+    return fp.select(
+        "doc_id", F.count("*").over(w).cast("long").alias("n_dup")
+    ).select(
+        "doc_id",
+        "n_dup",
+        F.expr("cast(1000000 div n_dup as bigint)").alias("w_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
 
@@ -826,6 +853,18 @@ ORACLES = {
     FROM m
 """,
     "rag_mmr_rerank": _mmr_oracle(),
+    "dd_soft_dedup_weights": """
+    WITH fp AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents
+    ), counted AS (
+      SELECT doc_id,
+             CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS n_dup
+      FROM fp
+    )
+    SELECT doc_id, n_dup, 1000000 // n_dup AS w_e6 FROM counted
+""",
 }
 
 QUERIES = {
@@ -835,4 +874,5 @@ QUERIES = {
     "mm_audio_energy_checked": mm_audio_energy_checked,
     "text_c4_filters": text_c4_filters,
     "rag_mmr_rerank": rag_mmr_rerank,
+    "dd_soft_dedup_weights": dd_soft_dedup_weights,
 }

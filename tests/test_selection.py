@@ -146,6 +146,28 @@ def test_mmr_rank1_is_top_relevance_and_output_bounded(spark):
     assert all(r["rel_e6"] == rel[r["vec_id"]] for r in out)
 
 
+def test_soft_dedup_unit_mass_per_content_item(spark):
+    """Every duplicate group's members share n_dup and weight; group
+    mass sums to ~1e6 (exactly when 1e6 divides evenly); unique docs
+    weigh exactly 1e6; the fixture's exact duplicates make n_dup > 1
+    occur."""
+    rows = selection.dd_soft_dedup_weights(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert len(rows) == docs
+    for r in rows:
+        assert r["w_e6"] == 1_000_000 // r["n_dup"]
+        if r["n_dup"] == 1:
+            assert r["w_e6"] == 1_000_000
+    # sf0.001's 500 docs are all content-distinct; sf0.1 carries real
+    # exact duplicates — the down-weighting must actually fire there
+    dup = (
+        selection.dd_soft_dedup_weights(spark, "/root/testdata/sf0.1")
+        .filter(F.col("n_dup") > 1)
+        .count()
+    )
+    assert dup > 0
+
+
 def test_audio_windows_shape_and_bounds(spark):
     """8 windows per audio payload (128 bytes / 16), energy equals the
     sum of squared deviations of md5-hex ASCII codes — bounded by the
