@@ -177,6 +177,7 @@ HEADLINE = [
     "text_c4_filters",
     "rag_mmr_rerank",
     "dd_soft_dedup_weights",
+    "text_boilerplate_lines",
 ]
 
 # Queries that share a per-(session, sf_dir) memo cache: the FIRST

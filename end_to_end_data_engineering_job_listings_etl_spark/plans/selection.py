@@ -618,6 +618,72 @@ def dd_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# text_boilerplate_lines — global line-frequency boilerplate removal
+# ---------------------------------------------------------------------------
+
+_BP_MAX_DF = 10  # a line in more than this many distinct docs is boilerplate
+_BP_NEWSLETTER = "Subscribe to our newsletter today please."
+_BP_COPYRIGHT = "All rights reserved by the publisher."
+
+
+def text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global boilerplate-line removal (the CCNet paragraph-
+    dedup / RefinedWeb line-wise correction shape): a line appearing
+    in more than _BP_MAX_DF distinct documents is boilerplate
+    (nav bars, subscribe prompts, copyright footers) and is stripped
+    from every document; per-doc output carries the line counts and
+    the md5 of the CLEANED text so the reassembled document sits
+    under the hash gate. The one dedup granularity the doc-level
+    (fingerprint) and span-level (winnowing) passes don't cover.
+
+    Scale shape: the document-frequency agg is the only corpus-wide
+    shuffle (two-phase count-distinct); the frequent SET that crosses
+    the threshold is tiny by construction (only genuinely repeated
+    lines), so the removal join is a broadcast — per-doc reassembly
+    is the second and last shuffle. At 100 TB you'd join on a line
+    hash instead of the raw line to keep the exchange narrow; the
+    fixture's lines are short enough that the raw-line key keeps the
+    oracle trivially aligned. Planted dirt: half the docs get a
+    newsletter line, a third a copyright line (both cross the
+    threshold at every SF); document body lines stay unique (max 8
+    exact copies at sf0.1 < threshold), so real text is never
+    stripped on the fixtures."""
+    docs = load_table_dist(spark, sf_dir, "documents", cols=("doc_id", "text"))
+    r = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.lit("\n" + _BP_NEWSLETTER)
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.lit("\n" + _BP_COPYRIGHT)
+        ).otherwise(F.lit("")),
+    )
+    lines = docs.select(
+        "doc_id", F.posexplode(F.split(r, "\n")).alias("pos0", "line")
+    ).select("doc_id", (F.col("pos0") + 1).cast("int").alias("pos"), "line")
+    freq = (
+        lines.groupBy("line")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") > _BP_MAX_DF)
+        .select("line", F.lit(True).alias("__b"))
+    )
+    flagged = lines.join(F.broadcast(freq), "line", "left")
+    kept = F.when(
+        F.col("__b").isNull(), F.struct(F.col("pos"), F.col("line"))
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("__b"), 1).otherwise(0)).cast("long").alias("n_boiler"),
+        F.md5(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(kept)), lambda s: s["line"]),
+                "\n",
+            )
+        ).alias("clean_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
 
@@ -865,6 +931,39 @@ ORACLES = {
     )
     SELECT doc_id, n_dup, 1000000 // n_dup AS w_e6 FROM counted
 """,
+    "text_boilerplate_lines": f"""
+    WITH rendered AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 2 = 0
+                     THEN chr(10) || '{_BP_NEWSLETTER}' ELSE '' END
+             || CASE WHEN doc_id % 3 = 0
+                     THEN chr(10) || '{_BP_COPYRIGHT}' ELSE '' END AS r
+      FROM documents
+    ), lined AS (
+      SELECT doc_id, ln, unnest(range(1, len(ln) + 1)) AS i
+      FROM (SELECT doc_id, string_split(r, chr(10)) AS ln FROM rendered)
+    ), lines AS (
+      SELECT doc_id, CAST(i AS INTEGER) AS pos,
+             ln[CAST(i AS INTEGER)] AS line
+      FROM lined
+    ), freq AS (
+      SELECT line FROM (
+        SELECT line, count(DISTINCT doc_id) AS df FROM lines GROUP BY line)
+      WHERE df > {_BP_MAX_DF}
+    ), flagged AS (
+      SELECT l.doc_id, l.pos, l.line, f.line IS NOT NULL AS boiler
+      FROM lines l LEFT JOIN freq f ON l.line = f.line
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+           md5(coalesce(
+             string_agg(CASE WHEN NOT boiler THEN line END, chr(10)
+                        ORDER BY pos), '')) AS clean_md5
+    FROM flagged
+    GROUP BY doc_id
+""",
 }
 
 QUERIES = {
@@ -875,4 +974,5 @@ QUERIES = {
     "text_c4_filters": text_c4_filters,
     "rag_mmr_rerank": rag_mmr_rerank,
     "dd_soft_dedup_weights": dd_soft_dedup_weights,
+    "text_boilerplate_lines": text_boilerplate_lines,
 }

@@ -83,15 +83,16 @@ def _pinned(fn: Callable[[SparkSession, str], DataFrame]):
 # or least-recently-checked surface into the window (every name here
 # has a DuckDB oracle — no rows-only checks waste a slot).
 #
-# Round 6 window: the 16 queries ADDED this round (9 from the first
+# Round 6 window: the 17 queries ADDED this round (9 from the first
 # round-6 session: incremental dedup/LSH merge, quality buckets,
 # resize, SemDeDup scaling, keep-best, PQ/ADC, JL projection, IVF-PQ;
 # 4 from the second: DSIR selection, Gopher rules, ANN recall@k,
-# audio windowing; 3 from the third: the C4 filter battery, MMR
-# rerank, and soft-dedup weights) lead — none has ever had a driver
-# row. The remaining 34 slots rotate the heavyweight families whose
-# last driver rows are oldest (not re-windowed in r5): the full jl
-# star layer, the dedup/similarity families, and the TPC-H shapes.
+# audio windowing; 4 from the third: the C4 filter battery, MMR
+# rerank, soft-dedup weights, and boilerplate-line removal) lead —
+# none has ever had a driver row. The remaining 33 slots rotate the
+# heavyweight families whose last driver rows are oldest (not
+# re-windowed in r5): the full jl star layer, the dedup/similarity
+# families, and the TPC-H shapes.
 _WINDOW = [
     # round-6 additions (first session)
     "inc_dedup_merge",
@@ -113,6 +114,7 @@ _WINDOW = [
     "text_c4_filters",
     "rag_mmr_rerank",
     "dd_soft_dedup_weights",
+    "text_boilerplate_lines",
     # rotation: jl star layer
     "jl_bridge_checked",
     "jl_dim_company_checked",
@@ -125,11 +127,10 @@ _WINDOW = [
     "jl_fact_checked",
     "jl_fact_fallback_checked",
     # rotation: dedup family (dd_dedup_stats / dd_embedding_neardup /
-    # dd_jaccard_pairs yield their slots to the three newest queries
-    # above: the first two carry the r4 judge's independent strict
-    # check, the third shares its plan AND oracle with
-    # dd_prefix_filter_pairs, driver-checked in r5)
-    "dd_containment_pairs",
+    # dd_jaccard_pairs / dd_containment_pairs yield their slots to the
+    # four newest queries above: the first two and the last carry the
+    # r4 judge's independent strict check, the third shares its plan
+    # AND oracle with dd_prefix_filter_pairs, driver-checked in r5)
     "dd_lsh_candidates",
     "dd_minhash_estimate",
     "dd_minhash_signatures",

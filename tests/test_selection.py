@@ -168,6 +168,28 @@ def test_soft_dedup_unit_mass_per_content_item(spark):
     assert dup > 0
 
 
+def test_boilerplate_strips_planted_lines_not_body_text(spark):
+    """Docs with 6|doc_id carry both planted boilerplate lines (both
+    cross the df threshold); document body lines are corpus-unique at
+    this SF so they are never stripped; clean_md5 of an untouched doc
+    equals md5 of its original text."""
+    import hashlib
+
+    rows = {
+        r["doc_id"]: r
+        for r in selection.text_boilerplate_lines(spark, SF_DIR).collect()
+    }
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    assert len(rows) == len(docs)
+    for d in docs:
+        r = rows[d["doc_id"]]
+        want_boiler = (d["doc_id"] % 2 == 0) + (d["doc_id"] % 3 == 0)
+        assert r["n_boiler"] == want_boiler, d["doc_id"]
+        assert r["n_lines"] == 1 + want_boiler
+        # body text survives: cleaned text == original single line
+        assert r["clean_md5"] == hashlib.md5(d["text"].encode()).hexdigest()
+
+
 def test_audio_windows_shape_and_bounds(spark):
     """8 windows per audio payload (128 bytes / 16), energy equals the
     sum of squared deviations of md5-hex ASCII codes — bounded by the
