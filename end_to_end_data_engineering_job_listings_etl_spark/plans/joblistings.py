@@ -201,8 +201,12 @@ def build_star_schema(
     )
 
     f = base
+    # dim_company scales with the employer population (O(data)) — no
+    # broadcast pin; Catalyst/AQE broadcast it while it fits. The
+    # bounded-domain dims below (publisher/employment type/location/
+    # date: small fixed vocabularies) keep the explicit hint.
     j = f.join(
-        F.broadcast(dim_company),
+        dim_company,
         norm_upper(f["employer_name"]) == dim_company["employer_name"],
         "left",
     ).drop(dim_company["employer_name"])
@@ -225,15 +229,17 @@ def build_star_schema(
     )
     # fact PK on a narrow projection of the (unique) natural key via
     # the range/two-phase rank (operators.ids — no single-partition
-    # window), broadcast-joined back: neither the wide joined frame
-    # nor the keys funnel through one task.
+    # window), joined back 1:1: neither the wide joined frame nor the
+    # keys funnel through one task.
     pk_map = ranked_ids(
         base.select("job_natural_key"),
         ["job_natural_key"],
         "job_posting_pk",
         pinned_out=shared_out,
     )
-    j = j.join(F.broadcast(pk_map), "job_natural_key")
+    # the pk map has one row per posting — fact-scale, never pinned
+    # to broadcast (a pinned 15M-row build OOMed the sf10 gate)
+    j = j.join(pk_map, "job_natural_key")
     fact = j.select(
         F.col("job_posting_pk"),
         F.col("job_natural_key").alias("job_sk"),
@@ -322,7 +328,7 @@ def landing_from_orders(
             "job_natural_key",
             pinned_out=pinned_out,
         ).select("o_orderkey", "job_natural_key")
-        l = l.join(F.broadcast(nk_map), "o_orderkey")
+        l = l.join(nk_map, "o_orderkey")  # one row per order: fact-scale, no pin
         key_cols = [F.col("job_natural_key")]
     return l.select(
         *key_cols,

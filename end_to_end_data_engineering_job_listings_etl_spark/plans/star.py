@@ -95,9 +95,12 @@ def landing(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
     df = (
-        orders.join(
-            F.broadcast(customer), orders.o_custkey == customer.c_custkey
-        )
+        # customer is O(SF) — 1.5k rows at sf0.01, 15B at 100 TB — so
+        # the join strategy is left to Catalyst's size estimate + AQE
+        # (broadcast while it fits, shuffle join past the threshold);
+        # nation (25) and region (5) are schema-bounded and keep the
+        # explicit hint.
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select(
@@ -299,9 +302,13 @@ def star_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm_initcap("o_orderpriority").alias("__prio"),
         F.to_date("o_orderdate").alias("__odate"),
     )
-    j = enriched.join(
-        F.broadcast(dc), enriched["__emp"] == dc["employer_name"], "left"
-    )
+    # dc (employers) scales with |customers| — O(data), never pinned
+    # to broadcast; Catalyst/AQE broadcast it while it fits and flip
+    # to shuffle join past the threshold. The bounded-domain dims
+    # (segment 5, priority 5, location 25, calendar dates) keep the
+    # explicit hint: their size is a property of the SCHEMA, not the
+    # data volume.
+    j = enriched.join(dc, enriched["__emp"] == dc["employer_name"], "left")
     j = j.join(F.broadcast(ds), j["__seg"] == ds["segment_name"], "left")
     j = j.join(F.broadcast(dp), j["__prio"] == dp["priority_name"], "left")
     j = j.join(
@@ -313,10 +320,13 @@ def star_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     # order_pk = row_number over o_orderkey, but computed on a narrow
     # single-column projection with the range/two-phase plan
     # (operators.ids.ranked_ids — no single-partition window anywhere)
-    # and broadcast-joined back 1:1 on the unique key: the wide join
-    # output never funnels, and neither do the keys. Same values as a
-    # global window over the joined frame (the oracle's
-    # row_number() OVER (ORDER BY o_orderkey)).
+    # and joined back 1:1 on the unique key: the wide join output
+    # never funnels, and neither do the keys. Same values as a global
+    # window over the joined frame (the oracle's row_number() OVER
+    # (ORDER BY o_orderkey)). The keymap has ONE ROW PER ORDER — a
+    # fact-scale frame — so it is never broadcast-pinned (a pinned
+    # 15M-row build OOMed the sf10 gate); AQE still converts the join
+    # at small SFs where the map genuinely fits.
     keymap = ranked_ids(
         base.select("o_orderkey"),
         ["o_orderkey"],
@@ -325,7 +335,7 @@ def star_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (session, sf_dir)'s pinned frames on eviction
         pinned_out=_STAR_PINNED.setdefault((spark, sf_dir), []),
     )
-    j = j.join(F.broadcast(keymap), "o_orderkey")
+    j = j.join(keymap, "o_orderkey")
     return j.select(
         F.col("order_pk"),
         "o_orderkey",

@@ -107,6 +107,79 @@ def strict_frames(spark_df, con, sql: str):
     return s_cols, s_rows, d_cols, d_rows
 
 
+# Types whose cast-to-string rendering is verified identical across
+# Spark and DuckDB (tests/test_selection.py::test_digest_agrees_with_strict
+# cross-validates digest vs strict on live sf0.01 queries covering
+# every entry). Doubles/decimals are deliberately absent: their text
+# renderings diverge across engines, and the output discipline above
+# already bans them from registered results.
+_DIGEST_TYPES = frozenset(
+    {"string", "boolean", "date", "byte", "short", "integer", "long", "timestamp"}
+)
+
+
+def digest_compare(spark_df, con, sql: str, name: str = "?") -> None:
+    """Order-insensitive value comparison computed ENGINE-SIDE in both
+    engines — no driver collect — for results too large to materialize
+    (a 15M-row fact table blows past the Py4J collect path long before
+    the engine breaks a sweat). Columns are name-sorted; each cell is
+    canonicalized as coalesce(cast(col as string), 'NULL'); the row
+    hash is md5 over the unit-separator join; the digest is (row
+    count, sum of two disjoint 60-bit md5 chunks) — order-independent
+    and mergeable, so both sides reduce to three scalars. A pass is a
+    value-level match up to md5-sum collision (~2^-120 for disjoint
+    chunks); a strict `compare` pass at a smaller SF plus a digest
+    pass at the large SF is the scale-evidence contract."""
+    from pyspark.sql import functions as F
+
+    fields = {f.name: f.dataType.typeName() for f in spark_df.schema.fields}
+    bad = {k: v for k, v in fields.items() if v not in _DIGEST_TYPES}
+    if bad:
+        raise ValueError(f"[{name}] digest mode unsupported for columns {bad}")
+    cols = sorted(fields)
+
+    pieces = []
+    for i, c in enumerate(cols):
+        if i:
+            pieces.append(F.lit("\x1f"))
+        pieces.append(F.coalesce(F.col(c).cast("string"), F.lit("NULL")))
+    row = (
+        spark_df.select(F.md5(F.concat(*pieces)).alias("h"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.expr("cast(conv(substring(h, 1, 15), 16, 10) as decimal(38,0))")
+            ).alias("d1"),
+            F.sum(
+                F.expr("cast(conv(substring(h, 17, 15), 16, 10) as decimal(38,0))")
+            ).alias("d2"),
+        )
+        .collect()[0]
+    )
+    s_n, s_d1, s_d2 = row["n"], int(row["d1"] or 0), int(row["d2"] or 0)
+
+    d_cols = sorted(con.execute(f"SELECT * FROM ({sql}) LIMIT 0").df().columns)
+    assert cols == d_cols, f"[{name}] columns differ: spark={cols} duckdb={d_cols}"
+    dexpr = " || chr(31) || ".join(
+        f"coalesce(CAST(\"{c}\" AS VARCHAR), 'NULL')" for c in cols
+    )
+    d_n, d_d1, d_d2 = con.execute(
+        f"""
+        SELECT count(*),
+               sum(CAST(CAST(concat('0x', substr(h, 1, 15)) AS BIGINT) AS HUGEINT)),
+               sum(CAST(CAST(concat('0x', substr(h, 17, 15)) AS BIGINT) AS HUGEINT))
+        FROM (SELECT md5({dexpr}) AS h FROM ({sql}))
+        """
+    ).fetchone()
+    d_n, d_d1, d_d2 = d_n, int(d_d1 or 0), int(d_d2 or 0)
+
+    assert s_n == d_n, f"[{name}] row counts differ: spark={s_n} duckdb={d_n}"
+    assert (s_d1, s_d2) == (d_d1, d_d2), (
+        f"[{name}] value digests differ over {s_n} rows:\n"
+        f"  spark=({s_d1}, {s_d2})\n  duckdb=({d_d1}, {d_d2})"
+    )
+
+
 def compare(spark_df, con, sql: str, name: str = "?") -> None:
     """Assert Spark result == DuckDB result under the driver's own
     comparison: order-insensitive, column-name-sorted, str-level cells

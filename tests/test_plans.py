@@ -16,10 +16,18 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def test_fact_assembly_all_broadcast_no_smj(spark):
+def test_fact_assembly_join_strategy_contract(spark):
+    """Bounded-domain dims (segment/priority/location/date) are
+    broadcast; fact-scale frames (the per-order keymap, the O(data)
+    employer dim) are NOT broadcast-PINNED — a pinned 15M-row build
+    OOMed the sf10 gate, so those joins are left to Catalyst
+    estimates + AQE (they broadcast while they fit, shuffle past the
+    threshold). At this SF that leaves at most the two unpinned joins
+    as shuffle joins; everything else stays broadcast and nothing is
+    a cross product."""
     p = _plan(star.fact_orders(spark, SF_DIR))
     assert "BroadcastHashJoin" in p
-    assert "SortMergeJoin" not in p
+    assert p.count("SortMergeJoin") <= 2
     assert "CartesianProduct" not in p
 
 

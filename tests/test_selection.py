@@ -190,6 +190,53 @@ def test_boilerplate_strips_planted_lines_not_body_text(spark):
         assert r["clean_md5"] == hashlib.md5(d["text"].encode()).hexdigest()
 
 
+def test_digest_agrees_with_strict(spark, duck):
+    """The engine-side digest gate (tests/oracle_check.py::
+    digest_compare, used by sweep_all above the row threshold) must
+    agree with the strict collect-everything compare on live queries
+    covering every type it admits — and must FAIL when the two sides
+    genuinely differ."""
+    from end_to_end_data_engineering_job_listings_etl_spark.registry import (
+        all_oracles,
+        all_queries,
+    )
+    from tests.oracle_check import digest_compare
+
+    qs, oracles = all_queries(), all_oracles()
+    # strings+longs+booleans (c4), dates+ints (dim_date), timestamps
+    # (session windows), plain star strings (bi_top15_employers)
+    names = [
+        "text_c4_filters",
+        "dim_date",
+        "agg_session_window_batch",
+        "bi_top15_employers",
+    ]
+    seen = set()
+    for n in names:
+        df = qs[n](spark, SF_DIR)
+        seen |= {f.dataType.typeName() for f in df.schema.fields}
+        compare(df, duck, oracles[n], n)  # strict green...
+        digest_compare(df, duck, oracles[n], n)  # ...implies digest green
+    assert {"string", "long", "boolean", "date", "timestamp"} <= seen
+    # a genuine value difference must trip the digest
+    with pytest.raises(AssertionError):
+        digest_compare(
+            qs["bi_top15_employers"](spark, SF_DIR),
+            duck,
+            oracles["bi_top15_employers"].replace("15", "14", 1),
+            "digest-mismatch-probe",
+        )
+    # unsupported types refuse loudly instead of hashing engine-variant
+    # renderings
+    with pytest.raises(ValueError):
+        digest_compare(
+            qs["sim_cosine_topk"](spark, SF_DIR),  # double cos_sim column
+            duck,
+            oracles["sim_cosine_topk"],
+            "digest-type-probe",
+        )
+
+
 def test_audio_windows_shape_and_bounds(spark):
     """8 windows per audio payload (128 bytes / 16), energy equals the
     sum of squared deviations of md5-hex ASCII codes — bounded by the
