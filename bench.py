@@ -38,6 +38,33 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from end_to_end_data_engineering_job_listings_etl_spark import registry  # noqa: E402
 from end_to_end_data_engineering_job_listings_etl_spark.session import get_spark  # noqa: E402
 
+# Headline = the timed denominator (121 of 253 registered queries).
+# A registered query is OMITTED from the headline iff it falls in one
+# of four classes (every omission is one of these — the remaining 132
+# names are enumerable from registry.all_queries() minus HEADLINE):
+#   1. plan-sharing twin: same physical plan as a timed name, kept
+#      only to lock a distinct public API entry point or an oracle
+#      variant (e.g. dd_jaccard_pairs vs dd_prefix_filter_pairs,
+#      jl_dim_*_checked vs the fact build that materializes them,
+#      *_checked exact twins of timed approximate defaults);
+#   2. fixed-overhead floor: sub-100 ms dimension/lookup/metadata
+#      queries whose wall time is session overhead, not engine work
+#      (dims, fn_* scalar-expression demos, tiny SQL-surface probes);
+#   3. harness-bound transport: cost dominated by a deliberately
+#      embedded single-node fixture, not the engine under test
+#      (Derby ingest, driver-side JSON staging, stream drains that
+#      sleep on wall-clock triggers);
+#   4. demonstration bound: queries whose semantics cap the input to
+#      a constant slice so timing is meaningless at any SF
+#      (er_name_blocking_pairs' bounded demo, _JACCARD_MAX_ID demos).
+# The artifact carries this criterion plus the omitted count, so the
+# "121 of 253 timed" split is self-explaining.
+OMISSION_CRITERIA = (
+    "omitted = plan-sharing twin | fixed-overhead floor (<100ms dim/"
+    "scalar demo) | harness-bound transport fixture | constant-slice "
+    "demonstration; see bench.py HEADLINE comment"
+)
+
 HEADLINE = [
     "li_pricing_summary",
     "li_revenue_topk",
@@ -456,6 +483,11 @@ def main() -> None:
         "run_totals": [r["total_timed"] for r in runs],
         "errors": errors,
         "sf": runs[0].get("sf"),
+        # why n_timed < len(registry): every non-headline query falls
+        # in one of the four documented omission classes (see the
+        # HEADLINE comment)
+        "n_registry": len(registry.all_queries()),
+        "headline_omission_criteria": OMISSION_CRITERIA,
     }
     # Persist the FULL result (all medians, spreads, config) to the
     # committed artifact, then print a line guaranteed to fit the

@@ -404,7 +404,14 @@ def prefix_filter_pairs(
 # most one labels checkpoint is live per session; a caller that holds
 # the previous result past the next invocation fail-stops on access
 # (the module's designed loss semantics, ids.py::release_pins).
-_CC_PINS: dict[SparkSession, list[DataFrame]] = {}
+# Weakly keyed (ADVICE r6): a session stopped via sc.stop() — which
+# bypasses the hooked stop — must not keep its pinned checkpoint
+# entry alive until some other session's touch() happens by.
+import weakref  # noqa: E402
+
+_CC_PINS: "weakref.WeakKeyDictionary[SparkSession, list[DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _cc_repin(spark: SparkSession, frame: DataFrame) -> None:

@@ -114,14 +114,26 @@ def ivf_assign_arrow(
     id_col: str,
     centroids: Sequence[tuple[int, Sequence[float]]],
 ) -> DataFrame:
-    """``ivf_assign`` at production k: same contract (max-cosine
-    centroid, ties → higher centroid id, zero-norm → no match rank)
-    but the centroid matrix rides the task closure into an
+    """``ivf_assign`` at production k: max-cosine centroid via an
     Arrow-batched ``mapInPandas`` GEMM instead of a k-term Catalyst
     expression — one narrow pass whose cost is a (batch × dim) @
     (dim × k) matmul, so k can track corpus size (SemDeDup's cell-
     size control) without exploding the plan. ``ivf_assign`` stays
-    the right call for literal-small k (≤ ~16)."""
+    the right call for literal-small k (≤ ~16).
+
+    Cross-engine exactness (ADVICE r6): BLAS pairwise summation and a
+    sequential fold can disagree by ~1e-15, so the argmax here runs
+    over ``floor(cos * 1e6)`` — the oracle side orders by the same
+    quantity — and near-ULP differences can no longer flip an
+    assignment (a flip now needs the true cosine within ~1e-15 of a
+    1e-6 grid line AND a second centroid in the same bucket).
+    Quantized ties resolve to the HIGHER centroid id on both sides.
+    Zero norms: a -inf sentinel is behaviorally identical to
+    ``ivf_assign``'s null cosine and the oracle's NULL — never chosen
+    while any centroid scores, and an all-zero row degrades to the
+    highest centroid id on all three paths (Catalyst ``array_max``
+    treats a null struct field as smallest; DuckDB orders NULLS LAST
+    under DESC — both verified empirically)."""
     import numpy as np
 
     cids = np.array([c for c, _ in centroids], dtype=np.int64)
@@ -151,6 +163,7 @@ def ivf_assign_arrow(
             denom = np.outer(xn, cnorm)
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = np.where(denom != 0, (x @ cmat.T) / denom, -np.inf)
+            cos = np.floor(cos * 1e6)  # e6 quantization, see docstring
             rev = cos[:, ::-1]
             pos = rev.argmax(axis=1)  # first max in reversed = highest cid
             best = cids[len(cids) - 1 - pos]

@@ -331,8 +331,11 @@ def dd_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN (rows-only check; invariant-tested against the
-    brute-force ranking in tests)."""
+    """IVF-bucketed ANN. Value-gated since round 7: the oracle replays
+    the whole approximate path in SQL (centroid ranking, nprobe=2
+    probe set, cell assignment, in-cell top-k) with the engine's exact
+    tie-break contract — see ``_IVF_TOPK_ORACLE``. Also
+    invariant-tested against the brute-force ranking in tests."""
     emb = load_table_dist(spark, sf_dir, "embeddings", cols=("vec_id", "embedding"))
     centroids = [
         (i, _query_vec(spark, sf_dir, vid)) for i, vid in enumerate([0, 7, 13, 42])
@@ -388,9 +391,12 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed ANN (rows-only check: the hyperplane literals
-    are generated Python-side; re-stating them in SQL adds no oracle
-    value — cosine parity is already proven by sim_cosine_topk)."""
+    """Sign-LSH bucketed ANN. Value-gated since round 7: the oracle
+    embeds the seeded hyperplanes as SQL literals and replays the
+    signature → single-bucket probe → top-k path (``_lsh_plane_bits``),
+    so the APPROXIMATE default carries a hash-match gate.
+    (``sim_lsh_ann_checked`` keeps the exhaustive max_hamming=6 probe
+    whose expected answer is the brute-force ranking.)"""
     q = _query_vec(spark, sf_dir, 0)
     emb = load_table_dist(spark, sf_dir, "embeddings", cols=("vec_id", "embedding"))
     return S.lsh_ann(emb, "embedding", "vec_id", q, k=10, n_planes=6)
@@ -685,6 +691,71 @@ def _cos(a: str, b: str) -> str:
         f"THEN {_DOT.format(a=a, b=b)} / "
         f"(sqrt({_DOT.format(a=a, b=a)}) * sqrt({_DOT.format(a=b, b=b)})) END)"
     )
+
+
+def _lsh_plane_bits(vec_expr: str) -> str:
+    """The sign-LSH signature of ``vec_expr`` as a SQL string literal:
+    one '1'/'0' char per hyperplane, planes embedded as DOUBLE[]
+    literals from the SAME seeded generator the engine uses
+    (operators/similarity.py::random_hyperplanes, seed 42) — Python
+    float repr round-trips to the identical IEEE double, and the dot
+    fold is index-ordered on both engines, so every sign bit is
+    bit-exact."""
+    from ..operators.similarity import random_hyperplanes
+
+    planes = random_hyperplanes(64, 6, 42)  # embeddings are 64-dim
+    bits = []
+    for p in planes:
+        # explicit left-associated sum (same IEEE fold order as the
+        # engine's F.aggregate and the _DOT helper) — scalar exprs run
+        # ~50x faster than per-row list_transform in DuckDB
+        dot = " + ".join(
+            f"{vec_expr}[{i + 1}] * {repr(float(x))}" for i, x in enumerate(p)
+        )
+        bits.append(f"(CASE WHEN ({dot}) >= 0 THEN '1' ELSE '0' END)")
+    return "concat(" + ", ".join(bits) + ")"
+
+
+# sim_ivf_topk's IVF path replayed in SQL (the ev_ann_recall /
+# _IVFPQ_ORACLE pattern): centroids are embedding rows 0/7/13/42 with
+# cid = list position; probe ranking breaks ties by LOWER cid (the
+# engine's driver-side sort key (-cos, cid)), cell assignment by
+# HIGHER cid (array_max over struct(sim, cid)).
+_IVF_TOPK_ORACLE = f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cents AS (
+      SELECT CASE vec_id WHEN 0 THEN 0 WHEN 7 THEN 1
+                         WHEN 13 THEN 2 WHEN 42 THEN 3 END AS cid,
+             v AS cv
+      FROM base WHERE vec_id IN (0, 7, 13, 42)
+    ), q AS (
+      SELECT v AS qv FROM base WHERE vec_id = 1
+    ), probe AS (
+      SELECT cid FROM (
+        SELECT c.cid,
+               row_number() OVER (ORDER BY {_cos('q.qv', 'c.cv')} DESC,
+                                  c.cid ASC) AS rn
+        FROM cents c CROSS JOIN q
+      ) WHERE rn <= 2
+    ), assigned AS (
+      SELECT vec_id, cid FROM (
+        SELECT b.vec_id, c.cid,
+               row_number() OVER (PARTITION BY b.vec_id
+                                  ORDER BY {_cos('b.v', 'c.cv')} DESC,
+                                  c.cid DESC) AS rn
+        FROM base b CROSS JOIN cents c
+      ) WHERE rn = 1
+    ), scored AS (
+      SELECT b.vec_id, round({_cos('b.v', 'q.qv')}, 6) AS cos_sim
+      FROM base b
+      JOIN assigned a ON a.vec_id = b.vec_id
+      JOIN probe ON probe.cid = a.cid
+      CROSS JOIN q
+    )
+    SELECT vec_id, cos_sim FROM scored
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+"""
 
 
 _SIMHASH_TOKS_CTE = f"""
@@ -989,6 +1060,26 @@ ORACLES = {
         SELECT vec_id, cos_sim FROM scored
         ORDER BY cos_sim DESC, vec_id LIMIT 10
     """,
+    # the single-bucket (max_hamming=0) APPROXIMATE path replayed in
+    # SQL: the seeded hyperplanes are embedded as literals, the
+    # signature recomputed per row, and only the query-bucket rows
+    # ranked — so the default probe is value-gated, not rows-only.
+    "sim_lsh_ann": f"""
+        WITH base AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), q AS (
+          SELECT v AS qv, {_lsh_plane_bits('v')} AS qsig
+          FROM base WHERE vec_id = 0
+        ), bucket AS (
+          SELECT b.vec_id, b.v, q.qv
+          FROM base b CROSS JOIN q
+          WHERE {_lsh_plane_bits('b.v')} = q.qsig
+        )
+        SELECT vec_id, round({_cos('v', 'qv')}, 6) AS cos_sim
+        FROM bucket
+        ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    "sim_ivf_topk": _IVF_TOPK_ORACLE,
     "sim_knn_join": f"""
         WITH probes AS (
           SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv

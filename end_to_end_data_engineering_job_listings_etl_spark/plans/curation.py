@@ -572,7 +572,12 @@ ORACLES = {
             SELECT CAST(e.vec_id AS INT) AS cid, e.v AS cv
             FROM e, par WHERE e.vec_id < par.k
         ), sims AS (
-            SELECT e.vec_id, c.cid, {_cos("e.v", "c.cv")} AS sim
+            -- floor(cos * 1e6): the Arrow GEMM path quantizes to e6
+            -- before its argmax (operators/similarity.py::
+            -- ivf_assign_arrow, ADVICE r6), so the oracle ranks the
+            -- same quantity; ties -> higher cid on both sides
+            SELECT e.vec_id, c.cid,
+                   floor({_cos("e.v", "c.cv")} * 1000000) AS sim
             FROM e CROSS JOIN cents c
         ), assigned AS (
             SELECT vec_id, cid FROM (

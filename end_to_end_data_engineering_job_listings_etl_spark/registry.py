@@ -83,79 +83,74 @@ def _pinned(fn: Callable[[SparkSession, str], DataFrame]):
 # or least-recently-checked surface into the window (every name here
 # has a DuckDB oracle — no rows-only checks waste a slot).
 #
-# Round 6 window: the 17 queries ADDED this round (9 from the first
-# round-6 session: incremental dedup/LSH merge, quality buckets,
-# resize, SemDeDup scaling, keep-best, PQ/ADC, JL projection, IVF-PQ;
-# 4 from the second: DSIR selection, Gopher rules, ANN recall@k,
-# audio windowing; 4 from the third: the C4 filter battery, MMR
-# rerank, soft-dedup weights, and boilerplate-line removal) lead —
-# none has ever had a driver row. The remaining 33 slots rotate the
-# heavyweight families whose last driver rows are oldest (not
-# re-windowed in r5): the full jl star layer, the dedup/similarity
-# families, and the TPC-H shapes.
+# Round 7 window. Lead (10): the two oracled names NO driver window
+# has ever checked (src_json_records / samp_token_budget — the r6
+# judge verified them independently and asked for driver rows), the
+# two rows-only names upgraded to full value oracles this round
+# (sim_lsh_ann's bucket replay, sim_ivf_topk's IVF replay) plus their
+# exact _checked twins, and the four queries whose behavior changed
+# this round (dd_minhash_estimate's fingerprint-collapsed verifier,
+# src_jdbc_landing's stage+COPY ingest, sem_dedup_scaled's e6-
+# quantized Arrow argmax, sem_dedup_clusters as its Catalyst
+# contract-sibling). The remaining 40 slots rotate the 40 oracled
+# queries whose last driver row is oldest (all round-1: the BI/dims/
+# fn scalar surface and the first dedup/text layer; dd_jaccard_pairs
+# yields its slot — it shares plan AND oracle with
+# dd_prefix_filter_pairs, driver-checked in r5).
 _WINDOW = [
-    # round-6 additions (first session)
-    "inc_dedup_merge",
-    "text_quality_buckets",
-    "mm_resize_checked",
-    "sem_dedup_scaled",
-    "inc_lsh_merge",
-    "dd_keep_best",
-    "sim_pq_adc",
-    "emb_random_projection",
-    "sim_ivfpq_topk",
-    # round-6 additions (second session): selection/eval layer
-    "samp_dsir_select",
-    "text_gopher_rules",
-    "ev_ann_recall",
-    "mm_audio_energy_checked",
-    # round-6 additions (third session): C4 battery, MMR rerank,
-    # soft-dedup weights
-    "text_c4_filters",
-    "rag_mmr_rerank",
-    "dd_soft_dedup_weights",
-    "text_boilerplate_lines",
-    # rotation: jl star layer
-    "jl_bridge_checked",
-    "jl_dim_company_checked",
-    "jl_dim_date_checked",
-    "jl_dim_employment_type_checked",
-    "jl_dim_job_details_checked",
-    "jl_dim_location_checked",
-    "jl_dim_publisher_checked",
-    "jl_dim_skill_checked",
-    "jl_fact_checked",
-    "jl_fact_fallback_checked",
-    # rotation: dedup family (dd_dedup_stats / dd_embedding_neardup /
-    # dd_jaccard_pairs / dd_containment_pairs yield their slots to the
-    # four newest queries above: the first two and the last carry the
-    # r4 judge's independent strict check, the third shares its plan
-    # AND oracle with dd_prefix_filter_pairs, driver-checked in r5)
-    "dd_lsh_candidates",
-    "dd_minhash_estimate",
-    "dd_minhash_signatures",
-    "dd_simhash",
-    "sem_dedup_clusters",
-    # rotation: similarity family
-    "sim_cosine_topk",
-    "sim_ivf_topk_checked",
-    "sim_knn_join",
+    # never driver-windowed (r6 VERDICT item 5)
+    "src_json_records",
+    "samp_token_budget",
+    # round-7 behavior changes / oracle upgrades
+    "sim_lsh_ann",
+    "sim_ivf_topk",
     "sim_lsh_ann_checked",
-    # rotation: TPC-H shapes
-    "q2_min_balance_supplier",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q9_product_profit",
-    "q11_nation_stock_share",
-    "q16_supplier_variety",
-    "q17_small_quantity",
-    "q20_dominant_suppliers",
-    "li_big_orders",
-    "li_disjunctive_part_join",
-    "li_late_shipment_priority",
-    "li_lateness_by_class",
+    "sim_ivf_topk_checked",
+    "dd_minhash_estimate",
+    "src_jdbc_landing",
+    "sem_dedup_scaled",
+    "sem_dedup_clusters",
+    # rotation: oldest driver rows (round 1)
+    "bi_count_by_region",
+    "bi_daily_counts",
+    "bi_daily_spine",
+    "bi_keyword_flatten",
+    "bi_monthly_trend",
+    "bi_revenue_by_segment",
+    "bi_temporal_window",
+    "bi_top15_employers",
+    "bi_top_keywords",
+    "bi_total_postings",
+    "bi_year_month",
+    "bridge_doc_keyword",
+    "corpus_curation",
+    "dd_dedup_stats",
+    "dd_embedding_neardup",
+    "dim_company",
+    "dim_date",
+    "dim_keyword",
+    "dim_location",
+    "dim_priority",
+    "dim_segment",
+    "fact_orders",
+    "fn_boolean_sum",
+    "fn_json_extract",
+    "fn_json_modes",
+    "fn_json_roundtrip",
+    "fn_normalize_strings",
+    "fn_parse_string_array",
+    "fn_relative_time",
+    "fn_union_by_country",
+    "fn_variant_extract",
+    "inc_scd1_merge",
+    "inc_scd2_status",
+    "inc_upsert_dim",
+    "star_wide",
+    "text_chunk_dedup",
+    "text_langid",
+    "text_repetition_metrics",
+    "text_stats",
+    "w_latest_per_customer",
 ]
 
 

@@ -109,10 +109,11 @@ def strict_frames(spark_df, con, sql: str):
 
 # Types whose cast-to-string rendering is verified identical across
 # Spark and DuckDB (tests/test_selection.py::test_digest_agrees_with_strict
-# cross-validates digest vs strict on live sf0.01 queries covering
-# every entry). Doubles/decimals are deliberately absent: their text
-# renderings diverge across engines, and the output discipline above
-# already bans them from registered results.
+# cross-validates every entry: live sf0.01 queries for string/boolean/
+# date/integer/long/timestamp, a constructed TINYINT/SMALLINT probe
+# for byte/short). Doubles/decimals are deliberately absent: their
+# text renderings diverge across engines, and the output discipline
+# above already bans them from registered results.
 _DIGEST_TYPES = frozenset(
     {"string", "boolean", "date", "byte", "short", "integer", "long", "timestamp"}
 )

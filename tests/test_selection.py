@@ -217,7 +217,35 @@ def test_digest_agrees_with_strict(spark, duck):
         seen |= {f.dataType.typeName() for f in df.schema.fields}
         compare(df, duck, oracles[n], n)  # strict green...
         digest_compare(df, duck, oracles[n], n)  # ...implies digest green
-    assert {"string", "long", "boolean", "date", "timestamp"} <= seen
+    # byte/short: no registered query emits them, so cross-validate
+    # their renderings on a constructed frame (negatives, extremes,
+    # nulls) against DuckDB TINYINT/SMALLINT literals — together with
+    # the live queries above this covers EVERY type _DIGEST_TYPES
+    # admits (ADVICE r6 item 3)
+    from pyspark.sql import types as PT
+    from tests.oracle_check import _DIGEST_TYPES
+
+    probe = spark.createDataFrame(
+        [(-128, -32768), (127, 32767), (None, None), (7, 7)],
+        PT.StructType(
+            [
+                PT.StructField("b", PT.ByteType()),
+                PT.StructField("s", PT.ShortType()),
+            ]
+        ),
+    )
+    digest_compare(
+        probe,
+        duck,
+        "SELECT * FROM (VALUES"
+        " (CAST(-128 AS TINYINT), CAST(-32768 AS SMALLINT)),"
+        " (CAST(127 AS TINYINT), CAST(32767 AS SMALLINT)),"
+        " (CAST(NULL AS TINYINT), CAST(NULL AS SMALLINT)),"
+        " (CAST(7 AS TINYINT), CAST(7 AS SMALLINT))) t(b, s)",
+        "digest-byte-short-probe",
+    )
+    seen |= {"byte", "short"}
+    assert set(_DIGEST_TYPES) <= seen
     # a genuine value difference must trip the digest
     with pytest.raises(AssertionError):
         digest_compare(
