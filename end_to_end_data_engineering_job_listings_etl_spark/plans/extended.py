@@ -254,7 +254,14 @@ def er_name_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     record stay O(block size) regardless of corpus size — at the
     standard recall trade (a typo inside the blocking key would be
     missed). Both engines implement classic Levenshtein, so the
-    distance is oracle-exact."""
+    distance is oracle-exact.
+
+    NOT a default-pipeline operator: on duplicate-heavy keys the pair
+    OUTPUT this query semantically demands grows quadratically inside
+    a block (77x per data decade measured at sf1). Production
+    pipelines should call ``er_blocking_refined`` — the skew-capped
+    twin (oversized blocks sub-split on an extra stable digit) with
+    identical link semantics and ~7x the throughput at sf1."""
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", F.lower(F.trim("c_name")).alias("name")
     )
