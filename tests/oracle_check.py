@@ -111,9 +111,12 @@ def strict_frames(spark_df, con, sql: str):
 # Spark and DuckDB (tests/test_selection.py::test_digest_agrees_with_strict
 # cross-validates every entry: live sf0.01 queries for string/boolean/
 # date/integer/long/timestamp, a constructed TINYINT/SMALLINT probe
-# for byte/short). Doubles/decimals are deliberately absent: their
-# text renderings diverge across engines, and the output discipline
-# above already bans them from registered results.
+# for byte/short). Arrays of these scalars are also admitted via an
+# explicit canonicalization in digest_compare (size-prefixed chr(30)
+# join, NULL-array/empty-array/NULL-element probe in the same test).
+# Doubles/decimals are deliberately absent: their text renderings
+# diverge across engines, and the output discipline above already
+# bans them from registered results.
 _DIGEST_TYPES = frozenset(
     {"string", "boolean", "date", "byte", "short", "integer", "long", "timestamp"}
 )
@@ -124,26 +127,45 @@ def digest_compare(spark_df, con, sql: str, name: str = "?") -> None:
     engines — no driver collect — for results too large to materialize
     (a 15M-row fact table blows past the Py4J collect path long before
     the engine breaks a sweat). Columns are name-sorted; each cell is
-    canonicalized as coalesce(cast(col as string), 'NULL'); the row
-    hash is md5 over the unit-separator join; the digest is (row
-    count, sum of two disjoint 60-bit md5 chunks) — order-independent
-    and mergeable, so both sides reduce to three scalars. A pass is a
-    value-level match up to md5-sum collision (~2^-120 for disjoint
-    chunks); a strict `compare` pass at a smaller SF plus a digest
-    pass at the large SF is the scale-evidence contract."""
+    canonicalized as coalesce(cast(col as string), 'NULL') — an array
+    of digest-safe scalars as 'size:' + record-separator-joined
+    element renderings (size prefix keeps empty array ≠ NULL array;
+    NULL elements render 'NULL' on both sides) — the row hash is md5
+    over the unit-separator join; the digest is (row count, sum of two
+    disjoint 60-bit md5 chunks) — order-independent and mergeable, so
+    both sides reduce to three scalars. A pass is a value-level match
+    up to md5-sum collision (~2^-120 for disjoint chunks); a strict
+    `compare` pass at a smaller SF plus a digest pass at the large SF
+    is the scale-evidence contract."""
     from pyspark.sql import functions as F
 
-    fields = {f.name: f.dataType.typeName() for f in spark_df.schema.fields}
-    bad = {k: v for k, v in fields.items() if v not in _DIGEST_TYPES}
+    fields = {f.name: f.dataType for f in spark_df.schema.fields}
+
+    def _ok(t) -> bool:
+        if t.typeName() == "array":
+            return t.elementType.typeName() in _DIGEST_TYPES
+        return t.typeName() in _DIGEST_TYPES
+
+    bad = {k: v.typeName() for k, v in fields.items() if not _ok(v)}
     if bad:
         raise ValueError(f"[{name}] digest mode unsupported for columns {bad}")
     cols = sorted(fields)
+
+    def _spark_cell(c: str):
+        if fields[c].typeName() == "array":
+            joined = F.array_join(
+                F.transform(F.col(c), lambda x: x.cast("string")), "\x1e", "NULL"
+            )
+            return F.when(F.col(c).isNull(), F.lit("NULL")).otherwise(
+                F.concat(F.size(c).cast("string"), F.lit(":"), joined)
+            )
+        return F.coalesce(F.col(c).cast("string"), F.lit("NULL"))
 
     pieces = []
     for i, c in enumerate(cols):
         if i:
             pieces.append(F.lit("\x1f"))
-        pieces.append(F.coalesce(F.col(c).cast("string"), F.lit("NULL")))
+        pieces.append(_spark_cell(c))
     row = (
         spark_df.select(F.md5(F.concat(*pieces)).alias("h"))
         .agg(
@@ -161,9 +183,21 @@ def digest_compare(spark_df, con, sql: str, name: str = "?") -> None:
 
     d_cols = sorted(con.execute(f"SELECT * FROM ({sql}) LIMIT 0").df().columns)
     assert cols == d_cols, f"[{name}] columns differ: spark={cols} duckdb={d_cols}"
-    dexpr = " || chr(31) || ".join(
-        f"coalesce(CAST(\"{c}\" AS VARCHAR), 'NULL')" for c in cols
-    )
+
+    def _duck_cell(c: str) -> str:
+        if fields[c].typeName() == "array":
+            # array_to_string([]) is NULL in DuckDB where Spark
+            # array_join gives '' — coalesce closes the gap; the size
+            # prefix separates empty array from NULL array.
+            return (
+                f'CASE WHEN "{c}" IS NULL THEN \'NULL\' ELSE '
+                f'concat(CAST(len("{c}") AS VARCHAR), \':\', '
+                f'coalesce(array_to_string(list_transform("{c}", '
+                f"x -> coalesce(CAST(x AS VARCHAR), 'NULL')), chr(30)), '')) END"
+            )
+        return f"coalesce(CAST(\"{c}\" AS VARCHAR), 'NULL')"
+
+    dexpr = " || chr(31) || ".join(_duck_cell(c) for c in cols)
     d_n, d_d1, d_d2 = con.execute(
         f"""
         SELECT count(*),

@@ -246,6 +246,40 @@ def test_digest_agrees_with_strict(spark, duck):
     )
     seen |= {"byte", "short"}
     assert set(_DIGEST_TYPES) <= seen
+    # arrays of digest-safe scalars: constructed probe covering NULL
+    # array vs empty array vs NULL element vs separator-free strings —
+    # the canonicalization (size prefix + chr(30) join) must agree
+    # across engines, and a live array query must strict==digest
+    arr_probe = spark.createDataFrame(
+        [
+            (["a", None, "NULL"], [1, None]),
+            ([], []),
+            (None, None),
+            (["x"], [42]),
+        ],
+        PT.StructType(
+            [
+                PT.StructField("sa", PT.ArrayType(PT.StringType())),
+                PT.StructField("la", PT.ArrayType(PT.LongType())),
+            ]
+        ),
+    )
+    digest_compare(
+        arr_probe,
+        duck,
+        "SELECT * FROM (VALUES"
+        " (['a', NULL, 'NULL'], [CAST(1 AS BIGINT), NULL]),"
+        " ([], []),"
+        " (CAST(NULL AS VARCHAR[]), CAST(NULL AS BIGINT[])),"
+        " (['x'], [CAST(42 AS BIGINT)])) t(sa, la)",
+        "digest-array-probe",
+    )
+    n = "fn_parse_string_array"
+    if n in qs and n in oracles:
+        df = qs[n](spark, SF_DIR)
+        if any(f.dataType.typeName() == "array" for f in df.schema.fields):
+            compare(df, duck, oracles[n], n)
+            digest_compare(df, duck, oracles[n], n)
     # a genuine value difference must trip the digest
     with pytest.raises(AssertionError):
         digest_compare(
