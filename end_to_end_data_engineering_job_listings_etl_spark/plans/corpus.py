@@ -989,8 +989,23 @@ ORACLES = {
         WHERE a.doc_id < b.doc_id
         GROUP BY 1, 2
     """,
+    # Mirrors the engine's fp-collapsed shape (dd_minhash_estimate
+    # docstring): every signature/band/shingle step runs once per
+    # DISTINCT text fingerprint (reps aliases fp AS doc_id so the
+    # shared CTE strings apply verbatim), same-fp pairs are emitted
+    # constant-time (all bands agree, Jaccard exactly 1), and fp-level
+    # metrics fan out to doc pairs by two hash joins. Values are
+    # bit-identical to the per-document formulation — the per-doc
+    # oracle OOMed at sf10, where exact-dup multiplicity makes the
+    # doc-level shingle self-join quadratic inside dup groups.
     "dd_minhash_estimate": f"""
-        WITH {_SHINGLED_CTE}, {_MINHASH_CTE},
+        WITH fps AS (SELECT doc_id, {_FP} AS fp FROM documents),
+        reps AS (
+          SELECT {_FP} AS fp, min(text) AS text, count(*) AS n_docs
+          FROM documents GROUP BY 1
+        ),
+        shingled AS (SELECT fp AS doc_id, unnest({_SHINGLES}) AS sh FROM reps),
+        {_MINHASH_CTE},
         banded AS (SELECT doc_id, {_BAND_EXPRS} FROM signatures),
         stacked AS (
           SELECT doc_id, unnest([{", ".join(f"band_{b}" for b in range(_LSH_BANDS))}]) AS bucket
@@ -1008,21 +1023,34 @@ ORACLES = {
           FROM shingled a JOIN shingled b USING (sh)
           WHERE a.doc_id < b.doc_id
           GROUP BY 1, 2
+        ),
+        fp_metrics AS (
+          SELECT c.id_a AS fp_a, c.id_b AS fp_b, c.n_bands_shared,
+                 CAST({" + ".join(f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END" for i in range(_MINHASH_K))} AS INTEGER)
+                   AS n_match_k,
+                 CAST(({" + ".join(f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END" for i in range(_MINHASH_K))}) * 125000 AS BIGINT)
+                   AS est_e6,
+                 CAST(floor(CAST(coalesce(i.n_inter, 0) AS DOUBLE) * 1000000.0
+                      / CAST(za.sz + zb.sz - coalesce(i.n_inter, 0) AS DOUBLE)) AS BIGINT)
+                   AS jacc_e6
+          FROM cands c
+          JOIN signatures sa ON sa.doc_id = c.id_a
+          JOIN signatures sb ON sb.doc_id = c.id_b
+          LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+          JOIN sizes za ON za.doc_id = c.id_a
+          JOIN sizes zb ON zb.doc_id = c.id_b
+          UNION ALL
+          SELECT fp, fp, CAST({_LSH_BANDS} AS BIGINT), CAST({_MINHASH_K} AS INTEGER),
+                 CAST(1000000 AS BIGINT), CAST(1000000 AS BIGINT)
+          FROM reps WHERE n_docs >= 2
         )
-        SELECT c.id_a, c.id_b, c.n_bands_shared,
-               CAST({" + ".join(f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END" for i in range(_MINHASH_K))} AS INTEGER)
-                 AS n_match_k,
-               CAST(({" + ".join(f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END" for i in range(_MINHASH_K))}) * 125000 AS BIGINT)
-                 AS est_e6,
-               CAST(floor(CAST(coalesce(i.n_inter, 0) AS DOUBLE) * 1000000.0
-                    / CAST(za.sz + zb.sz - coalesce(i.n_inter, 0) AS DOUBLE)) AS BIGINT)
-                 AS jacc_e6
-        FROM cands c
-        JOIN signatures sa ON sa.doc_id = c.id_a
-        JOIN signatures sb ON sb.doc_id = c.id_b
-        LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
-        JOIN sizes za ON za.doc_id = c.id_a
-        JOIN sizes zb ON zb.doc_id = c.id_b
+        SELECT least(da.doc_id, db.doc_id) AS id_a,
+               greatest(da.doc_id, db.doc_id) AS id_b,
+               m.n_bands_shared, m.n_match_k, m.est_e6, m.jacc_e6
+        FROM fp_metrics m
+        JOIN fps da ON da.fp = m.fp_a
+        JOIN fps db ON db.fp = m.fp_b
+        WHERE m.fp_a != m.fp_b OR da.doc_id < db.doc_id
     """,
     "dd_simhash": f"""
         WITH {_SIMHASH_TOKS_CTE},

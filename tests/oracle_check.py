@@ -49,6 +49,10 @@ TABLES = (
 
 def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # A heavy oracle (fact-scale joins at sf10) must spill, not race
+    # the Spark JVM for the whole box and get the process OOM-killed.
+    con.execute(f"SET memory_limit='{os.environ.get('ORACLE_MEM', '24GB')}'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(sf_dir, t + '.parquet')}'"
@@ -114,9 +118,12 @@ def strict_frames(spark_df, con, sql: str):
 # for byte/short). Arrays of these scalars are also admitted via an
 # explicit canonicalization in digest_compare (size-prefixed chr(30)
 # join, NULL-array/empty-array/NULL-element probe in the same test).
-# Doubles/decimals are deliberately absent: their text renderings
-# diverge across engines, and the output discipline above already
-# bans them from registered results.
+# Doubles are admitted NOT by text rendering (which diverges across
+# engines) but via a floor(x*1e6) BIGINT canonicalization — exact for
+# identical input bits, e6-quantized for computed values (probe +
+# live sim_cosine_topk in the same test). Decimals stay banned: the
+# output discipline above already keeps them out of registered
+# results.
 _DIGEST_TYPES = frozenset(
     {"string", "boolean", "date", "byte", "short", "integer", "long", "timestamp"}
 )
@@ -144,7 +151,7 @@ def digest_compare(spark_df, con, sql: str, name: str = "?") -> None:
     def _ok(t) -> bool:
         if t.typeName() == "array":
             return t.elementType.typeName() in _DIGEST_TYPES
-        return t.typeName() in _DIGEST_TYPES
+        return t.typeName() in _DIGEST_TYPES or t.typeName() in ("double", "float")
 
     bad = {k: v.typeName() for k, v in fields.items() if not _ok(v)}
     if bad:
@@ -158,6 +165,22 @@ def digest_compare(spark_df, con, sql: str, name: str = "?") -> None:
             )
             return F.when(F.col(c).isNull(), F.lit("NULL")).otherwise(
                 F.concat(F.size(c).cast("string"), F.lit(":"), joined)
+            )
+        if fields[c].typeName() in ("double", "float"):
+            # doubles canonicalize through the repo's e6-scaled-BIGINT
+            # money discipline: floor(x*1e6) is one correctly-rounded
+            # IEEE-754 multiply + an exact floor, so identical input
+            # bits give an identical BIGINT in BOTH engines (the text
+            # renderings of raw doubles diverge; this does not). Exact
+            # for passthrough columns; an e6-quantized value gate for
+            # computed ones. Magnitudes past the exact-BIGINT range
+            # and NaN get sentinels instead of engine-variant casts.
+            d = F.col(c).cast("double")
+            return (
+                F.when(F.col(c).isNull(), F.lit("NULL"))
+                .when(F.isnan(d), F.lit("NaN"))
+                .when(F.abs(d) > F.lit(8.0e11), F.lit("HUGE"))
+                .otherwise(F.floor(d * F.lit(1000000.0)).cast("long").cast("string"))
             )
         return F.coalesce(F.col(c).cast("string"), F.lit("NULL"))
 
@@ -185,6 +208,14 @@ def digest_compare(spark_df, con, sql: str, name: str = "?") -> None:
     assert cols == d_cols, f"[{name}] columns differ: spark={cols} duckdb={d_cols}"
 
     def _duck_cell(c: str) -> str:
+        if fields[c].typeName() in ("double", "float"):
+            return (
+                f'CASE WHEN "{c}" IS NULL THEN \'NULL\''
+                f' WHEN isnan(CAST("{c}" AS DOUBLE)) THEN \'NaN\''
+                f' WHEN abs(CAST("{c}" AS DOUBLE)) > 8e11 THEN \'HUGE\''
+                f' ELSE CAST(CAST(floor(CAST("{c}" AS DOUBLE) * 1000000.0) AS BIGINT)'
+                f" AS VARCHAR) END"
+            )
         if fields[c].typeName() == "array":
             # array_to_string([]) is NULL in DuckDB where Spark
             # array_join gives '' — coalesce closes the gap; the size

@@ -288,13 +288,35 @@ def test_digest_agrees_with_strict(spark, duck):
             oracles["bi_top15_employers"].replace("15", "14", 1),
             "digest-mismatch-probe",
         )
+    # doubles canonicalize through floor(x*1e6) — one IEEE-754 multiply
+    # + exact floor, identical on both engines for identical bits:
+    # constructed probe (money 2dp, accumulated-error value, negatives,
+    # NaN, NULL, huge) plus a live double query strict==digest
+    dbl_probe = spark.createDataFrame(
+        [(123456.78,), (0.1 + 0.2,), (-9.999999,), (float("nan"),), (None,), (9e12,)],
+        PT.StructType([PT.StructField("d", PT.DoubleType())]),
+    )
+    digest_compare(
+        dbl_probe,
+        duck,
+        "SELECT * FROM (VALUES (CAST(123456.78 AS DOUBLE)), (0.1 + 0.2),"
+        " (CAST(-9.999999 AS DOUBLE)), (CAST('nan' AS DOUBLE)),"
+        " (CAST(NULL AS DOUBLE)), (CAST(9e12 AS DOUBLE))) t(d)",
+        "digest-double-probe",
+    )
+    df = qs["sim_cosine_topk"](spark, SF_DIR)  # double cos_sim column
+    compare(df, duck, oracles["sim_cosine_topk"], "sim_cosine_topk")
+    digest_compare(df, duck, oracles["sim_cosine_topk"], "sim_cosine_topk")
     # unsupported types refuse loudly instead of hashing engine-variant
     # renderings
     with pytest.raises(ValueError):
         digest_compare(
-            qs["sim_cosine_topk"](spark, SF_DIR),  # double cos_sim column
+            spark.createDataFrame(
+                [(__import__("decimal").Decimal("1.23"),)],
+                PT.StructType([PT.StructField("m", PT.DecimalType(10, 2))]),
+            ),
             duck,
-            oracles["sim_cosine_topk"],
+            "SELECT CAST(1.23 AS DECIMAL(10,2)) AS m",
             "digest-type-probe",
         )
 
