@@ -125,7 +125,20 @@ def strict_frames(spark_df, con, sql: str):
 # output discipline above already keeps them out of registered
 # results.
 _DIGEST_TYPES = frozenset(
-    {"string", "boolean", "date", "byte", "short", "integer", "long", "timestamp"}
+    {
+        "string",
+        "boolean",
+        "date",
+        "byte",
+        "short",
+        "integer",
+        "long",
+        "timestamp",
+        # NTZ renders the same 'yyyy-MM-dd HH:mm:ss[.f]' text with no
+        # session-tz conversion on either engine (DuckDB TIMESTAMP is
+        # ntz by nature); live-validated via inc_scd2_status
+        "timestamp_ntz",
+    }
 )
 
 

@@ -210,6 +210,7 @@ def test_digest_agrees_with_strict(spark, duck):
         "dim_date",
         "agg_session_window_batch",
         "bi_top15_employers",
+        "inc_scd2_status",  # timestamp_ntz validity interval columns
     ]
     seen = set()
     for n in names:
