@@ -1,0 +1,56 @@
+#!/bin/bash
+# Full-surface sf10 correctness gate, reproducible in one command.
+#
+# Runs every registered query against /tmp/sf10 (100x sf0.1, built by
+# scripts_dev/make_sf1.py semantics at 10x sf1) through the strict /
+# digest oracle compare, in batches of <=47 so a single JVM failure
+# costs one batch, then merges into one artifact.
+#
+# Operational notes proven in round 7:
+#   - 32g driver heap: agg_approx_distinct_checked's exact-distinct
+#     verification over 60M lineitem rows OOMs a 16g JVM's read-ahead
+#     threads, and one OOM poisons every later query in the process
+#     (instant sub-second FAILs). Cascade FAILs after an OOM are not
+#     real — re-run them in a fresh process.
+#   - ORACLE_MEM caps DuckDB so a heavy oracle spills to
+#     /tmp/duckdb_spill instead of racing the JVM for the box.
+#   - Excluded by documented design (see sweep_r7_sf10.json note):
+#     er_name_blocking_pairs (quadratic pair OUTPUT, ~4h; the gated
+#     scale twin is er_blocking_refined) and sem_dedup_clusters (the
+#     fixed-k contrast demo, exp 1.88, ~90min; the gated scale twin is
+#     sem_dedup_scaled).
+#
+# Usage: scripts_dev/sweep_sf10_full.sh [OUT.json]  (default
+#        scripts_dev/sweep_r${SWEEP_ROUND:-7}_sf10.json)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+OUT="${1:-scripts_dev/sweep_r${SWEEP_ROUND:-7}_sf10.json}"
+
+python3 - <<'EOF'
+import sys
+sys.path.insert(0, ".")
+from end_to_end_data_engineering_job_listings_etl_spark import registry
+names = [n for n in registry.all_queries()
+         if n not in ("er_name_blocking_pairs", "sem_dedup_clusters")]
+sz = 47
+for i in range(0, len(names), sz):
+    open(f"/tmp/sf10_full_b{i // sz + 1}.txt", "w").write(
+        "\n".join(names[i : i + sz]) + "\n"
+    )
+print(len(names), "names in", (len(names) + sz - 1) // sz, "batches")
+EOF
+
+first=1
+for f in /tmp/sf10_full_b*.txt; do
+  b="${f##*_}"; b="${b%.txt}"
+  SWEEP_ROUND="${SWEEP_ROUND:-7}" SPARK_GRAFT_DRIVER_MEM=32g \
+  SWEEP_CPUS="${SWEEP_CPUS:-24}" ORACLE_MEM="${ORACLE_MEM:-32GB}" \
+  python scripts_dev/sweep_all.py --sf-dir /tmp/sf10 \
+    --out "/tmp/sweep_sf10_full_$b.json" $(cat "$f")
+  if [ "$first" = 1 ]; then
+    cp "/tmp/sweep_sf10_full_$b.json" "$OUT"; first=0
+  else
+    python scripts_dev/merge_sweep.py "$OUT" "/tmp/sweep_sf10_full_$b.json"
+  fi
+done
+echo "merged -> $OUT"
