@@ -88,18 +88,30 @@ def ivf_assign(
     id_col: str,
     centroids: Sequence[tuple[int, Sequence[float]]],
     keep: Sequence[str] = (),
+    quantize_e6: bool = False,
 ) -> DataFrame:
     """IVF coarse quantization: assign every vector to its
     max-cosine centroid (ties → higher centroid id, deterministic).
     One narrow map stage; the centroid list is a literal (broadcast by
     construction). Returns (id, *keep, centroid_id) — pass ``keep``
     to carry extra columns through so downstream consumers (e.g. the
-    IVF-PQ encode) never need a join back on the id."""
+    IVF-PQ encode) never need a join back on the id.
+
+    ``quantize_e6=True`` ranks centroids by ``floor(cos·1e6)`` instead
+    of the raw double — the same grid as ``ivf_assign_arrow`` — so an
+    oracle replaying the assignment in another engine can't flip a
+    cell on a ~ULP fold difference (r7 advice #4). Exact-replay
+    consumers (ev_ann_recall, sim_ivfpq_topk) keep the raw default;
+    their oracles reproduce the engine fold bit for bit by contract."""
     v = F.col(vec_col).cast("array<double>")
+    raw = lambda cvec: cosine(v, lit_vector(cvec))  # noqa: E731
+    sim = (
+        (lambda cvec: F.floor(raw(cvec) * F.lit(1000000.0)))
+        if quantize_e6
+        else raw
+    )
     cells = [
-        F.struct(
-            cosine(v, lit_vector(cvec)).alias("sim"), F.lit(cid).alias("cid")
-        )
+        F.struct(sim(cvec).alias("sim"), F.lit(cid).alias("cid"))
         for cid, cvec in centroids
     ]
     best = F.array_max(F.array(*cells))["cid"]
@@ -188,21 +200,28 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF ANN: rank centroids against the query driver-side, then
     scan only the nprobe best cells — the 1/(n_cells/nprobe) scan-
-    fraction scale path (vs the brute-force full scan)."""
+    fraction scale path (vs the brute-force full scan).
 
-    def cos_py(a: Sequence[float], b: Sequence[float]) -> float:
+    Determinism contract (r7 advice #4): BOTH folds that pick the
+    probed cells — the Python probe ranking here and the Catalyst
+    cell assignment — rank by ``floor(cos·1e6)``, the same grid as
+    ``ivf_assign_arrow``, so the oracle's SQL replay can't diverge on
+    a ~ULP difference between three independent cosine folds."""
+    import math
+
+    def cos_e6(a: Sequence[float], b: Sequence[float]) -> int:
         dot_ = sum(x * y for x, y in zip(a, b))
         na = sum(x * x for x in a) ** 0.5
         nb = sum(y * y for y in b) ** 0.5
-        return dot_ / (na * nb) if na and nb else 0.0
+        return math.floor(dot_ / (na * nb) * 1e6) if na and nb else 0
 
     probe_cids = [
         cid
         for cid, _ in sorted(
-            centroids, key=lambda c: (-cos_py(query, c[1]), c[0])
+            centroids, key=lambda c: (-cos_e6(query, c[1]), c[0])
         )[:nprobe]
     ]
-    assigned = ivf_assign(corpus, vec_col, id_col, centroids)
+    assigned = ivf_assign(corpus, vec_col, id_col, centroids, quantize_e6=True)
     bucket = corpus.join(
         assigned.filter(F.col("centroid_id").isin(probe_cids)).select(id_col),
         id_col,

@@ -173,8 +173,12 @@ def dd_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard is exactly 1 and they agree on every band — and
     distinct-fp metrics are computed once and fanned out to doc pairs
     by two hash joins whose cost is the (semantically demanded)
-    output size. Values are bit-identical to the per-doc plan; the
-    DuckDB oracle is unchanged."""
+    output size. Values are bit-identical to the per-doc plan,
+    including the edge the r7 advice flagged: docs shorter than the
+    shingle width have empty shingle sets, were never candidates in
+    the per-doc plan, and are excluded from same-fp emission by a
+    left-semi against the signature frame (the oracle mirrors the
+    gate with an IN (SELECT doc_id FROM signatures))."""
     from ..functions.text import word_shingles
 
     docs = load_table_dist(spark, sf_dir, "documents", cols=("doc_id", "text"))
@@ -263,8 +267,15 @@ def dd_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # exact-duplicate groups: identical signatures agree on every band
-    # and position, and shingle Jaccard is exactly 1 — no joins needed
-    same_fp = reps.filter(F.col("n_docs") >= 2).select(
+    # and position, and shingle Jaccard is exactly 1 — no metric joins
+    # needed. The left-semi against sigs is the per-doc parity gate:
+    # a doc shorter than the shingle width has an EMPTY shingle set,
+    # so the per-doc plan never gave it a signature or band row and it
+    # was never a candidate — its exact duplicates must not surface
+    # here either (r7 advice #1).
+    same_fp = reps.filter(F.col("n_docs") >= 2).join(
+        sigs.select("fp"), "fp", "left_semi"
+    ).select(
         F.col("fp").alias("fp_a"),
         F.col("fp").alias("fp_b"),
         F.lit(_LSH_BANDS).cast("bigint").alias("n_bands_shared"),
@@ -719,8 +730,11 @@ def _lsh_plane_bits(vec_expr: str) -> str:
 # sim_ivf_topk's IVF path replayed in SQL (the ev_ann_recall /
 # _IVFPQ_ORACLE pattern): centroids are embedding rows 0/7/13/42 with
 # cid = list position; probe ranking breaks ties by LOWER cid (the
-# engine's driver-side sort key (-cos, cid)), cell assignment by
-# HIGHER cid (array_max over struct(sim, cid)).
+# engine's driver-side sort key (-cos_e6, cid)), cell assignment by
+# HIGHER cid (array_max over struct(sim, cid)). Both rank by
+# floor(cos*1e6) — the engine's quantized grid (r7 advice #4), so a
+# ~ULP fold difference between Python / Catalyst / DuckDB can no
+# longer flip the probe set or a cell assignment.
 _IVF_TOPK_ORACLE = f"""
     WITH base AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -734,16 +748,17 @@ _IVF_TOPK_ORACLE = f"""
     ), probe AS (
       SELECT cid FROM (
         SELECT c.cid,
-               row_number() OVER (ORDER BY {_cos('q.qv', 'c.cv')} DESC,
-                                  c.cid ASC) AS rn
+               row_number() OVER (
+                 ORDER BY CAST(floor(({_cos('q.qv', 'c.cv')}) * 1000000) AS BIGINT) DESC,
+                          c.cid ASC) AS rn
         FROM cents c CROSS JOIN q
       ) WHERE rn <= 2
     ), assigned AS (
       SELECT vec_id, cid FROM (
         SELECT b.vec_id, c.cid,
                row_number() OVER (PARTITION BY b.vec_id
-                                  ORDER BY {_cos('b.v', 'c.cv')} DESC,
-                                  c.cid DESC) AS rn
+                 ORDER BY CAST(floor(({_cos('b.v', 'c.cv')}) * 1000000) AS BIGINT) DESC,
+                          c.cid DESC) AS rn
         FROM base b CROSS JOIN cents c
       ) WHERE rn = 1
     ), scored AS (
@@ -1043,6 +1058,7 @@ ORACLES = {
           SELECT fp, fp, CAST({_LSH_BANDS} AS BIGINT), CAST({_MINHASH_K} AS INTEGER),
                  CAST(1000000 AS BIGINT), CAST(1000000 AS BIGINT)
           FROM reps WHERE n_docs >= 2
+            AND fp IN (SELECT doc_id FROM signatures)
         )
         SELECT least(da.doc_id, db.doc_id) AS id_a,
                greatest(da.doc_id, db.doc_id) AS id_b,

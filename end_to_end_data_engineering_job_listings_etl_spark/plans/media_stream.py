@@ -687,13 +687,47 @@ def src_jdbc_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # faster at sf1 and keeps the landing-table setup off the measured
     # scan. In production the landing DB belongs to the SOURCE system;
     # the operator under test is the partitioned read below.
+    # Stage-path contract (r7 advice #2): SYSCS_IMPORT_TABLE reads the
+    # staged CSV DRIVER-side, so the stage dir must be visible to both
+    # the executors that wrote it and the driver JVM importing it —
+    # true in local mode and whenever the stage is a shared mount
+    # (NFS / object-store fuse); on a shared-nothing cluster, point
+    # the stage at a shared location. Escaping contract: Spark CSV
+    # backslash-escapes quotes while Derby's import expects doubled
+    # quotes, so the load is only byte-faithful when no value contains
+    # a quote/delimiter/newline/backslash — asserted below via an
+    # Observation folded into the staging write (zero extra passes).
     import glob
     import shutil
 
+    from pyspark.sql import Observation
+
     stage = os.path.join(tempfile.gettempdir(), f"jdbc_stage_{uuid.uuid4().hex}")
-    orders.coalesce(1).write.mode("overwrite").option("header", False).csv(stage)
+    csv_obs = Observation("csv_stage_contract")
+    staged = orders.observe(
+        csv_obs,
+        F.sum(
+            F.coalesce(
+                F.col("o_orderstatus").rlike('["\\\\,\r\n]').cast("long"),
+                F.lit(0),
+            )
+        ).alias("n_unsafe"),
+    )
+    staged.coalesce(1).write.mode("overwrite").option("header", False).csv(stage)
     try:
-        csv_file = glob.glob(os.path.join(stage, "part-*.csv"))[0]
+        parts = glob.glob(os.path.join(stage, "part-*.csv"))
+        if not parts:
+            raise FileNotFoundError(
+                f"JDBC stage wrote no part file under {stage} — "
+                "empty input or a non-shared stage filesystem"
+            )
+        if csv_obs.get["n_unsafe"]:
+            raise ValueError(
+                "o_orderstatus contains CSV metacharacters; Spark's "
+                "backslash escaping differs from Derby's doubled-quote "
+                "convention — widen the import contract before loading"
+            )
+        csv_file = parts[0]
         jvm = spark._jvm
         jvm.java.lang.Class.forName(driver)
         conn = jvm.java.sql.DriverManager.getConnection(url)

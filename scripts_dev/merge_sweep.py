@@ -24,7 +24,15 @@ def main() -> int:
     base["n_green"] = sum(1 for v in qs.values() if v["status"].startswith("GREEN"))
     base["n_rows_only"] = sum(1 for v in qs.values() if v["status"].startswith("rows-only"))
     base["n_fail"] = sum(1 for v in qs.values() if v["status"] == "FAIL")
-    base["total_sec"] = round(base["total_sec"] + topup["total_sec"], 1)
+    # total_sec from the MERGED per-query timings (r7 advice #3: base +
+    # topup double-counts queries the top-up replaced — the base total
+    # still held their old runtime). Rows lacking `sec` (older
+    # artifacts) fall back to the additive approximation, flagged.
+    if all("sec" in v for v in qs.values()):
+        base["total_sec"] = round(sum(v["sec"] for v in qs.values()), 1)
+    else:
+        base["total_sec"] = round(base["total_sec"] + topup["total_sec"], 1)
+        base["total_sec_note"] = "additive approximation (per-query sec missing)"
     base["merged_topup"] = sorted(topup["queries"])
     base_p.write_text(json.dumps(base, indent=1) + "\n")
     print(

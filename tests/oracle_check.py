@@ -156,7 +156,25 @@ def digest_compare(spark_df, con, sql: str, name: str = "?") -> None:
     both sides reduce to three scalars. A pass is a value-level match
     up to md5-sum collision (~2^-120 for disjoint chunks); a strict
     `compare` pass at a smaller SF plus a digest pass at the large SF
-    is the scale-evidence contract."""
+    is the scale-evidence contract.
+
+    Double-column triage note (r7 advice #5): floor(x*1e6) is exact
+    for PASSTHROUGH doubles (identical input bits → identical BIGINT
+    on both engines) but for COMPUTED doubles it is an e6-quantized
+    gate — two engines may differ by up to ~2e-6 and still hash
+    equal, and conversely a value landing within one ULP of a 1e-6
+    grid line on only one engine false-fails. A rare digest mismatch
+    confined to a double column should therefore be triaged as
+    quantization noise FIRST (re-check with strict `compare` at a
+    smaller SF) before suspecting the plan. Round-before-floor
+    (floor(round(x,7)*1e6)) was considered and rejected: Spark rounds
+    doubles via BigDecimal HALF_UP while DuckDB rounds differently,
+    so the rounding step would itself diverge cross-engine and break
+    the exactness guarantee for passthrough bits — the guarantee this
+    canonicalization exists to provide. Queries under the digest gate
+    avoid the flake structurally by pre-quantizing computed doubles
+    in-query (round(x, 6) / e6 BIGINT columns), leaving the raw-
+    double path to passthrough columns where floor is exact."""
     from pyspark.sql import functions as F
 
     fields = {f.name: f.dataType for f in spark_df.schema.fields}

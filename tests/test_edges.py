@@ -155,3 +155,48 @@ def test_apply_cdc_semantics(spark):
         for r in apply_cdc(base, changes, "k", ("seq",)).collect()
     }
     assert out == {1: "a", 3: "c2", 4: "d"}
+
+
+def test_minhash_estimate_short_dup_docs_excluded(spark, tmp_path):
+    """r7 advice #1: a doc shorter than the shingle width has an EMPTY
+    shingle set, so the per-doc plan never banded it and it was never
+    a candidate — the fp-collapsed plan must not emit its exact
+    duplicates either. Long exact-dups still surface with Jaccard 1,
+    and the DuckDB oracle agrees bit-for-bit on the same corpus."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+    from end_to_end_data_engineering_job_listings_etl_spark.plans.corpus import dd_minhash_estimate
+    from tests.oracle_check import compare
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                "tiny doc",  # 2 tokens < shingle width 3 -> empty set
+                "tiny doc",  # exact duplicate of the short doc
+                "alpha beta gamma delta epsilon",
+                "alpha beta gamma delta epsilon",  # long exact dup
+                "zeta eta theta iota kappa lambda",
+            ],
+        }
+    )
+    docs["doc_id"] = docs["doc_id"].astype("int64")
+    docs.to_parquet(tmp_path / "documents.parquet", index=False)
+
+    out = dd_minhash_estimate(spark, str(tmp_path))
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (0, 1) not in pairs, "short-doc exact dup must not surface"
+    assert (2, 3) in pairs, "long exact dup must surface with jacc 1"
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path / 'documents.parquet'}'"
+    )
+    compare(
+        out,
+        con,
+        entry.oracle_sql()["dd_minhash_estimate"],
+        "dd_minhash_estimate_short_docs",
+    )
