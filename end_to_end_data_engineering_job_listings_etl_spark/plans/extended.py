@@ -289,25 +289,40 @@ _ER_BLOCK_CAP = 16  # refine any block wider than this
 
 
 def er_blocking_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ER blocking with OVERSIZED-BLOCK REFINEMENT — the production
-    answer to the quadratic blowup the plain block join shows on
-    duplicate-heavy data (r5 sf1 bench: er_name_blocking_pairs went
-    80x over 10x data because every name block widened 10x and pair
-    count is quadratic in block width).
+    """ER blocking with ADAPTIVE-DEPTH OVERSIZED-BLOCK REFINEMENT —
+    the production answer to the quadratic blowup the plain block
+    join shows on duplicate-heavy data (r5 sf1 bench:
+    er_name_blocking_pairs went 80x over 10x data because every name
+    block widened 10x and pair count is quadratic in block width).
 
     Mechanism: measure block widths on the clean side in one tiny
-    aggregate (broadcast back); any block wider than _ER_BLOCK_CAP (16)
-    joins on an EXTENDED key (blk + c_nationkey — a typo-stable
-    attribute) instead, splitting the hot block ~25 ways. True links
-    keep 100% recall BY CONSTRUCTION: a customer's clean and dirty
-    rows share the nationkey, so refinement can only drop coincidental
-    cross-customer pairs inside oversized blocks — the standard,
-    documented skew trade. Work per block is capped at
-    ~max(cap, width/n_nations)^2 instead of width^2; everything stays
-    two broadcast joins + one equi-join, no new shuffle.
+    aggregate (broadcast back); a block wider than _ER_BLOCK_CAP (16)
+    joins on a PROGRESSIVELY LONGER key — one extra typo-stable name
+    digit per decade of measured width (the typo model only ever
+    touches the LAST character, so digit positions 10-17 of the
+    lowercased name are stable by construction). Each extra digit
+    splits a hot block ~10 ways, so sub-block width — and with it
+    pairs-per-block — stays O(cap) at ANY scale factor. The r7
+    single-level split (blk + nationkey, fixed 25-way) re-entered the
+    quadratic regime one decade later: sub-block width grew linearly
+    again past sf1 and the sf10 exponent measured 1.21. With depth
+    adaptive the pair OUTPUT is Θ(corpus · cap) — the exponent a
+    linear-output query should have.
+
+    True links keep 100% recall BY CONSTRUCTION at every depth: a
+    customer's clean and dirty rows agree on all stable digits AND on
+    the measured width of their shared base block, so they always
+    land in the same refined block; refinement can only drop
+    coincidental cross-customer pairs inside oversized blocks — the
+    standard, documented skew trade (r8 NOTE: that coincidental-pair
+    set is intentionally smaller than r7's nationkey split; the
+    oracle mirrors the depth rule and
+    tests/test_extended.py::test_er_refined_invariants pins recall
+    and pair-subset against the unrefined query). Everything stays
+    one tiny broadcast aggregate + one equi-join — no new shuffle.
     """
     cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_nationkey", F.lower(F.trim("c_name")).alias("name")
+        "c_custkey", F.lower(F.trim("c_name")).alias("name")
     )
     k = F.col("c_custkey")
     dirty = (
@@ -321,16 +336,24 @@ def er_blocking_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("blk")
         .agg(F.count("*").alias("__n"))
     )
-    rk = F.when(
-        F.col("__n") <= _ER_BLOCK_CAP, F.col("blk")
-    ).otherwise(F.concat(F.col("blk"), F.lit("|"), F.col("c_nationkey").cast("string")))
+    # one stable digit of depth per decade of width over the cap:
+    # width ≤ cap → 4 digits, ≤ 10·cap → 5, ≤ 100·cap → 6, … up to
+    # the full 8-digit stable prefix (positions 10-17).
+    n = F.col("__n")
+    rk = (
+        F.when(n <= _ER_BLOCK_CAP, F.expr("substring(name, 14, 4)"))
+        .when(n <= 10 * _ER_BLOCK_CAP, F.expr("substring(name, 13, 5)"))
+        .when(n <= 100 * _ER_BLOCK_CAP, F.expr("substring(name, 12, 6)"))
+        .when(n <= 1000 * _ER_BLOCK_CAP, F.expr("substring(name, 11, 7)"))
+        .otherwise(F.expr("substring(name, 10, 8)"))
+    )
     a = (
-        cust.select("c_custkey", "c_nationkey", "name", blk.alias("blk"))
+        cust.select("c_custkey", "name", blk.alias("blk"))
         .join(F.broadcast(sizes), "blk")
         .select(F.col("c_custkey").alias("id_a"), F.col("name").alias("name_a"), rk.alias("rk"))
     )
     b = (
-        cust.select("c_custkey", "c_nationkey", dirty.alias("name"), blk.alias("blk"))
+        cust.select("c_custkey", dirty.alias("name"), blk.alias("blk"))
         .join(F.broadcast(sizes), "blk")
         .select(F.col("c_custkey").alias("id_b"), F.col("name").alias("name_b"), rk.alias("rk"))
     )
@@ -751,11 +774,11 @@ ORACLES = {
     """,
     "er_blocking_refined": """
         WITH c AS (
-          SELECT c_custkey, c_nationkey, lower(trim(c_name)) AS name,
+          SELECT c_custkey, lower(trim(c_name)) AS name,
                  substr(lower(trim(c_name)), 14, 4) AS blk
           FROM customer
         ), d AS (
-          SELECT c_custkey, c_nationkey, blk,
+          SELECT c_custkey, blk,
                  CASE WHEN c_custkey % 3 = 0
                         THEN substr(name, 1, length(name) - 1) || 'x'
                       WHEN c_custkey % 3 = 1
@@ -766,14 +789,20 @@ ORACLES = {
           SELECT blk, count(*) AS n FROM c GROUP BY blk
         ), ca AS (
           SELECT c.c_custkey, c.name,
-                 CASE WHEN s.n <= 16 THEN c.blk
-                      ELSE c.blk || '|' || CAST(c.c_nationkey AS VARCHAR)
+                 CASE WHEN s.n <= 16    THEN substr(c.name, 14, 4)
+                      WHEN s.n <= 160   THEN substr(c.name, 13, 5)
+                      WHEN s.n <= 1600  THEN substr(c.name, 12, 6)
+                      WHEN s.n <= 16000 THEN substr(c.name, 11, 7)
+                      ELSE substr(c.name, 10, 8)
                  END AS rk
           FROM c JOIN sz s USING (blk)
         ), db AS (
           SELECT d.c_custkey, d.name,
-                 CASE WHEN s.n <= 16 THEN d.blk
-                      ELSE d.blk || '|' || CAST(d.c_nationkey AS VARCHAR)
+                 CASE WHEN s.n <= 16    THEN substr(d.name, 14, 4)
+                      WHEN s.n <= 160   THEN substr(d.name, 13, 5)
+                      WHEN s.n <= 1600  THEN substr(d.name, 12, 6)
+                      WHEN s.n <= 16000 THEN substr(d.name, 11, 7)
+                      ELSE substr(d.name, 10, 8)
                  END AS rk
           FROM d JOIN sz s USING (blk)
         )

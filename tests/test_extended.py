@@ -62,8 +62,9 @@ def test_er_refined_keeps_all_true_links(spark):
     """Oversized-block refinement may only drop coincidental
     cross-customer pairs: every TRUE link (clean row matched to its
     own dirty twin, id_a == id_b) found by the plain block join must
-    survive refinement — the nationkey extension is constant within a
-    customer, so recall of true links is 100% by construction."""
+    survive refinement — the stable-digit extension is constant
+    within a customer, so recall of true links is 100% by
+    construction."""
     from end_to_end_data_engineering_job_listings_etl_spark.plans.extended import (
         er_blocking_refined,
         er_name_blocking_pairs,
@@ -80,3 +81,42 @@ def test_er_refined_keeps_all_true_links(spark):
         if r["id_a"] == r["id_b"]
     }
     assert plain and plain <= refined
+
+
+def test_er_refined_invariants(spark, tmp_path):
+    """Adaptive-DEPTH refinement (r8). The dense low custkeys of the
+    tiny SFs leave every stable high digit at '0', so depth can't
+    split there; this corpus spreads keys so digit d4 discriminates:
+    keys a·10⁵+70+j (a∈0..5, j∈0..9) all share base block d5-8 =
+    '0007' (width 60 > cap 16) and refine one level to 5 digits,
+    splitting on d4 into six 10-wide sub-blocks — the exact shape an
+    sf10 hot block has. Invariants: (a) 100% true-link recall — a
+    customer's clean and dirty rows agree on all stable digits and on
+    the measured base-block width, so they always co-locate; (b)
+    refined pairs are a pure SUBSET of the unrefined set (a longer
+    equi-key only drops pairs); (c) the cap actually bit — cross-a
+    lev-1 pairs (e.g. 100070 vs 200070, one digit apart in d4) exist
+    unrefined and are dropped."""
+    import pandas as pd
+
+    from end_to_end_data_engineering_job_listings_etl_spark.plans import extended
+
+    keys = [a * 100000 + 70 + j for a in range(6) for j in range(10)]
+    pd.DataFrame(
+        {"c_custkey": pd.Series(keys, dtype="int64"),
+         "c_name": [f"Customer#{k:09d}" for k in keys]}
+    ).to_parquet(tmp_path / "customer.parquet", index=False)
+
+    refined = {
+        (r["id_a"], r["id_b"], r["lev"])
+        for r in extended.er_blocking_refined(spark, str(tmp_path)).collect()
+    }
+    plain = {
+        (r["id_a"], r["id_b"], r["lev"])
+        for r in extended.er_name_blocking_pairs(spark, str(tmp_path)).collect()
+    }
+    true_links = {t for t in plain if t[0] == t[1]}
+    assert len(true_links) == len(keys) and true_links <= refined
+    assert refined <= plain
+    # the cap actually bit: cross-sub-block coincidental pairs dropped
+    assert len(refined) < len(plain)
