@@ -411,14 +411,27 @@ def op_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The spec is the bare BETWEEN join (probe orders x lineitems shipped
+# within [o_orderdate, +31d)); stated here through the standard
+# eager-aggregation identity — sum over a join whose predicate reads
+# ONLY l_shipdate equals the join of per-shipdate partial sums — so
+# the oracle stays O(probes · days-in-window) instead of
+# O(probes · lineitems-in-window). The raw-BETWEEN formulation
+# measured quadratic across decades (6.5 s at sf1 → ~10 min at sf10,
+# r8) with values identical by construction; DuckDB SUMs of BIGINT
+# widen to HUGEINT, hence the outer BIGINT casts.
 _RANGE_JOIN_ORACLE = """
-SELECT o.o_orderkey, COUNT(*) AS n_shipped,
-       CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT)
-         AS sum_price_e2
+WITH li AS (
+  SELECT l_shipdate, COUNT(*) AS cnt,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS s_e2
+  FROM lineitem GROUP BY l_shipdate
+)
+SELECT o.o_orderkey, CAST(SUM(li.cnt) AS BIGINT) AS n_shipped,
+       CAST(SUM(li.s_e2) AS BIGINT) AS sum_price_e2
 FROM orders o
-JOIN lineitem l
-  ON l.l_shipdate >= o.o_orderdate
- AND l.l_shipdate < o.o_orderdate + INTERVAL 31 DAY
+JOIN li
+  ON li.l_shipdate >= o.o_orderdate
+ AND li.l_shipdate < o.o_orderdate + INTERVAL 31 DAY
 WHERE o.o_orderkey % 97 = 0
 GROUP BY o.o_orderkey"""
 
