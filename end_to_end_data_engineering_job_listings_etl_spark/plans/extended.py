@@ -364,6 +364,33 @@ def er_blocking_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def er_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BOUNDED-OUTPUT production default for the ER family (r7
+    verdict weak #2): per DIRTY record, its single best clean link —
+    lowest Levenshtein within the refined block, ties → lowest clean
+    id — the (record → canonical match) shape real linkage pipelines
+    emit. Output is ≤ 1 row per dirty record, so it is O(N) BY
+    CONSTRUCTION no matter how duplicate-heavy the blocks get; the
+    candidate stage is the same adaptive-depth refined blocking as
+    ``er_blocking_refined`` (pairs-per-block O(cap) at any scale),
+    and the reduction is ``min(struct(lev, id_a))`` per dirty id — an
+    associative partial aggregate (map-side combine), NOT a sort
+    window, so no per-key ordering shuffle survives the agg.
+
+    Dirty records with no candidate under the lev cap are dropped
+    (inner semantics — the unlinked-residual report is a trivial
+    anti-join the caller owns). True links keep 100% recall by the
+    refined-blocking construction, so on this fixture every dirty
+    record links and the best match is its own clean twin whenever
+    the typo model leaves it within lev ≤ 2 of itself."""
+    pairs = er_blocking_refined(spark, sf_dir)
+    return (
+        pairs.groupBy("id_b")
+        .agg(F.min(F.struct("lev", "id_a")).alias("m"))
+        .select("id_b", F.col("m.id_a").alias("id_a"), F.col("m.lev").alias("lev"))
+    )
+
+
 def agg_listagg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LISTAGG / string_agg surface with a deterministic order:
     comma-joined sorted nation names per region. collect_list's
@@ -609,6 +636,7 @@ QUERIES = {
     "agg_price_histogram": agg_price_histogram,
     "er_name_blocking_pairs": er_name_blocking_pairs,
     "er_blocking_refined": er_blocking_refined,
+    "er_best_match": er_best_match,
     "agg_pivot_events": agg_pivot_events,
     "agg_unpivot_events": agg_unpivot_events,
     "dim_company_bucketed": dim_company_bucketed,
@@ -810,6 +838,52 @@ ORACLES = {
                CAST(levenshtein(a.name, b.name) AS INTEGER) AS lev
         FROM ca a JOIN db b USING (rk)
         WHERE levenshtein(a.name, b.name) <= 2
+    """,
+    "er_best_match": """
+        WITH c AS (
+          SELECT c_custkey, lower(trim(c_name)) AS name,
+                 substr(lower(trim(c_name)), 14, 4) AS blk
+          FROM customer
+        ), d AS (
+          SELECT c_custkey, blk,
+                 CASE WHEN c_custkey % 3 = 0
+                        THEN substr(name, 1, length(name) - 1) || 'x'
+                      WHEN c_custkey % 3 = 1
+                        THEN name || substr(name, length(name), 1)
+                      ELSE name END AS name
+          FROM c
+        ), sz AS (
+          SELECT blk, count(*) AS n FROM c GROUP BY blk
+        ), ca AS (
+          SELECT c.c_custkey, c.name,
+                 CASE WHEN s.n <= 16    THEN substr(c.name, 14, 4)
+                      WHEN s.n <= 160   THEN substr(c.name, 13, 5)
+                      WHEN s.n <= 1600  THEN substr(c.name, 12, 6)
+                      WHEN s.n <= 16000 THEN substr(c.name, 11, 7)
+                      ELSE substr(c.name, 10, 8)
+                 END AS rk
+          FROM c JOIN sz s USING (blk)
+        ), db AS (
+          SELECT d.c_custkey, d.name,
+                 CASE WHEN s.n <= 16    THEN substr(d.name, 14, 4)
+                      WHEN s.n <= 160   THEN substr(d.name, 13, 5)
+                      WHEN s.n <= 1600  THEN substr(d.name, 12, 6)
+                      WHEN s.n <= 16000 THEN substr(d.name, 11, 7)
+                      ELSE substr(d.name, 10, 8)
+                 END AS rk
+          FROM d JOIN sz s USING (blk)
+        ), pairs AS (
+          SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                 levenshtein(a.name, b.name) AS lev
+          FROM ca a JOIN db b USING (rk)
+          WHERE levenshtein(a.name, b.name) <= 2
+        )
+        SELECT id_b, id_a, CAST(lev AS INTEGER) AS lev FROM (
+          SELECT id_b, id_a, lev,
+                 row_number() OVER (PARTITION BY id_b
+                                    ORDER BY lev, id_a) AS rn
+          FROM pairs
+        ) WHERE rn = 1
     """,
     "er_name_blocking_pairs": """
         WITH c AS (
