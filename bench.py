@@ -38,9 +38,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from end_to_end_data_engineering_job_listings_etl_spark import registry  # noqa: E402
 from end_to_end_data_engineering_job_listings_etl_spark.session import get_spark  # noqa: E402
 
-# Headline = the timed denominator (121 of 253 registered queries).
+# Headline = the timed denominator (122 of 257 registered queries).
 # A registered query is OMITTED from the headline iff it falls in one
-# of four classes (every omission is one of these — the remaining 132
+# of four classes (every omission is one of these — the remaining 135
 # names are enumerable from registry.all_queries() minus HEADLINE):
 #   1. plan-sharing twin: same physical plan as a timed name, kept
 #      only to lock a distinct public API entry point or an oracle
@@ -58,7 +58,7 @@ from end_to_end_data_engineering_job_listings_etl_spark.session import get_spark
 #      a constant slice so timing is meaningless at any SF
 #      (er_name_blocking_pairs' bounded demo, _JACCARD_MAX_ID demos).
 # The artifact carries this criterion plus the omitted count, so the
-# "121 of 253 timed" split is self-explaining.
+# "122 of 257 timed" split is self-explaining.
 OMISSION_CRITERIA = (
     "omitted = plan-sharing twin | fixed-overhead floor (<100ms dim/"
     "scalar demo) | harness-bound transport fixture | constant-slice "
@@ -205,6 +205,12 @@ HEADLINE = [
     "rag_mmr_rerank",
     "dd_soft_dedup_weights",
     "text_boilerplate_lines",
+    # round-8 addition: the bounded-output ER production default —
+    # banked the round it lands. (The three stream_*_multibatch
+    # variants stay omitted under classes 1+3: same logical plans as
+    # their timed single-batch twins, wall time dominated by the
+    # sliced-landing staging + per-file trigger plumbing.)
+    "er_best_match",
 ]
 
 # Queries that share a per-(session, sf_dir) memo cache: the FIRST

@@ -713,9 +713,16 @@ def src_jdbc_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_unsafe"),
     )
-    staged.coalesce(1).write.mode("overwrite").option("header", False).csv(stage)
+    # No coalesce(1): every input partition writes its own CSV file in
+    # parallel (r7 verdict ask #3 — the single-task stage serialized
+    # 15M rows through one writer at sf10), then one
+    # SYSCS_IMPORT_TABLE call per file appends it (mode 0 = INSERT).
+    # The parallel win is the STAGE side; the import calls stay serial
+    # driver-side because embedded Derby serializes same-table writers
+    # anyway (measured in r5 — parallel connections were flat).
+    staged.write.mode("overwrite").option("header", False).csv(stage)
     try:
-        parts = glob.glob(os.path.join(stage, "part-*.csv"))
+        parts = sorted(glob.glob(os.path.join(stage, "part-*.csv")))
         if not parts:
             raise FileNotFoundError(
                 f"JDBC stage wrote no part file under {stage} — "
@@ -727,7 +734,6 @@ def src_jdbc_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "backslash escaping differs from Derby's doubled-quote "
                 "convention — widen the import contract before loading"
             )
-        csv_file = parts[0]
         jvm = spark._jvm
         jvm.java.lang.Class.forName(driver)
         conn = jvm.java.sql.DriverManager.getConnection(url)
@@ -747,14 +753,15 @@ def src_jdbc_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
             cs = conn.prepareCall(
                 "CALL SYSCS_UTIL.SYSCS_IMPORT_TABLE (?, ?, ?, ?, ?, ?, ?)"
             )
-            cs.setString(1, "APP")
-            cs.setString(2, "ORDERS_LANDING")
-            cs.setString(3, csv_file)
-            cs.setString(4, None)
-            cs.setString(5, None)
-            cs.setString(6, None)
-            cs.setInt(7, 0)
-            cs.execute()
+            for csv_file in parts:
+                cs.setString(1, "APP")
+                cs.setString(2, "ORDERS_LANDING")
+                cs.setString(3, csv_file)
+                cs.setString(4, None)
+                cs.setString(5, None)
+                cs.setString(6, None)
+                cs.setInt(7, 0)  # 0 = append, so per-file imports compose
+                cs.execute()
         finally:
             conn.close()
     finally:
@@ -828,13 +835,36 @@ def agg_approx_distinct_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ sketch accuracy under the hash gate: exact distinct counts
     plus booleans asserting the sketch landed within 5% relative error
     (rsd=0.02). The oracle pins the exact counts and TRUE — a drifting
-    sketch fails the gate, not just a pytest."""
+    sketch fails the gate, not just a pytest.
+
+    Memory shape (r7 verdict ask #4): two count_distincts in ONE
+    aggregate made Catalyst plan an Expand (every row duplicated per
+    distinct column) feeding one stage that holds both exact hash sets
+    AND the HLL buffers — at 60M rows that stage OOMed a 16g local
+    JVM. Each exact count now runs as its own column-pruned
+    ``distinct → count`` (partial distinct per partition, shuffle on
+    the key, mergeable final count — the standard partitioned exact
+    NDV), the sketches run in one narrow pass, and the three one-row
+    frames broadcast-join. No Expand, no multi-set stage; every hash
+    map is per-key-partition and spillable, so the sf10 gate fits the
+    default heap."""
     li = load_table(spark, sf_dir, "lineitem")
-    agg = li.agg(
-        F.count_distinct("l_partkey").alias("exact_parts"),
-        F.count_distinct("l_orderkey").alias("exact_orders"),
+    exact_parts = (
+        li.select("l_partkey")
+        .distinct()
+        .agg(F.count("*").alias("exact_parts"))
+    )
+    exact_orders = (
+        li.select("l_orderkey")
+        .distinct()
+        .agg(F.count("*").alias("exact_orders"))
+    )
+    sketches = li.agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("ap"),
         F.approx_count_distinct("l_orderkey", 0.02).alias("ao"),
+    )
+    agg = exact_parts.crossJoin(F.broadcast(exact_orders)).crossJoin(
+        F.broadcast(sketches)
     )
     return agg.select(
         "exact_parts",

@@ -31,8 +31,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..streaming.watermark import (
+    drain_counted,
     events_stream_dir,
     run_to_memory_sink,
+    sliced_stage_dir,
     stream_events,
 )
 
@@ -201,11 +203,170 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.table(name)
 
 
+_N_SLICES = 4
+
+
+def _events_sliced(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """Events staged as ≥4 event-time-ordered parquet slices (see
+    sliced_stage_dir): one file per micro-batch under
+    maxFilesPerTrigger=1, watermark advancing between batches, no row
+    ever late."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sliced_stage_dir(ev, ["ts"], _N_SLICES, prefix="events_mb_")
+
+
+def stream_dedup_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``stream_dedup_within_watermark`` drained across ≥4 watermark-
+    advancing micro-batches (r7 verdict ask #7 — the single-batch
+    variants never carry state between triggers). Each batch's
+    duplicates of keys FIRST SEEN IN EARLIER BATCHES must be
+    suppressed by state restored from the previous trigger — the
+    cross-batch contract a one-batch drain can't exercise. The delay
+    (60 days) spans the fixture, so no state evicts mid-drain and the
+    result still equals batch DISTINCT — same oracle as the
+    single-batch plan. The batch count is asserted live."""
+    name = f"stream_ddmb_{uuid.uuid4().hex[:8]}"
+    ckpt = scratch_dir(prefix="ckpt_ddmb_")
+    src, n_files = _events_sliced(spark, sf_dir)
+    ev = stream_events(spark, src, max_files_per_trigger=1)
+    deduped = (
+        ev.select("user_id", "event_type", "ts")
+        .withWatermark("ts", "60 days")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    n_batches = drain_counted(q)
+    if n_batches < _N_SLICES:
+        raise RuntimeError(
+            f"multi-batch dedup drained in {n_batches} batches "
+            f"(< {_N_SLICES}) — the cross-batch contract was not exercised"
+        )
+    return spark.table(name)
+
+
+def stream_session_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows drained across ≥4 micro-batches in APPEND mode —
+    the one emission mode where mid-drain watermark advancement
+    actually EVICTS state (a session is emitted and dropped once the
+    watermark passes its end), unlike the complete-mode single-batch
+    twin (``stream_session_counts``) which retains everything.
+
+    Equality argument: with in-order slices (sliced_stage_dir) an
+    emitted session can never be extended later — a future event is ≥
+    the watermark + delay (2 h), which is ≥ the emitted session's end
+    + 2 h, far beyond the 30-minute merge gap — so early emission is
+    safe and the multi-batch append result equals the single-batch
+    append result: all sessions whose end the CLOSING watermark
+    (max ts − 2 h) passed. The oracle is the batch sessionization with
+    exactly that cutoff; the tail sessions still open at close are
+    withheld BY CONTRACT (append semantics), which is the part of the
+    streaming surface the complete-mode twin can't show."""
+    name = f"stream_sessmb_{uuid.uuid4().hex[:8]}"
+    ckpt = scratch_dir(prefix="ckpt_sessmb_")
+    src, n_files = _events_sliced(spark, sf_dir)
+    ev = stream_events(spark, src, max_files_per_trigger=1)
+    agg = (
+        ev.withWatermark("ts", _WM)
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    n_batches = drain_counted(q)
+    if n_batches < _N_SLICES:
+        raise RuntimeError(
+            f"multi-batch session drain ran {n_batches} batches "
+            f"(< {_N_SLICES}) — eviction was not exercised"
+        )
+    return spark.table(name)
+
+
+def stream_cdc_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``stream_cdc_apply`` with the changelog sliced into ≥4
+    micro-batches, range-ordered on exactly the latest-wins order
+    columns (o_orderdate, o_orderkey) — so per-batch latest-wins
+    provably composes to global latest-wins (any later batch's change
+    for a key orders above any earlier batch's, the property real
+    binlog feeds have). Each batch's foreachBatch merge reads the
+    snapshot the PREVIOUS batch persisted — cross-batch state through
+    the table, not operator memory. Same fixture, same oracle as the
+    batch ``inc_cdc_apply`` and the single-batch stream."""
+    import os
+    import shutil
+
+    from ..operators.incremental import apply_cdc
+    from .functional import cdc_fixture
+
+    target = os.path.join(tempfile.gettempdir(), "stream_cdc_mb_base")
+    shutil.rmtree(target, ignore_errors=True)
+    ckpt = scratch_dir(prefix="ckpt_cdcmb_")
+
+    base, changes = cdc_fixture(spark, sf_dir)
+    base.write.mode("overwrite").parquet(target)
+    stage, n_files = sliced_stage_dir(
+        changes, ["o_orderdate", "o_orderkey"], _N_SLICES, prefix="cdc_mb_feed_"
+    )
+
+    feed = (
+        spark.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+    def apply_batch(bdf: DataFrame, _batch_id: int) -> None:
+        s = bdf.sparkSession
+        existing = s.read.parquet(target)
+        merged = apply_cdc(
+            existing, bdf, "c_custkey", ("o_orderdate", "o_orderkey")
+        )
+        out = target + "__tmp"
+        merged.write.mode("overwrite").parquet(out)
+        shutil.rmtree(target, ignore_errors=True)
+        os.rename(out, target)
+
+    q = (
+        feed.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    n_batches = drain_counted(q)
+    if n_batches < _N_SLICES:
+        raise RuntimeError(
+            f"multi-batch CDC drain ran {n_batches} batches "
+            f"(< {_N_SLICES}) — cross-batch composition was not exercised"
+        )
+    return spark.read.parquet(target).orderBy("c_custkey")
+
+
 QUERIES = {
     "stream_chained_window_agg": stream_chained_window_agg,
     "stream_leftouter_interval_join": stream_leftouter_interval_join,
     "stream_fullouter_interval_join": stream_fullouter_interval_join,
     "stream_dedup_within_watermark": stream_dedup_within_watermark,
+    "stream_dedup_multibatch": stream_dedup_multibatch,
+    "stream_session_multibatch": stream_session_multibatch,
+    "stream_cdc_multibatch": stream_cdc_multibatch,
 }
 
 # Closing watermark for single-stream queries: max(ts) - delay.
@@ -302,4 +463,40 @@ ORACLES = {
     "stream_dedup_within_watermark": """
         SELECT DISTINCT user_id, event_type FROM events
     """,
+    # same answer as the single-batch plan — the multi-batch drain must
+    # not change it (in-order slices, no eviction under the 60-day delay)
+    "stream_dedup_multibatch": """
+        SELECT DISTINCT user_id, event_type FROM events
+    """,
+    # batch sessionization (end-exclusive >= gap rule, as
+    # stream_session_counts) restricted to sessions the CLOSING
+    # watermark emitted — append-mode semantics; the mid-drain
+    # emissions must union to exactly this set
+    "stream_session_multibatch": f"""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessed AS (
+          SELECT user_id, ts,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM flagged
+        )
+        SELECT min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               user_id,
+               count(*) AS n_events
+        FROM sessed GROUP BY user_id, session_id
+        HAVING max(ts) + INTERVAL 30 MINUTE <= {_CLOSE_WM}
+    """,
 }
+
+# the CDC multi-batch drain must land on exactly the one-shot batch
+# merge — same oracle as inc_cdc_apply / stream_cdc_apply
+from .functional import ORACLES as _FUNCTIONAL_ORACLES  # noqa: E402
+
+ORACLES["stream_cdc_multibatch"] = _FUNCTIONAL_ORACLES["inc_cdc_apply"]

@@ -6,12 +6,16 @@
 # digest oracle compare, in batches of <=47 so a single JVM failure
 # costs one batch, then merges into one artifact.
 #
-# Operational notes proven in round 7:
-#   - 32g driver heap: agg_approx_distinct_checked's exact-distinct
-#     verification over 60M lineitem rows OOMs a 16g JVM's read-ahead
-#     threads, and one OOM poisons every later query in the process
-#     (instant sub-second FAILs). Cascade FAILs after an OOM are not
-#     real — re-run them in a fresh process.
+# Operational notes proven in rounds 7-8:
+#   - 16g driver heap suffices since r8 (verdict ask #4):
+#     agg_approx_distinct_checked's dual count_distinct used to plan
+#     an Expand feeding one stage holding both exact hash sets + HLL
+#     buffers, which OOMed a 16g JVM at 60M rows and needed a 32g
+#     heroic heap; each exact NDV is now its own column-pruned
+#     distinct->count (partitioned, spillable), so the gate runs in
+#     16g. If an OOM ever recurs: one OOM poisons every later query
+#     in the process (instant sub-second FAILs) — cascade FAILs after
+#     an OOM are not real, re-run them in a fresh process.
 #   - ORACLE_MEM caps DuckDB so a heavy oracle spills to
 #     /tmp/duckdb_spill instead of racing the JVM for the box.
 #   - Excluded by documented design (see sweep_r7_sf10.json note):
@@ -43,7 +47,8 @@ EOF
 first=1
 for f in /tmp/sf10_full_b*.txt; do
   b="${f##*_}"; b="${b%.txt}"
-  SWEEP_ROUND="${SWEEP_ROUND:-7}" SPARK_GRAFT_DRIVER_MEM=32g \
+  SWEEP_ROUND="${SWEEP_ROUND:-7}" \
+  SPARK_GRAFT_DRIVER_MEM="${SPARK_GRAFT_DRIVER_MEM:-16g}" \
   SWEEP_CPUS="${SWEEP_CPUS:-24}" ORACLE_MEM="${ORACLE_MEM:-32GB}" \
   python scripts_dev/sweep_all.py --sf-dir /tmp/sf10 \
     --out "/tmp/sweep_sf10_full_$b.json" $(cat "$f")
