@@ -289,40 +289,52 @@ _ER_BLOCK_CAP = 16  # refine any block wider than this
 
 
 def er_blocking_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ER blocking with ADAPTIVE-DEPTH OVERSIZED-BLOCK REFINEMENT —
-    the production answer to the quadratic blowup the plain block
-    join shows on duplicate-heavy data (r5 sf1 bench:
+    """ER blocking with OVERSIZED-BLOCK REFINEMENT TO THE FULL STABLE
+    PREFIX — the production answer to the quadratic blowup the plain
+    block join shows on duplicate-heavy data (r5 sf1 bench:
     er_name_blocking_pairs went 80x over 10x data because every name
     block widened 10x and pair count is quadratic in block width).
 
     Mechanism: measure block widths on the clean side in one tiny
     aggregate (broadcast back); a block wider than _ER_BLOCK_CAP (16)
-    joins on a PROGRESSIVELY LONGER key — one extra typo-stable name
-    digit per decade of measured width (the typo model only ever
-    touches the LAST character, so digit positions 10-17 of the
-    lowercased name are stable by construction). Each extra digit
-    splits a hot block ~10 ways, so sub-block width — and with it
-    pairs-per-block — stays O(cap) at ANY scale factor. The r7
-    single-level split (blk + nationkey, fixed 25-way) re-entered the
-    quadratic regime one decade later: sub-block width grew linearly
-    again past sf1 and the sf10 exponent measured 1.21. With depth
-    adaptive the pair OUTPUT is Θ(corpus · cap) — the exponent a
-    linear-output query should have.
+    joins on ALL EIGHT typo-stable name digits (the typo model only
+    ever touches the LAST character, so positions 10-17 of the
+    lowercased name are stable by construction) PLUS a stable record
+    ATTRIBUTE (nationkey) — the multi-attribute blocking real linkage
+    pipelines use. The full prefix splits last-digit neighborhoods
+    where digits carry entropy; the attribute splits records whose
+    names collide entirely (distinct customers with equal stable
+    digits). What remains co-blocked is records agreeing on every
+    stable name digit AND the attribute — on duplicate-heavy data
+    that is the verbatim-copy multiplicity itself, i.e. pairs that
+    genuinely ARE lev≤2 matches: the refined pair count tracks the
+    OUTPUT, the best any blocking can do without dropping true links.
 
-    True links keep 100% recall BY CONSTRUCTION at every depth: a
-    customer's clean and dirty rows agree on all stable digits AND on
+    (History: the r7 key was base-block + nationkey only — it
+    re-entered the quadratic regime once block width outgrew the
+    25-way nation split, sf10 exponent 1.21. The first r8 attempt
+    instead lengthened the digit key by one per decade of width,
+    assuming every digit splits ~10 ways — false when the next digit
+    carries no entropy, e.g. the 10^5 digit at sf1 key ranges, where
+    it regressed the sf1 bench 14 s → 97 s on ~100-wide sub-blocks;
+    and NO name-derived key can separate verbatim copies. Prefix +
+    attribute subsumes both: digits and the attribute each split
+    where they have signal, and the residual is output-driven.)
+
+    True links keep 100% recall BY CONSTRUCTION: a customer's clean
+    and dirty rows agree on all stable digits, on nationkey, AND on
     the measured width of their shared base block, so they always
     land in the same refined block; refinement can only drop
     coincidental cross-customer pairs inside oversized blocks — the
-    standard, documented skew trade (r8 NOTE: that coincidental-pair
-    set is intentionally smaller than r7's nationkey split; the
-    oracle mirrors the depth rule and
+    standard, documented skew trade (the oracle mirrors the rule and
     tests/test_extended.py::test_er_refined_invariants pins recall
     and pair-subset against the unrefined query). Everything stays
     one tiny broadcast aggregate + one equi-join — no new shuffle.
     """
     cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", F.lower(F.trim("c_name")).alias("name")
+        "c_custkey",
+        F.lower(F.trim("c_name")).alias("name"),
+        F.col("c_nationkey").cast("long").alias("nat"),
     )
     k = F.col("c_custkey")
     dirty = (
@@ -336,24 +348,23 @@ def er_blocking_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("blk")
         .agg(F.count("*").alias("__n"))
     )
-    # one stable digit of depth per decade of width over the cap:
-    # width ≤ cap → 4 digits, ≤ 10·cap → 5, ≤ 100·cap → 6, … up to
-    # the full 8-digit stable prefix (positions 10-17).
+    # width ≤ cap → the 4-digit base block; wider → the full 8-digit
+    # stable prefix (positions 10-17) + the nationkey attribute.
     n = F.col("__n")
-    rk = (
-        F.when(n <= _ER_BLOCK_CAP, F.expr("substring(name, 14, 4)"))
-        .when(n <= 10 * _ER_BLOCK_CAP, F.expr("substring(name, 13, 5)"))
-        .when(n <= 100 * _ER_BLOCK_CAP, F.expr("substring(name, 12, 6)"))
-        .when(n <= 1000 * _ER_BLOCK_CAP, F.expr("substring(name, 11, 7)"))
-        .otherwise(F.expr("substring(name, 10, 8)"))
+    rk = F.when(n <= _ER_BLOCK_CAP, F.expr("substring(name, 14, 4)")).otherwise(
+        F.concat(
+            F.expr("substring(name, 10, 8)"),
+            F.lit("|"),
+            F.col("nat").cast("string"),
+        )
     )
     a = (
-        cust.select("c_custkey", "name", blk.alias("blk"))
+        cust.select("c_custkey", "name", "nat", blk.alias("blk"))
         .join(F.broadcast(sizes), "blk")
         .select(F.col("c_custkey").alias("id_a"), F.col("name").alias("name_a"), rk.alias("rk"))
     )
     b = (
-        cust.select("c_custkey", dirty.alias("name"), blk.alias("blk"))
+        cust.select("c_custkey", dirty.alias("name"), "nat", blk.alias("blk"))
         .join(F.broadcast(sizes), "blk")
         .select(F.col("c_custkey").alias("id_b"), F.col("name").alias("name_b"), rk.alias("rk"))
     )
@@ -802,11 +813,11 @@ ORACLES = {
     """,
     "er_blocking_refined": """
         WITH c AS (
-          SELECT c_custkey, lower(trim(c_name)) AS name,
+          SELECT c_custkey, c_nationkey, lower(trim(c_name)) AS name,
                  substr(lower(trim(c_name)), 14, 4) AS blk
           FROM customer
         ), d AS (
-          SELECT c_custkey, blk,
+          SELECT c_custkey, c_nationkey, blk,
                  CASE WHEN c_custkey % 3 = 0
                         THEN substr(name, 1, length(name) - 1) || 'x'
                       WHEN c_custkey % 3 = 1
@@ -817,20 +828,16 @@ ORACLES = {
           SELECT blk, count(*) AS n FROM c GROUP BY blk
         ), ca AS (
           SELECT c.c_custkey, c.name,
-                 CASE WHEN s.n <= 16    THEN substr(c.name, 14, 4)
-                      WHEN s.n <= 160   THEN substr(c.name, 13, 5)
-                      WHEN s.n <= 1600  THEN substr(c.name, 12, 6)
-                      WHEN s.n <= 16000 THEN substr(c.name, 11, 7)
-                      ELSE substr(c.name, 10, 8)
+                 CASE WHEN s.n <= 16 THEN substr(c.name, 14, 4)
+                      ELSE substr(c.name, 10, 8) || '|' ||
+                           CAST(c.c_nationkey AS VARCHAR)
                  END AS rk
           FROM c JOIN sz s USING (blk)
         ), db AS (
           SELECT d.c_custkey, d.name,
-                 CASE WHEN s.n <= 16    THEN substr(d.name, 14, 4)
-                      WHEN s.n <= 160   THEN substr(d.name, 13, 5)
-                      WHEN s.n <= 1600  THEN substr(d.name, 12, 6)
-                      WHEN s.n <= 16000 THEN substr(d.name, 11, 7)
-                      ELSE substr(d.name, 10, 8)
+                 CASE WHEN s.n <= 16 THEN substr(d.name, 14, 4)
+                      ELSE substr(d.name, 10, 8) || '|' ||
+                           CAST(d.c_nationkey AS VARCHAR)
                  END AS rk
           FROM d JOIN sz s USING (blk)
         )
@@ -841,11 +848,11 @@ ORACLES = {
     """,
     "er_best_match": """
         WITH c AS (
-          SELECT c_custkey, lower(trim(c_name)) AS name,
+          SELECT c_custkey, c_nationkey, lower(trim(c_name)) AS name,
                  substr(lower(trim(c_name)), 14, 4) AS blk
           FROM customer
         ), d AS (
-          SELECT c_custkey, blk,
+          SELECT c_custkey, c_nationkey, blk,
                  CASE WHEN c_custkey % 3 = 0
                         THEN substr(name, 1, length(name) - 1) || 'x'
                       WHEN c_custkey % 3 = 1
@@ -856,20 +863,16 @@ ORACLES = {
           SELECT blk, count(*) AS n FROM c GROUP BY blk
         ), ca AS (
           SELECT c.c_custkey, c.name,
-                 CASE WHEN s.n <= 16    THEN substr(c.name, 14, 4)
-                      WHEN s.n <= 160   THEN substr(c.name, 13, 5)
-                      WHEN s.n <= 1600  THEN substr(c.name, 12, 6)
-                      WHEN s.n <= 16000 THEN substr(c.name, 11, 7)
-                      ELSE substr(c.name, 10, 8)
+                 CASE WHEN s.n <= 16 THEN substr(c.name, 14, 4)
+                      ELSE substr(c.name, 10, 8) || '|' ||
+                           CAST(c.c_nationkey AS VARCHAR)
                  END AS rk
           FROM c JOIN sz s USING (blk)
         ), db AS (
           SELECT d.c_custkey, d.name,
-                 CASE WHEN s.n <= 16    THEN substr(d.name, 14, 4)
-                      WHEN s.n <= 160   THEN substr(d.name, 13, 5)
-                      WHEN s.n <= 1600  THEN substr(d.name, 12, 6)
-                      WHEN s.n <= 16000 THEN substr(d.name, 11, 7)
-                      ELSE substr(d.name, 10, 8)
+                 CASE WHEN s.n <= 16 THEN substr(d.name, 14, 4)
+                      ELSE substr(d.name, 10, 8) || '|' ||
+                           CAST(d.c_nationkey AS VARCHAR)
                  END AS rk
           FROM d JOIN sz s USING (blk)
         ), pairs AS (

@@ -84,19 +84,19 @@ def test_er_refined_keeps_all_true_links(spark):
 
 
 def test_er_refined_invariants(spark, tmp_path):
-    """Adaptive-DEPTH refinement (r8). The dense low custkeys of the
-    tiny SFs leave every stable high digit at '0', so depth can't
-    split there; this corpus spreads keys so digit d4 discriminates:
-    keys a·10⁵+70+j (a∈0..5, j∈0..9) all share base block d5-8 =
-    '0007' (width 60 > cap 16) and refine one level to 5 digits,
-    splitting on d4 into six 10-wide sub-blocks — the exact shape an
-    sf10 hot block has. Invariants: (a) 100% true-link recall — a
-    customer's clean and dirty rows agree on all stable digits and on
-    the measured base-block width, so they always co-locate; (b)
-    refined pairs are a pure SUBSET of the unrefined set (a longer
-    equi-key only drops pairs); (c) the cap actually bit — cross-a
-    lev-1 pairs (e.g. 100070 vs 200070, one digit apart in d4) exist
-    unrefined and are dropped."""
+    """Oversized-block refinement to (full stable prefix + nationkey)
+    (r8). Keys a·10⁵+70+j (a∈0..5, j∈0..9) all share base block d5-8 =
+    '0007' (width 60 > cap 16) and refine to the 8-digit stable
+    prefix + nation: the prefix splits on d4 into six 10-wide
+    sub-blocks (the shape a hot block has when digits carry entropy),
+    and nationkey = a % 3 additionally exercises the attribute leg of
+    the key. Invariants: (a) 100% true-link recall — a customer's
+    clean and dirty rows agree on all stable digits, on nationkey,
+    and on the measured base-block width, so they always co-locate;
+    (b) refined pairs are a pure SUBSET of the unrefined set (a
+    longer equi-key only drops pairs); (c) the cap actually bit —
+    cross-a lev-1 pairs (e.g. 100070 vs 200070, one digit apart in
+    d4) exist unrefined and are dropped."""
     import pandas as pd
 
     from end_to_end_data_engineering_job_listings_etl_spark.plans import extended
@@ -104,7 +104,9 @@ def test_er_refined_invariants(spark, tmp_path):
     keys = [a * 100000 + 70 + j for a in range(6) for j in range(10)]
     pd.DataFrame(
         {"c_custkey": pd.Series(keys, dtype="int64"),
-         "c_name": [f"Customer#{k:09d}" for k in keys]}
+         "c_name": [f"Customer#{k:09d}" for k in keys],
+         "c_nationkey": pd.Series([(k // 100000) % 3 for k in keys],
+                                  dtype="int64")}
     ).to_parquet(tmp_path / "customer.parquet", index=False)
 
     refined = {
@@ -138,7 +140,9 @@ def test_er_best_match_bounded_and_links_self(spark, tmp_path):
     keys = [a * 100000 + 70 + j for a in range(6) for j in range(10)]
     pd.DataFrame(
         {"c_custkey": pd.Series(keys, dtype="int64"),
-         "c_name": [f"Customer#{k:09d}" for k in keys]}
+         "c_name": [f"Customer#{k:09d}" for k in keys],
+         "c_nationkey": pd.Series([(k // 100000) % 3 for k in keys],
+                                  dtype="int64")}
     ).to_parquet(tmp_path / "customer.parquet", index=False)
 
     rows = extended.er_best_match(spark, str(tmp_path)).collect()
