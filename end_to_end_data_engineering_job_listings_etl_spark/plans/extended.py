@@ -331,6 +331,19 @@ def er_blocking_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     and pair-subset against the unrefined query). Everything stays
     one tiny broadcast aggregate + one equi-join — no new shuffle.
     """
+    a, b = _er_refined_sides(spark, sf_dir)
+    return (
+        a.join(b, "rk")
+        .select("id_a", "id_b", F.levenshtein("name_a", "name_b").alias("lev"))
+        .filter(F.col("lev") <= _ER_MAX_LEV)
+    )
+
+
+def _er_refined_sides(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(clean, dirty) sides keyed by the refined block — shared by the
+    all-pairs query and the best-match reduction."""
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         F.lower(F.trim("c_name")).alias("name"),
@@ -368,11 +381,7 @@ def er_blocking_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sizes), "blk")
         .select(F.col("c_custkey").alias("id_b"), F.col("name").alias("name_b"), rk.alias("rk"))
     )
-    return (
-        a.join(b, "rk")
-        .select("id_a", "id_b", F.levenshtein("name_a", "name_b").alias("lev"))
-        .filter(F.col("lev") <= _ER_MAX_LEV)
-    )
+    return a, b
 
 
 def er_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -381,20 +390,37 @@ def er_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     lowest Levenshtein within the refined block, ties → lowest clean
     id — the (record → canonical match) shape real linkage pipelines
     emit. Output is ≤ 1 row per dirty record, so it is O(N) BY
-    CONSTRUCTION no matter how duplicate-heavy the blocks get; the
-    candidate stage is the same adaptive-depth refined blocking as
-    ``er_blocking_refined`` (pairs-per-block O(cap) at any scale),
-    and the reduction is ``min(struct(lev, id_a))`` per dirty id — an
+    CONSTRUCTION no matter how duplicate-heavy the blocks get.
+
+    Candidate stage — linear even on verbatim-duplicate corpora: under
+    the (lev, id_a) lexicographic order, identical clean NAMES are
+    interchangeable except for the id tie-break, and the id tie-break
+    always resolves to the smallest id among them. So the clean side
+    collapses to DISTINCT (rk, name) with min(id) BEFORE the join —
+    values provably identical to joining every copy (min over copies
+    of (lev, id) = (lev, min id) because lev is a function of the name
+    alone), while candidates drop from Θ(N · copies-per-block) to
+    Θ(N · distinct-names-per-block). The all-pairs twin
+    ``er_blocking_refined`` intentionally keeps per-copy pairs (its
+    OUTPUT is the pairs); this query's output is per-record, so its
+    candidate volume can be bounded where the pair query's cannot.
+    The reduction is ``min(struct(lev, id_a))`` per dirty id — an
     associative partial aggregate (map-side combine), NOT a sort
     window, so no per-key ordering shuffle survives the agg.
 
     Dirty records with no candidate under the lev cap are dropped
     (inner semantics — the unlinked-residual report is a trivial
     anti-join the caller owns). True links keep 100% recall by the
-    refined-blocking construction, so on this fixture every dirty
-    record links and the best match is its own clean twin whenever
-    the typo model leaves it within lev ≤ 2 of itself."""
-    pairs = er_blocking_refined(spark, sf_dir)
+    refined-blocking construction: the dirty record's own clean name
+    survives the collapse (some copy of it, carrying an id ≤ its own),
+    so on this fixture every dirty record links."""
+    a, b = _er_refined_sides(spark, sf_dir)
+    a_names = a.groupBy("rk", "name_a").agg(F.min("id_a").alias("id_a"))
+    pairs = (
+        a_names.join(b, "rk")
+        .select("id_b", "id_a", F.levenshtein("name_a", "name_b").alias("lev"))
+        .filter(F.col("lev") <= _ER_MAX_LEV)
+    )
     return (
         pairs.groupBy("id_b")
         .agg(F.min(F.struct("lev", "id_a")).alias("m"))
@@ -875,10 +901,19 @@ ORACLES = {
                            CAST(d.c_nationkey AS VARCHAR)
                  END AS rk
           FROM d JOIN sz s USING (blk)
+        ), ca_names AS (
+          -- identical clean names are interchangeable under the
+          -- (lev, id) order except that the id tie-break picks the
+          -- smallest id among them — so collapsing copies to
+          -- (rk, name, min id) BEFORE the join leaves every dirty
+          -- record's best match unchanged (the engine does the same;
+          -- lev is a function of the name alone)
+          SELECT rk, name, min(c_custkey) AS id_a
+          FROM ca GROUP BY rk, name
         ), pairs AS (
-          SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+          SELECT a.id_a, b.c_custkey AS id_b,
                  levenshtein(a.name, b.name) AS lev
-          FROM ca a JOIN db b USING (rk)
+          FROM ca_names a JOIN db b USING (rk)
           WHERE levenshtein(a.name, b.name) <= 2
         )
         SELECT id_b, id_a, CAST(lev AS INTEGER) AS lev FROM (
