@@ -38,9 +38,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from end_to_end_data_engineering_job_listings_etl_spark import registry  # noqa: E402
 from end_to_end_data_engineering_job_listings_etl_spark.session import get_spark  # noqa: E402
 
-# Headline = the timed denominator (122 of 257 registered queries).
+# Headline = the timed denominator (122 of 258 registered queries).
 # A registered query is OMITTED from the headline iff it falls in one
-# of four classes (every omission is one of these — the remaining 135
+# of four classes (every omission is one of these — the remaining 136
 # names are enumerable from registry.all_queries() minus HEADLINE):
 #   1. plan-sharing twin: same physical plan as a timed name, kept
 #      only to lock a distinct public API entry point or an oracle
@@ -54,11 +54,14 @@ from end_to_end_data_engineering_job_listings_etl_spark.session import get_spark
 #      embedded single-node fixture, not the engine under test
 #      (Derby ingest, driver-side JSON staging, stream drains that
 #      sleep on wall-clock triggers);
-#   4. demonstration bound: queries whose semantics cap the input to
-#      a constant slice so timing is meaningless at any SF
-#      (er_name_blocking_pairs' bounded demo, _JACCARD_MAX_ID demos).
+#   4. demonstration bound: queries whose semantics make timing
+#      meaningless or anti-representative at any SF — constant-slice
+#      demos (_JACCARD_MAX_ID) and er_name_blocking_pairs, whose pair
+#      OUTPUT is quadratic by definition (a documented anti-pattern
+#      demo; its scale twins er_blocking_refined / er_best_match are
+#      the timed representatives — dropped from the headline in r9).
 # The artifact carries this criterion plus the omitted count, so the
-# "122 of 257 timed" split is self-explaining.
+# "122 of 258 timed" split is self-explaining.
 OMISSION_CRITERIA = (
     "omitted = plan-sharing twin | fixed-overhead floor (<100ms dim/"
     "scalar demo) | harness-bound transport fixture | constant-slice "
@@ -112,7 +115,11 @@ HEADLINE = [
     "text_bigram_lm_score",
     "dd_minhash_estimate",
     "graph_pagerank_step",
-    "er_name_blocking_pairs",
+    # er_name_blocking_pairs was timed here through r8 — dropped in r9
+    # (verdict r8 #4): its pair OUTPUT is quadratic by semantics, so
+    # its 95.7 s was 29% of the sf1 headline while measuring a
+    # documented anti-pattern demo, not the engine. Its scale twins
+    # er_blocking_refined and er_best_match are both timed below.
     "sink_zorder_roundtrip",
     "jl_fact_fallback_checked",
     "sql_recursive_month_spine",
@@ -211,6 +218,9 @@ HEADLINE = [
     # their timed single-batch twins, wall time dominated by the
     # sliced-landing staging + per-file trigger plumbing.)
     "er_best_match",
+    # round-9 addition: the unlinked-residual report that completes
+    # the ER production triple (pairs / best-match / residual)
+    "er_unlinked",
 ]
 
 # Queries that share a per-(session, sf_dir) memo cache: the FIRST

@@ -205,8 +205,13 @@ def ivf_assign_blocked(
     scales with the data, no task-closure matrix, no broadcast of the
     centroid set:
 
-    - centroids are hashed into ``ceil(k / block_size)`` blocks of at
-      most ``block_size`` rows (``cid % B``);
+    - centroids are hashed into ``ceil(k / block_size)`` blocks of
+      ``block_size`` expected rows via ``pmod(xxhash64(cid), B)`` —
+      hash-uniform for ARBITRARY cid sets (r8 advice #2: ``cid % B``
+      concentrated residue-sharing cids into one block, silently
+      defeating the per-task memory bound when cids are skewed;
+      xxhash64 keeps the bound in expectation with binomial
+      concentration regardless of the cid distribution);
     - vectors are hashed into ``ceil(N / group_vectors)`` sub-
       partitions and EXPLODED once per centroid block (the honest
       cost of brute-force assignment is O(N·k) FLOPs either way; the
@@ -253,7 +258,7 @@ def ivf_assign_blocked(
         F.col(vec_col).cast("array<double>").alias("v"),
     )
     cent_rows = cents.select(
-        F.pmod(F.col("cid").cast("long"), F.lit(n_blocks))
+        F.pmod(F.xxhash64(F.col("cid").cast("long")), F.lit(n_blocks))
         .cast("int")
         .alias("blk"),
         F.explode(F.sequence(F.lit(0), F.lit(n_vparts - 1))).alias("vpart"),

@@ -285,6 +285,12 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEM_CENTROID_IDS = [0, 7, 13, 42]
 _SEM_THRESHOLD = 0.3
+# Above this corpus size the fixed-k=4 contrast stops being a demo and
+# becomes an O(N²/4) footgun (sf10 exponent 1.88 measured, r6 — 75x
+# its sf1 time); route to the k ∝ N production path instead (r8
+# verdict weak #3). 5000 keeps the pedagogical k=4 shape at the demo
+# SFs (200 / 2000 embeddings) and hands sf0.1+ to sem_dedup_scaled.
+_SEM_FIXED_K_MAX_N = 5000
 
 
 def sem_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -310,8 +316,18 @@ def sem_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_curation.py::test_sem_dedup_threshold_margin — while
     summation-order (reassociation) error on 64-term float64 dots is
     ~1e-15. No pair can flip, so the counts are bit-stable against the
-    fold-left oracle formula."""
+    fold-left oracle formula.
+
+    SIZE GATE (r8 verdict weak #3): the fixed-k=4 contrast is
+    pedagogical — within-cell pair work is O(N²/4), measured exponent
+    1.88 at sf10. Above ``_SEM_FIXED_K_MAX_N`` vectors this query
+    ROUTES TO ``sem_dedup_scaled`` (k ∝ N, target cell ≈ 500 — the
+    production shape, same output contract), so no registered query
+    keeps a super-linear profile a user could hit at scale. The
+    oracle branches on the same corpus-size scalar."""
     emb = load_table_dist(spark, sf_dir, "embeddings", cols=("vec_id", "embedding"))
+    if emb.count() > _SEM_FIXED_K_MAX_N:
+        return sem_dedup_scaled(spark, sf_dir)
     rows = (
         emb.filter(F.col("vec_id").isin(_SEM_CENTROID_IDS))
         .select("vec_id", "embedding")
@@ -542,12 +558,30 @@ ORACLES = {
     "sem_dedup_clusters": f"""
         WITH e AS (
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), par AS (
+            -- size gate mirror: <= {_SEM_FIXED_K_MAX_N} vectors keeps
+            -- the fixed k=4 demo; above it the query IS
+            -- sem_dedup_scaled (k = n // {_SEM_TARGET_CELL}, e6-
+            -- quantized argmax like the blocked GEMM path)
+            SELECT count(*) AS n,
+                   greatest(count(*) // {_SEM_TARGET_CELL}, 1) AS k
+            FROM e
         ), cents AS (
-            SELECT {_CID_CASE} AS cid, v AS cv
-            FROM e WHERE vec_id IN (0, 7, 13, 42)
+            SELECT CASE WHEN par.n <= {_SEM_FIXED_K_MAX_N}
+                        THEN {_CID_CASE}
+                        ELSE CAST(e.vec_id AS INT) END AS cid,
+                   e.v AS cv
+            FROM e, par
+            WHERE (par.n <= {_SEM_FIXED_K_MAX_N}
+                   AND e.vec_id IN (0, 7, 13, 42))
+               OR (par.n > {_SEM_FIXED_K_MAX_N} AND e.vec_id < par.k)
         ), sims AS (
-            SELECT e.vec_id, c.cid, {_cos("e.v", "c.cv")} AS sim
-            FROM e CROSS JOIN cents c
+            SELECT e.vec_id, c.cid,
+                   CASE WHEN par.n <= {_SEM_FIXED_K_MAX_N}
+                        THEN {_cos("e.v", "c.cv")}
+                        ELSE floor({_cos("e.v", "c.cv")} * 1000000)
+                   END AS sim
+            FROM e CROSS JOIN cents c, par
         ), assigned AS (
             SELECT vec_id, cid FROM (
                 SELECT vec_id, cid,

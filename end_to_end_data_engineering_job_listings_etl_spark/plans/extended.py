@@ -374,7 +374,12 @@ def _er_refined_sides(
     a = (
         cust.select("c_custkey", "name", "nat", blk.alias("blk"))
         .join(F.broadcast(sizes), "blk")
-        .select(F.col("c_custkey").alias("id_a"), F.col("name").alias("name_a"), rk.alias("rk"))
+        .select(
+            F.col("c_custkey").alias("id_a"),
+            F.col("name").alias("name_a"),
+            F.col("nat").alias("nat_a"),
+            rk.alias("rk"),
+        )
     )
     b = (
         cust.select("c_custkey", dirty.alias("name"), "nat", blk.alias("blk"))
@@ -426,6 +431,40 @@ def er_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.struct("lev", "id_a")).alias("m"))
         .select("id_b", F.col("m.id_a").alias("id_a"), F.col("m.lev").alias("lev"))
     )
+
+
+_ER_MISSING_NATION = 3
+
+
+def er_unlinked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNLINKED-RESIDUAL report that completes the ER production
+    triple (pairs → best-match → residual; r8 verdict ask #7): dirty
+    records with NO clean candidate under the lev cap. On the base
+    fixture every dirty record links by construction, so the residual
+    is demonstrated against the realistic failure mode instead: an
+    INCOMPLETE master registry — the clean side is missing one
+    nation's customers (``c_nationkey = 3``), the "entity never
+    registered" case real linkage pipelines route to manual review.
+
+    Link semantics are ``er_best_match``'s verbatim (same refined
+    blocks, same collapsed clean-name candidates, same lev ≤ 2 cap);
+    the residual is one ``left_anti`` on the dirty id — O(N) output,
+    no new shuffle shape. Block widths are measured on the FULL clean
+    side (the width statistic predates the registry gap), so a dirty
+    record's rk is unchanged and the report isolates exactly the
+    registry's coverage hole: nation-3 records in attribute-keyed
+    oversized blocks are unlinked by construction, while small-block
+    records may still cross-link to a lev ≤ 2 neighbor — both
+    behaviors are the semantics, not noise."""
+    a, b = _er_refined_sides(spark, sf_dir)
+    registry = a.filter(F.col("nat_a") != _ER_MISSING_NATION)
+    reg_names = registry.groupBy("rk", "name_a").agg(F.min("id_a").alias("id_a"))
+    linked_ids = (
+        reg_names.join(b, "rk")
+        .filter(F.levenshtein("name_a", "name_b") <= _ER_MAX_LEV)
+        .select("id_b")
+    )
+    return b.select("id_b", "name_b").join(linked_ids, "id_b", "left_anti")
 
 
 def agg_listagg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -674,6 +713,7 @@ QUERIES = {
     "er_name_blocking_pairs": er_name_blocking_pairs,
     "er_blocking_refined": er_blocking_refined,
     "er_best_match": er_best_match,
+    "er_unlinked": er_unlinked,
     "agg_pivot_events": agg_pivot_events,
     "agg_unpivot_events": agg_unpivot_events,
     "dim_company_bucketed": dim_company_bucketed,
@@ -922,6 +962,49 @@ ORACLES = {
                                     ORDER BY lev, id_a) AS rn
           FROM pairs
         ) WHERE rn = 1
+    """,
+    "er_unlinked": """
+        WITH c AS (
+          SELECT c_custkey, c_nationkey, lower(trim(c_name)) AS name,
+                 substr(lower(trim(c_name)), 14, 4) AS blk
+          FROM customer
+        ), d AS (
+          SELECT c_custkey, c_nationkey, blk,
+                 CASE WHEN c_custkey % 3 = 0
+                        THEN substr(name, 1, length(name) - 1) || 'x'
+                      WHEN c_custkey % 3 = 1
+                        THEN name || substr(name, length(name), 1)
+                      ELSE name END AS name
+          FROM c
+        ), sz AS (
+          SELECT blk, count(*) AS n FROM c GROUP BY blk
+        ), ca AS (
+          -- block widths from the FULL clean side; the registry gap
+          -- (nation 3 missing) is applied after rk assignment
+          SELECT c.c_custkey, c.name,
+                 CASE WHEN s.n <= 16 THEN substr(c.name, 14, 4)
+                      ELSE substr(c.name, 10, 8) || '|' ||
+                           CAST(c.c_nationkey AS VARCHAR)
+                 END AS rk
+          FROM c JOIN sz s USING (blk)
+          WHERE c.c_nationkey <> 3
+        ), db AS (
+          SELECT d.c_custkey, d.name,
+                 CASE WHEN s.n <= 16 THEN substr(d.name, 14, 4)
+                      ELSE substr(d.name, 10, 8) || '|' ||
+                           CAST(d.c_nationkey AS VARCHAR)
+                 END AS rk
+          FROM d JOIN sz s USING (blk)
+        ), ca_names AS (
+          SELECT rk, name, min(c_custkey) AS id_a
+          FROM ca GROUP BY rk, name
+        )
+        SELECT b.c_custkey AS id_b, b.name AS name_b
+        FROM db b
+        WHERE NOT EXISTS (
+          SELECT 1 FROM ca_names a
+          WHERE a.rk = b.rk AND levenshtein(a.name, b.name) <= 2
+        )
     """,
     "er_name_blocking_pairs": """
         WITH c AS (

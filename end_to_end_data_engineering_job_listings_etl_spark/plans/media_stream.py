@@ -704,15 +704,22 @@ def src_jdbc_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stage = os.path.join(tempfile.gettempdir(), f"jdbc_stage_{uuid.uuid4().hex}")
     csv_obs = Observation("csv_stage_contract")
-    staged = orders.observe(
-        csv_obs,
-        F.sum(
-            F.coalesce(
-                F.col("o_orderstatus").rlike('["\\\\,\r\n]').cast("long"),
-                F.lit(0),
-            )
-        ).alias("n_unsafe"),
-    )
+    # Guard EVERY string column of the staged frame, not a hardcoded
+    # one (r8 advice #3): the check must stay coupled to the staged
+    # projection, so widening the stage (e.g. adding o_comment, whose
+    # TPC-H text contains commas) trips the guard instead of silently
+    # corrupting the Derby import.
+    str_cols = [
+        f.name for f in orders.schema.fields if f.dataType.simpleString() == "string"
+    ]
+    unsafe = [
+        F.coalesce(F.col(c).rlike('["\\\\,\r\n]').cast("long"), F.lit(0))
+        for c in str_cols
+    ]
+    unsafe_expr = unsafe[0] if unsafe else F.lit(0)
+    for e in unsafe[1:]:
+        unsafe_expr = unsafe_expr + e
+    staged = orders.observe(csv_obs, F.sum(unsafe_expr).alias("n_unsafe"))
     # No coalesce(1): every input partition writes its own CSV file in
     # parallel (r7 verdict ask #3 — the single-task stage serialized
     # 15M rows through one writer at sf10), then one
@@ -730,9 +737,10 @@ def src_jdbc_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         if csv_obs.get["n_unsafe"]:
             raise ValueError(
-                "o_orderstatus contains CSV metacharacters; Spark's "
-                "backslash escaping differs from Derby's doubled-quote "
-                "convention — widen the import contract before loading"
+                f"string columns {str_cols} contain CSV metacharacters; "
+                "Spark's backslash escaping differs from Derby's "
+                "doubled-quote convention — widen the import contract "
+                "before loading"
             )
         jvm = spark._jvm
         jvm.java.lang.Class.forName(driver)

@@ -317,8 +317,11 @@ def stream_cdc_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.incremental import apply_cdc
     from .functional import cdc_fixture
 
-    target = os.path.join(tempfile.gettempdir(), "stream_cdc_mb_base")
-    shutil.rmtree(target, ignore_errors=True)
+    # Unique per-run snapshot root (r8 advice #1): a fixed path let two
+    # concurrent runs (pytest alongside a sweep) clobber each other's
+    # snapshot mid-drain. scratch_dir is uuid-suffixed and reclaimed at
+    # process exit like every other scratch location.
+    target = os.path.join(scratch_dir(prefix="stream_cdc_mb_"), "base")
     ckpt = scratch_dir(prefix="ckpt_cdcmb_")
 
     base, changes = cdc_fixture(spark, sf_dir)
@@ -341,8 +344,15 @@ def stream_cdc_multibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = target + "__tmp"
         merged.write.mode("overwrite").parquet(out)
-        shutil.rmtree(target, ignore_errors=True)
+        # Promote by renaming the old snapshot ASIDE first (r8 advice
+        # #1): a crash between the two renames leaves the previous
+        # snapshot recoverable at __old instead of leaving no base at
+        # all (the rmtree-then-rename shape had that hole).
+        old = target + "__old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(target, old)
         os.rename(out, target)
+        shutil.rmtree(old, ignore_errors=True)
 
     q = (
         feed.writeStream.foreachBatch(apply_batch)

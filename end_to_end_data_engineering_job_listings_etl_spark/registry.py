@@ -83,78 +83,78 @@ def _pinned(fn: Callable[[SparkSession, str], DataFrame]):
 # or least-recently-checked surface into the window (every name here
 # has a DuckDB oracle — no rows-only checks waste a slot).
 #
-# Round 8 window — ZERO overlap with the r7 window (r7 verdict ask
-# #6). Lead (7): the four queries that did not exist before this
-# round (er_best_match — the bounded-output ER default, ask #2 — and
-# the three ≥4-micro-batch streaming drains, ask #7), plus the three
-# whose behavior changed this round and therefore need a fresh driver
-# row (agg_approx_distinct_checked's Expand-free exact-NDV
-# restructure, ask #4; er_blocking_refined's adaptive-depth
-# refinement; dd_jaccard_pairs, whose r1 row is the oldest banked row
-# in the registry). The remaining 43 slots rotate the oracled queries
-# whose last driver row is oldest: the full r2 band (rel_* NULL
-# semantics, set ops, the round-1 stream drains, sql views, mm_*
-# stubs, cust_* correlates) and the oldest 18 of the r3 band (TPC-H
-# li_* shapes, agg grouping surfaces, pandas cogroup/seq ops,
-# samplers). The r1/r2-era TPC-H q4/q5/q6/q7/q9/q17/q21 the verdict
-# named were re-checked by the driver in r5/r6 (see
-# CORRECTNESS_r0{5,6}.json) — the rel_*/set_*/stream_* families here
-# are the genuinely oldest rows.
+# Round 9 window — ZERO overlap with the r8 window (r8 verdict ask
+# #6). Lead (4): er_unlinked (new this round — the ER residual report,
+# ask #7) and the three whose behavior changed this round and need a
+# fresh driver row: sem_dedup_clusters (size-gated routing to the
+# scaled path, ask #3), sem_dedup_scaled (ivf_assign_blocked now
+# blocks centroids on xxhash64 instead of cid % B — same winners,
+# different physical grouping; r8 advice #2), and src_jdbc_landing
+# (the CSV-metacharacter guard now derives from every string column
+# of the staged frame; r8 advice #3). The remaining 46 slots rotate
+# the oracled queries whose last driver row is OLDEST (computed from
+# CORRECTNESS_r0{1..8}.json): the full 26-name r3 band (samplers,
+# sinks, w_* windows, text_* quality family, round-3 stream drains,
+# REST sources) and the oldest 20 of the r4 band (agg grouping/pivot
+# surfaces, ev_* behavioral, li_* TPC-H shapes, semi/anti joins,
+# as-of/sessionize). The verdict-named inc_scd*/jl_dim_*_checked/
+# q2/q5/q11 carry r5 rows — next-oldest after these — and rotate in
+# r10.
 _WINDOW = [
     # new this round — never driver-windowed
-    "er_best_match",
-    "stream_dedup_multibatch",
-    "stream_session_multibatch",
-    "stream_cdc_multibatch",
-    # behavior changed this round / oldest banked row
-    "agg_approx_distinct_checked",
-    "er_blocking_refined",
-    "dd_jaccard_pairs",
-    # rotation: the r2 band (oldest driver rows)
-    "cust_idle_above_avg",
-    "cust_order_distribution",
-    "fn_map_column",
-    "inc_watermark_agg",
-    "mm_features",
-    "mm_frame_sample_checked",
-    "mm_meta_checked",
-    "rel_anti_null_semantics",
-    "rel_division_all_priorities",
-    "rel_not_in_null_poison",
-    "rel_not_in_plain",
-    "rel_nullsafe_join",
-    "set_except_all_priority",
-    "set_intersect_all_priority",
-    "sink_bucketed_join",
-    "sql_q8_monthly",
-    "sql_v1_star",
-    "sql_v2_star_dates",
-    "sql_v3_bridge_flat",
-    "stream_dedup",
-    "stream_interval_join",
-    "stream_session_counts",
-    "stream_upsert_dim",
-    "stream_user_totals",
-    "stream_window_counts",
-    # rotation: oldest of the r3 band
-    "agg_grouping_sets",
-    "agg_multi_distinct",
-    "dd_containment_pairs",
-    "emb_int8_quantize",
-    "er_name_blocking_pairs",
-    "fn_array_hof",
-    "fn_posexplode_tokens",
-    "fn_try_arithmetic",
-    "graph_pagerank_step",
-    "li_market_share",
-    "li_promo_share_monthly",
-    "li_returned_top_customers",
-    "li_top_supplier",
-    "ml_kmeans_step",
-    "op_cogroup_pandas",
-    "op_grouped_seq_pandas",
-    "op_range_join",
-    "op_udtf_sentences",
+    "er_unlinked",
+    # behavior changed this round
+    "sem_dedup_clusters",
+    "sem_dedup_scaled",
+    "src_jdbc_landing",
+    # rotation: the full r3 band (oldest driver rows)
+    "rel_correlated_scalar",
+    "samp_global_shuffle",
+    "samp_hash_split",
+    "samp_mixture",
+    "samp_reservoir_per_stratum",
+    "sink_compaction",
+    "sink_csv_roundtrip",
+    "sink_orc_roundtrip",
+    "sink_partitioned_roundtrip",
+    "src_rest_datasource",
+    "src_rest_ingest",
+    "stream_chained_window_agg",
+    "stream_dedup_within_watermark",
+    "stream_leftouter_interval_join",
+    "stream_static_join",
+    "text_bigram_lm_score",
+    "text_decontaminate",
+    "text_pack_batches",
+    "text_quality_classifier",
+    "text_redact",
+    "text_tfidf_top_terms",
+    "text_url_dedup",
+    "w_locf_forward_fill",
+    "w_moving_sum_30d",
+    "w_ntile_buckets",
+    "w_topk_per_group",
+    # rotation: oldest 20 of the r4 band
+    "agg_argmax_event",
+    "agg_cube_status_priority",
+    "agg_listagg_nations",
+    "agg_percentiles",
+    "agg_pivot_events",
+    "agg_price_histogram",
+    "agg_rollup_year_month",
+    "agg_salted_distinct",
+    "ev_cohort_retention",
+    "ev_funnel",
+    "j_anti_no_orders",
+    "j_semi_big_spenders",
+    "li_pricing_summary",
+    "li_revenue_topk",
+    "li_running_total",
+    "li_shipping_priority",
+    "li_supplier_nation_revenue",
+    "op_asof_last_view",
+    "op_sessionize",
+    "w_max_concurrency",
 ]
 
 

@@ -19,23 +19,30 @@
 #   - ORACLE_MEM caps DuckDB so a heavy oracle spills to
 #     /tmp/duckdb_spill instead of racing the JVM for the box.
 #   - Excluded by documented design (see sweep_r7_sf10.json note):
-#     er_name_blocking_pairs (quadratic pair OUTPUT, ~4h; the gated
-#     scale twin is er_blocking_refined) and sem_dedup_clusters (the
-#     fixed-k contrast demo, exp 1.88, ~90min; the gated scale twin is
-#     sem_dedup_scaled).
+#     er_name_blocking_pairs only (quadratic pair OUTPUT by semantics,
+#     ~4h; the gated scale twin is er_blocking_refined).
+#     sem_dedup_clusters re-entered the gate in r9: it now size-routes
+#     to sem_dedup_scaled above 5000 vectors, so at sf10 it IS the
+#     linear path.
 #
-# Usage: scripts_dev/sweep_sf10_full.sh [OUT.json]  (default
-#        scripts_dev/sweep_r${SWEEP_ROUND:-7}_sf10.json)
+# Usage: SWEEP_ROUND=N scripts_dev/sweep_sf10_full.sh [OUT.json]
+#        (default scripts_dev/sweep_r${SWEEP_ROUND}_sf10.json).
+#        SWEEP_ROUND is REQUIRED (r8 advice #4: a stale default
+#        stamped one round's artifacts under another round's name).
 set -euo pipefail
 cd "$(dirname "$0")/.."
-OUT="${1:-scripts_dev/sweep_r${SWEEP_ROUND:-7}_sf10.json}"
+if [ -z "${SWEEP_ROUND:-}" ]; then
+  echo "SWEEP_ROUND must be set (artifact-labeling contract)" >&2
+  exit 2
+fi
+OUT="${1:-scripts_dev/sweep_r${SWEEP_ROUND}_sf10.json}"
 
 python3 - <<'EOF'
 import sys
 sys.path.insert(0, ".")
 from end_to_end_data_engineering_job_listings_etl_spark import registry
 names = [n for n in registry.all_queries()
-         if n not in ("er_name_blocking_pairs", "sem_dedup_clusters")]
+         if n not in ("er_name_blocking_pairs",)]
 sz = 47
 for i in range(0, len(names), sz):
     open(f"/tmp/sf10_full_b{i // sz + 1}.txt", "w").write(
@@ -47,7 +54,7 @@ EOF
 first=1
 for f in /tmp/sf10_full_b*.txt; do
   b="${f##*_}"; b="${b%.txt}"
-  SWEEP_ROUND="${SWEEP_ROUND:-7}" \
+  SWEEP_ROUND="${SWEEP_ROUND}" \
   SPARK_GRAFT_DRIVER_MEM="${SPARK_GRAFT_DRIVER_MEM:-16g}" \
   SWEEP_CPUS="${SWEEP_CPUS:-24}" ORACLE_MEM="${ORACLE_MEM:-32GB}" \
   python scripts_dev/sweep_all.py --sf-dir /tmp/sf10 \

@@ -155,3 +155,48 @@ def test_er_best_match_bounded_and_links_self(spark, tmp_path):
         assert k in got, f"dirty {k} unlinked"
         id_a, lev = got[k]
         assert (lev, id_a) <= (self_lev, k), (k, id_a, lev)
+
+
+def test_er_unlinked_partitions_dirty_side(spark, tmp_path):
+    """er_unlinked (r8 verdict ask #7) completes the ER triple: against
+    the incomplete registry (nation 3 missing) the unlinked report and
+    the linked set PARTITION the dirty side — no overlap, full cover —
+    and soundness holds: no reported-unlinked record has any registry
+    candidate at lev ≤ 2 in its refined block. The fixture forces an
+    OVERSIZED (attribute-keyed) block, so nation-3 records there are
+    unlinked by construction (non-empty residual), while small-block
+    nation-3 records may cross-link — both paths exercised."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from end_to_end_data_engineering_job_listings_etl_spark.plans import extended
+
+    # 30 verbatim copies sharing one base block (width > cap 16 →
+    # refined, attribute-keyed) + 10 singletons in small blocks.
+    keys = [a * 1000000 + 555 for a in range(30)] + [
+        7000000000 + 70 + j for j in range(10)
+    ]
+    pd.DataFrame(
+        {"c_custkey": pd.Series(keys, dtype="int64"),
+         "c_name": [f"Customer#{k:09d}" for k in keys],
+         "c_nationkey": pd.Series(
+             [3 if i % 5 == 0 else i % 5 for i in range(len(keys))],
+             dtype="int64")}
+    ).to_parquet(tmp_path / "customer.parquet", index=False)
+
+    unlinked = {r["id_b"] for r in extended.er_unlinked(spark, str(tmp_path)).collect()}
+    assert unlinked, "fixture must produce a non-empty residual"
+
+    a, b = extended._er_refined_sides(spark, str(tmp_path))
+    registry = a.filter(F.col("nat_a") != extended._ER_MISSING_NATION)
+    linked = {
+        r["id_b"]
+        for r in registry.join(b, "rk")
+        .filter(F.levenshtein("name_a", "name_b") <= extended._ER_MAX_LEV)
+        .select("id_b")
+        .distinct()
+        .collect()
+    }
+    assert unlinked.isdisjoint(linked), "a record is both linked and unlinked"
+    assert unlinked | linked == set(keys), "triple does not cover the dirty side"

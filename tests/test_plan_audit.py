@@ -58,3 +58,17 @@ def test_fact_paths_have_no_single_partition_stage(spark, name):
     df = registry.all_queries()[name](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan, f"{name}: single-partition stage"
+
+
+def test_approx_distinct_checked_has_no_expand(spark):
+    """Backs BASELINE's "no Expand" claim with an assertion (r8 verdict
+    ask #2): agg_approx_distinct_checked's executed plan must not
+    contain an Expand node. Two count_distincts in one aggregate used
+    to plan an Expand (row duplicated per distinct column) feeding a
+    single stage holding both exact hash sets plus the HLL buffers —
+    the shape that OOMed a 16g JVM at 60M rows. The rework (each exact
+    NDV its own column-pruned distinct → count) cannot plan a
+    multi-distinct Expand; this pins that property against regression."""
+    df = registry.all_queries()["agg_approx_distinct_checked"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan, "multi-distinct Expand reintroduced"
