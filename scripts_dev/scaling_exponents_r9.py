@@ -1,0 +1,45 @@
+"""Emit the r9 sf1->sf10 per-query scaling-exponent table from the two
+committed final-code bench artifacts (bench_r9_sf1.json, chunked
+bench_r9_sf10.json). Exponent = log10(sf10_sec / sf1_sec) for 10x
+data; 1.0 = linear, <1 = sublinear (fixed overhead amortizing).
+Queries under 0.5 s at sf10 are skipped (session-overhead floor, the
+exponent would measure noise).
+
+Usage: python scripts_dev/scaling_exponents_r9.py [--md]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+from pathlib import Path
+
+D = Path(__file__).resolve().parent
+
+
+def main() -> int:
+    sf1 = json.loads((D / "bench_r9_sf1.json").read_text())["queries"]
+    sf10 = json.loads((D / "bench_r9_sf10.json").read_text())["queries"]
+    rows = []
+    for n, v10 in sf10.items():
+        v1 = sf1.get(n)
+        if v1 and v1 > 0.05 and v10 >= 0.5:
+            rows.append((n, v1, v10, math.log10(v10 / v1)))
+    rows.sort(key=lambda r: -r[3])
+    md = "--md" in sys.argv[1:]
+    if md:
+        print("| query | sf1 s | sf10 s | exp |")
+        print("|---|---:|---:|---:|")
+        for n, v1, v10, e in rows:
+            print(f"| {n} | {v1:.2f} | {v10:.1f} | {e:.2f} |")
+    else:
+        for n, v1, v10, e in rows:
+            print(f"{n:40s}{v1:9.2f}{v10:9.1f}{e:7.2f}")
+    over = [n for n, _, _, e in rows if e > 1.5]
+    print(f"\n{len(rows)} measured; exp>1.5: {over or 'none'}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
