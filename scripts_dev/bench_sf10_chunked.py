@@ -49,7 +49,6 @@ def main() -> int:
 
     queries: dict[str, float] = {}
     errors: dict[str, str] = {}
-    chunk_walls: list[float] = []
     t0 = time.time()
     for i in range(0, len(names), chunk):
         part = names[i : i + chunk]
@@ -66,13 +65,20 @@ def main() -> int:
         try:
             res = json.loads(line)
         except json.JSONDecodeError:
+            # bench.py --once only emits per-query results at process
+            # end, so a crashed chunk loses the timings of names that
+            # DID run before the crash — the error string says so
+            # (ADVICE r9 item 2)
             for n in part:
-                errors[n] = f"chunk died: exit={proc.returncode} " + proc.stderr[-200:]
+                errors[n] = (
+                    "chunk died (earlier names in the chunk may have run "
+                    f"but their timings are lost): exit={proc.returncode} "
+                    + proc.stderr[-200:]
+                )
             print(f"chunk {i // chunk + 1}: FAILED (exit {proc.returncode})", flush=True)
             continue
         queries.update(res.get("queries", {}))
         errors.update(res.get("errors", {}))
-        chunk_walls.append(res.get("total_timed", 0.0))
         print(
             f"chunk {i // chunk + 1}/{(len(names) + chunk - 1) // chunk}: "
             f"{len(res.get('queries', {}))} timed, "

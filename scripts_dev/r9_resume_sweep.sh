@@ -13,11 +13,19 @@ for f in /tmp/r9_batch_*.txt; do
   SWEEP_ROUND=9 \
   SPARK_GRAFT_DRIVER_MEM="${SPARK_GRAFT_DRIVER_MEM:-16g}" \
   SWEEP_CPUS="${SWEEP_CPUS:-24}" ORACLE_MEM="${ORACLE_MEM:-32GB}" \
-  python scripts_dev/sweep_all.py --sf-dir /tmp/sf10 \
-    --out "/tmp/r9_topup_$b.json" $(cat "$f") || rc=1
-  python scripts_dev/merge_sweep.py scripts_dev/sweep_r9_sf10.json \
-    "/tmp/r9_topup_$b.json"
-  mv "$f" "$f.done"
+  if python scripts_dev/sweep_all.py --sf-dir /tmp/sf10 \
+    --out "/tmp/r9_topup_$b.json" $(cat "$f"); then
+    python scripts_dev/merge_sweep.py scripts_dev/sweep_r9_sf10.json \
+      "/tmp/r9_topup_$b.json"
+    mv "$f" "$f.done"
+  else
+    rc=1
+    # keep failed batches rerunnable: .failed, not .done (ADVICE r9
+    # item 3 — an unconditional .done silently skipped failed batches)
+    python scripts_dev/merge_sweep.py scripts_dev/sweep_r9_sf10.json \
+      "/tmp/r9_topup_$b.json" || true
+    mv "$f" "$f.failed"
+  fi
 done
 echo "resume sweep complete (rc=$rc)"
 exit "$rc"

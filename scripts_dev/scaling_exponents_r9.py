@@ -12,8 +12,13 @@ from __future__ import annotations
 
 import json
 import math
+import signal
 import sys
 from pathlib import Path
+
+# Piping into `head` must not traceback after the useful lines printed
+# (ADVICE r9 item 4).
+signal.signal(signal.SIGPIPE, signal.SIG_DFL)
 
 D = Path(__file__).resolve().parent
 
