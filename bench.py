@@ -56,16 +56,22 @@ from end_to_end_data_engineering_job_listings_etl_spark.session import get_spark
 #      sleep on wall-clock triggers);
 #   4. demonstration bound: queries whose semantics make timing
 #      meaningless or anti-representative at any SF — constant-slice
-#      demos (_JACCARD_MAX_ID) and er_name_blocking_pairs, whose pair
-#      OUTPUT is quadratic by definition (a documented anti-pattern
-#      demo; its scale twins er_blocking_refined / er_best_match are
-#      the timed representatives — dropped from the headline in r9).
+#      demos (_JACCARD_MAX_ID), er_name_blocking_pairs (pair OUTPUT
+#      quadratic by definition — a documented anti-pattern demo,
+#      dropped r9), and er_blocking_refined (dropped r10, verdict r9
+#      #2: its OUTPUT is the thing that grows — 100× pairs for 10×
+#      data on the verbatim-replica fixture, measured in
+#      scripts_dev/er_output_counts_r10.json — so at sf10 it was 30%
+#      of the headline total while timing pair materialization, not
+#      the engine; the linear production twins er_best_match and
+#      er_unlinked represent the ER family in the headline).
 # The artifact carries this criterion plus the omitted count, so the
 # "122 of 258 timed" split is self-explaining.
 OMISSION_CRITERIA = (
     "omitted = plan-sharing twin | fixed-overhead floor (<100ms dim/"
-    "scalar demo) | harness-bound transport fixture | constant-slice "
-    "demonstration; see bench.py HEADLINE comment"
+    "scalar demo) | harness-bound transport fixture | demonstration "
+    "bound (constant-slice or output-superlinear-by-semantics pair "
+    "reports); see bench.py HEADLINE comment"
 )
 
 HEADLINE = [
@@ -127,7 +133,11 @@ HEADLINE = [
     # layer enters the recorded baseline the same round it is banked
     # (totals are comparable only at equal n_timed — recorded since r3)
     "sem_dedup_clusters",
-    "sem_dedup_scaled",
+    # sem_dedup_scaled was timed here r3–r9 — dropped r10 (verdict r9
+    # #4, omission class 1): above the 5000-vector size gate
+    # sem_dedup_clusters routes to the SAME physical plan
+    # (plans/curation.py), so at every benched SF the headline timed
+    # one plan twice.
     "text_quality_classifier",
     "samp_mixture",
     "stream_chained_window_agg",
@@ -187,10 +197,9 @@ HEADLINE = [
     "fn_collation_dedup",
     "samp_weighted_bernoulli",
     "sql_pivot_clause",
-    # round-5 additions: oversized-block-refined ER join (the scale fix
-    # for er_name_blocking_pairs' quadratic growth on duplicate-heavy
-    # data, demonstrated by the sf1 pair) and greedy sequence packing
-    "er_blocking_refined",
+    # round-5 additions: greedy sequence packing. (er_blocking_refined
+    # was timed here r5–r9 — moved to omission class 4 in r10: output-
+    # superlinear by semantics, see the HEADLINE comment above.)
     "samp_pack_sequences",
     # round-6 additions: incremental cross-batch dedup and CCNet-style
     # per-language quality bucketing — banked the round they land
@@ -284,6 +293,21 @@ def run_once() -> dict:
         except Exception:
             pass  # warmup must never fail the bench
 
+    # Fixed-overhead probe (VERDICT r9 #6): time an empty-plan 1-row
+    # query with the SAME noop-sink path as every timed query. Its
+    # wall time is pure session/submission overhead — JVM scheduling,
+    # Py4J round-trips, noop-commit protocol — so round-over-round
+    # sf0.1 ratios can be overhead-corrected with one division instead
+    # of a git-archaeology session (the r9 1.23x sf0.1 "regression"
+    # was exactly this overhead drifting with the host). Timed AFTER
+    # warmup so codegen/classloading one-timers don't pollute it; not
+    # part of the headline total.
+    t0 = time.perf_counter()
+    spark.range(1).selectExpr("id", "id * 2 AS x").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    overhead_probe = round(time.perf_counter() - t0, 3)
+
     # Per-query fault isolation: one broken query must not zero the
     # whole round's bench signal — record its error and keep timing the
     # rest. (Errored queries contribute 0 to the total.)
@@ -314,6 +338,7 @@ def run_once() -> dict:
         "queries": timings,
         "errors": errors,
         "sf": sf,
+        "overhead_probe_sec": overhead_probe,
     }
 
 
@@ -345,6 +370,7 @@ def _tail_safe_line(result: dict, limit: int = _TAIL_LIMIT) -> str:
         "n_queries": result.get("n_queries"),
         "n_runs": result.get("n_runs"),
         "run_totals": result.get("run_totals"),
+        "overhead_probe_sec": result.get("overhead_probe_sec"),
         "queries": {},
         "queries_omitted": 0,
         "full": "bench_last.json",
@@ -497,6 +523,14 @@ def main() -> None:
         },
         "resampled": noisy,
         "run_totals": [r["total_timed"] for r in runs],
+        # per-pass fixed-overhead probe (empty-plan 1-row noop write):
+        # median is the session-overhead floor a sub-second query pays
+        # regardless of engine work — divide it out before comparing
+        # sf0.1 totals across rounds/hosts
+        "overhead_probe_sec": round(
+            _median([r.get("overhead_probe_sec", 0.0) for r in runs]), 3
+        ),
+        "overhead_probe_runs": [r.get("overhead_probe_sec") for r in runs],
         "errors": errors,
         "sf": runs[0].get("sf"),
         # why n_timed < len(registry): every non-headline query falls

@@ -31,11 +31,34 @@ source and re-pins.
 
 Modules register an evictor ``fn(spark, sf_dir)`` (either may be
 None = wildcard) at import time; ``evict`` fans out to all of them.
+
+3. **Within-dataset state budget** (r9 verdict #1 — the r9 full sf10
+   surface needed 24-name fresh-process chunks because NOTHING bounded
+   same-dataset accumulation): modules register their evictor under a
+   FAMILY name (``register_family``) and report memo activity
+   (``touch_family``) plus unmanaged-heap estimates
+   (``note_unmanaged`` — embedded Derby pages are invisible to the
+   block manager). ``query_boundary`` — called by the registry's
+   per-query wrapper, i.e. at the only point where no memo build is
+   in flight — measures pinned storage (block-manager memSize +
+   reported unmanaged bytes) and, when it exceeds
+   $SPARK_GRAFT_STATE_BUDGET_MB (default 40% of driver max heap),
+   evicts least-recently-touched families until back under budget.
+   The two most-recently-touched families are kept (same-family
+   query bursts — the registry walks families contiguously — keep
+   their memo plus the catalog scans it nests over), so the
+   steady-state bound is budget + the last two families' working
+   sets. Under budget, nothing happens: at sf≤1 the whole
+   surface fits and memo semantics are byte-identical to r9.
+   ``query_boundary`` also drops terminated streaming-query handles
+   (``spark.streams.resetTerminated()`` — retained progress buffers
+   were part of the accumulated session state).
 """
 
 from __future__ import annotations
 
 import os
+import time
 import weakref
 from collections.abc import Callable
 
@@ -43,6 +66,20 @@ from pyspark.sql import SparkSession
 
 _Evictor = Callable[[SparkSession | None, "str | None"], None]
 _EVICTORS: list[_Evictor] = []
+
+# family name -> evictor (a subset of _EVICTORS, addressable for the
+# within-dataset budget path)
+_FAMILIES: dict[str, _Evictor] = {}
+# per-session LRU of (sf_dir, family) memo touches, MRU last. Weakly
+# keyed for the same reason as _LRU below.
+_FAMILY_LRU: "weakref.WeakKeyDictionary[SparkSession, list[tuple[str, str]]]" = (
+    weakref.WeakKeyDictionary()
+)
+# per-session unmanaged-heap estimates, family -> bytes (embedded
+# Derby pages etc. — state the block manager can't see)
+_UNMANAGED: "weakref.WeakKeyDictionary[SparkSession, dict[str, int]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 # Most-recent-last sf_dirs per live session. WEAKLY keyed by the
 # session object (ADVICE r5 item 3): a session that is stopped via
@@ -72,6 +109,121 @@ def register_evictor(fn: _Evictor) -> _Evictor:
     return fn
 
 
+def register_family(family: str, fn: _Evictor) -> _Evictor:
+    """Register a module's evictor under a FAMILY name so the
+    within-dataset budget path (``query_boundary``) can evict it
+    individually. The evictor also joins the plain fan-out registry,
+    so session-stop and dataset-LRU eviction behave exactly as before.
+    """
+    _FAMILIES[family] = fn
+    return register_evictor(fn)
+
+
+def touch_family(spark: SparkSession, sf_dir: str, family: str) -> None:
+    """Record a family memo access (hit or build) for the session's
+    within-dataset LRU. Called from each module's memo chokepoint;
+    cheap (list surgery, no JVM round-trip)."""
+    lru = _FAMILY_LRU.setdefault(spark, [])
+    key = (sf_dir, family)
+    if lru and lru[-1] == key:
+        return
+    if key in lru:
+        lru.remove(key)
+    lru.append(key)
+
+
+def note_unmanaged(spark: SparkSession, family: str, n_bytes: int) -> None:
+    """Report (or clear, with 0) a family's unmanaged-heap estimate —
+    driver-side state invisible to the block manager (embedded Derby's
+    in-memory pages). Counted by the budget alongside pinned storage."""
+    notes = _UNMANAGED.setdefault(spark, {})
+    if n_bytes <= 0:
+        notes.pop(family, None)
+    else:
+        notes[family] = int(n_bytes)
+
+
+def pinned_bytes(spark: SparkSession) -> int:
+    """Session state the budget governs: block-manager memSize over
+    every persisted RDD (memo persists + localCheckpoint pins; disk
+    spill is not heap and is not counted) plus reported unmanaged
+    estimates."""
+    try:
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        mem = sum(i.memSize() for i in infos)
+    except Exception:  # noqa: BLE001 - stopped JVM pins nothing
+        mem = 0
+    return mem + sum(_UNMANAGED.get(spark, {}).values())
+
+
+def state_budget_bytes(spark: SparkSession) -> int:
+    """$SPARK_GRAFT_STATE_BUDGET_MB, default 40% of driver max heap —
+    leaves the unified pool execution headroom plus unmanaged slack
+    even when a query's working set peaks."""
+    env = os.environ.get("SPARK_GRAFT_STATE_BUDGET_MB")
+    if env:
+        return int(env) * 2**20
+    try:
+        max_heap = int(
+            spark._jvm.java.lang.Runtime.getRuntime().maxMemory()
+        )
+    except Exception:  # noqa: BLE001
+        max_heap = 8 * 2**30
+    return int(max_heap * 0.40)
+
+
+def query_boundary(spark: SparkSession) -> dict:
+    """Bound within-dataset session state at a SAFE point — between
+    registry queries, where no memo build is in flight (evicting
+    mid-build would release a half-built family's checkpoint pins and
+    fail the query). Called by registry._pinned before every query.
+
+    Always: drop terminated streaming-query handles (their retained
+    progress buffers accumulate per stream drain). Then, only if
+    pinned state exceeds the budget: evict least-recently-touched
+    families until back under. The two most-recently-touched families
+    are NEVER evicted here (see the loop comment) — same-family bursts
+    keep their memo, and the worst-case bound is budget + the last two
+    families' working sets (documented in the module docstring)."""
+    try:
+        spark.streams.resetTerminated()
+    except Exception:  # noqa: BLE001 - no streaming, stopped JVM
+        pass
+    budget = state_budget_bytes(spark)
+    before = pinned_bytes(spark)
+    stats = {"before": before, "budget": budget, "evicted": []}
+    if before <= budget:
+        return stats
+    lru = _FAMILY_LRU.get(spark) or []
+    # oldest-first; the TWO most-recently-touched entries are never
+    # evicted here: a memo build touches its own family first and then
+    # the catalog scans it loads through (star → catalog nesting), so
+    # at query end the just-built family is the SECOND-most-recent
+    # entry — protecting only the MRU would evict the very frames the
+    # burst is about to reuse
+    for sf_dir, family in list(lru[:-2]):
+        fn = _FAMILIES.get(family)
+        if fn is None:
+            continue
+        try:
+            fn(spark, sf_dir or None)
+        except Exception:  # noqa: BLE001 - same tolerance as evict()
+            pass
+        try:
+            lru.remove((sf_dir, family))
+        except ValueError:
+            pass
+        stats["evicted"].append(family)
+        # unpersist is async for plain persists; a short settle keeps
+        # the re-measure from over-evicting the next family for blocks
+        # that are already on their way out
+        time.sleep(0.15)
+        if pinned_bytes(spark) <= budget:
+            break
+    stats["after"] = pinned_bytes(spark)
+    return stats
+
+
 def evict(spark: SparkSession | None = None, sf_dir: str | None = None) -> None:
     """Evict (and unpersist) every registered module cache matching
     the (session, dataset) scope; ``None`` is a wildcard on either
@@ -92,6 +244,19 @@ def evict(spark: SparkSession | None = None, sf_dir: str | None = None) -> None:
             _LRU.pop(sess, None)
         else:
             _LRU[sess] = [d for d in dirs if d != sf_dir]
+    # keep the family-level bookkeeping consistent with what the
+    # fan-out just evicted
+    for sess in list(_FAMILY_LRU) if spark is None else [spark]:
+        lru = _FAMILY_LRU.get(sess)
+        if lru is None:
+            continue
+        if sf_dir is None:
+            _FAMILY_LRU.pop(sess, None)
+            _UNMANAGED.pop(sess, None)
+        else:
+            _FAMILY_LRU[sess] = [
+                (d, f) for d, f in lru if d and d != sf_dir
+            ]
 
 
 def dataset_cap() -> int:

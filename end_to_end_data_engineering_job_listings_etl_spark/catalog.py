@@ -85,6 +85,7 @@ def load_table_dist(
     table would silently defeat column pruning — the plan-quality
     tests check this).
     """
+    cachereg.touch_family(spark, sf_dir, "catalog")
     key = (spark, sf_dir, name, cols, persist)
     hit = _DIST_CACHE.get(key)
     if hit is not None:
@@ -128,7 +129,7 @@ def clear_caches(
 
 from . import cachereg  # noqa: E402  (import cycle: cachereg is leaf)
 
-cachereg.register_evictor(clear_caches)
+cachereg.register_family("catalog", clear_caches)
 
 
 def load_tables(

@@ -415,8 +415,12 @@ _CC_PINS: "weakref.WeakKeyDictionary[SparkSession, list[DataFrame]]" = (
 
 
 def _cc_repin(spark: SparkSession, frame: DataFrame) -> None:
+    from .. import cachereg
     from .ids import release_pins
 
+    # session-scoped (the operator never sees sf_dir) — the family LRU
+    # entry uses the empty sf_dir, and clear_cc_pins ignores it anyway
+    cachereg.touch_family(spark, "", "dedup_cc")
     release_pins(_CC_PINS.pop(spark, []))
     _CC_PINS[spark] = [frame]
 
@@ -435,7 +439,7 @@ def clear_cc_pins(
 
 from .. import cachereg  # noqa: E402  (leaf module, no cycle)
 
-cachereg.register_evictor(clear_cc_pins)
+cachereg.register_family("dedup_cc", clear_cc_pins)
 
 
 def connected_components(

@@ -42,8 +42,10 @@ _TRANSIENT_PINS: dict[tuple[SparkSession, str], list[DataFrame]] = {}
 
 
 def _repin(spark: SparkSession, sf_dir: str, frames: list[DataFrame]) -> None:
+    from .. import cachereg
     from ..operators.ids import release_pins
 
+    cachereg.touch_family(spark, sf_dir, "corpus")
     release_pins(_TRANSIENT_PINS.pop((spark, sf_dir), []))
     _TRANSIENT_PINS[(spark, sf_dir)] = frames
 
@@ -64,7 +66,7 @@ def clear_caches(
 
 from .. import cachereg  # noqa: E402  (leaf module, no cycle)
 
-cachereg.register_evictor(clear_caches)
+cachereg.register_family("corpus", clear_caches)
 
 
 def _e6(col) -> F.Column:

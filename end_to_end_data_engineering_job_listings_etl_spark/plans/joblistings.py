@@ -372,6 +372,9 @@ _JL_STAR_SHARED: dict[tuple[SparkSession, str], list[DataFrame]] = {}
 def _jl_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Memoized star build over the parquet-derived landing: the nine
     per-table checked queries share one plan-construction pass."""
+    from .. import cachereg
+
+    cachereg.touch_family(spark, sf_dir, "jl_star")
     key = (spark, sf_dir)
     hit = _JL_STAR_CACHE.get(key)
     if hit is None:
@@ -403,7 +406,7 @@ def clear_caches(
 
 from .. import cachereg  # noqa: E402  (leaf module, no cycle)
 
-cachereg.register_evictor(clear_caches)
+cachereg.register_family("jl_star", clear_caches)
 
 
 def jl_fact_checked(spark: SparkSession, sf_dir: str) -> DataFrame:

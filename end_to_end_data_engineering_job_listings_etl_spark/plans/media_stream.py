@@ -660,6 +660,28 @@ def sink_observed_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _drop_derby_landing(spark: SparkSession | None = None, sf_dir=None) -> None:
+    """cachereg evictor for the embedded Derby landing DB: an
+    in-memory Derby database lives in unmanaged driver heap until
+    explicitly dropped (``;drop=true``), which Derby signals with the
+    EXPECTED SQLException 08006 — so the handler treats the exception
+    as success. One ``landing_db`` exists per JVM regardless of
+    sf_dir; a retained ``src_jdbc_landing`` result frame read after
+    the drop fail-stops (the module's designed loss semantics), and
+    re-running the query rebuilds the DB from scratch."""
+    if spark is None:
+        return  # process-wide evict at exit — the JVM dies anyway
+    try:
+        spark._jvm.java.sql.DriverManager.getConnection(
+            "jdbc:derby:memory:landing_db;drop=true"
+        )
+    except Exception:  # noqa: BLE001 - 08006 'database dropped' = success
+        pass
+    from .. import cachereg
+
+    cachereg.note_unmanaged(spark, "derby", 0)
+
+
 def src_jdbc_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S5/S6 as a REAL JDBC source (not the parquet stand-in): stage
     orders into an embedded Derby database via bulk COPY (the
@@ -773,7 +795,23 @@ def src_jdbc_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             conn.close()
     finally:
+        stage_bytes = sum(
+            os.path.getsize(p) for p in glob.glob(os.path.join(stage, "part-*.csv"))
+        ) if os.path.isdir(stage) else 0
         shutil.rmtree(stage, ignore_errors=True)
+    # The in-memory Derby DB holds the whole staged table in UNMANAGED
+    # driver heap (invisible to the block manager) until dropped — in
+    # r9 it was part of the accumulated state that OOMed long sf10
+    # sessions. Report it to the state budget (estimate: the staged
+    # CSV bytes — Derby pages carry comparable volume) and register
+    # the drop evictor, so cachereg.query_boundary reclaims it when
+    # the session runs past the budget; the next call rebuilds the DB
+    # from scratch exactly as this call did.
+    from .. import cachereg
+
+    cachereg.register_family("derby", _drop_derby_landing)
+    cachereg.touch_family(spark, sf_dir, "derby")
+    cachereg.note_unmanaged(spark, "derby", stage_bytes)
     hi = orders.agg(F.max("o_orderkey")).collect()[0][0]
     back = (
         spark.read.format("jdbc")

@@ -58,6 +58,9 @@ def _memo_persist(fn):
     same cut points, ``dags/spark_etl_script.py:146-153``)."""
 
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .. import cachereg
+
+        cachereg.touch_family(spark, sf_dir, "star")
         key = (fn.__name__, spark, sf_dir)
         hit = _PLAN_CACHE.get(key)
         if hit is None:
@@ -81,6 +84,9 @@ def landing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dags/spark_etl_script.py:146-153``; this is its Spark-idiomatic
     form — reuse the same cached plan object so even a single action
     computes the landing join once)."""
+    from .. import cachereg
+
+    cachereg.touch_family(spark, sf_dir, "star")
     key = (spark, sf_dir)
     cached = _LANDING_CACHE.get(key)
     if cached is not None:
@@ -124,6 +130,9 @@ def _dims_bundle(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     whole dim layer. Values identical to per-dim build_dim
     (mode-equivalence locked in tests/test_edges.py); each registered
     dim query serves its slice."""
+    from .. import cachereg
+
+    cachereg.touch_family(spark, sf_dir, "star")
     key = (spark, sf_dir)
     hit = _DIMS_BUNDLE_CACHE.get(key)
     if hit is None:
@@ -210,7 +219,7 @@ def clear_caches(
 
 from .. import cachereg  # noqa: E402  (leaf module, no cycle)
 
-cachereg.register_evictor(clear_caches)
+cachereg.register_family("star", clear_caches)
 
 
 @_memo_persist

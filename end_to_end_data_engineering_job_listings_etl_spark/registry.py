@@ -15,6 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from . import cachereg
 from .plans import (
     bi,
     corpus,
@@ -67,10 +68,19 @@ _MODULES = [
 def _pinned(fn: Callable[[SparkSession, str], DataFrame]):
     """Pin session settings a query's semantics depend on. The driver
     owns the SparkSession; timestamps in the parquet are UTC instants,
-    so date derivation must happen in UTC regardless of host TZ."""
+    so date derivation must happen in UTC regardless of host TZ.
+
+    Also the engine's QUERY BOUNDARY (r9 verdict #1): before each
+    registry query — the only point where no memo build is in flight —
+    ``cachereg.query_boundary`` bounds within-dataset session state
+    (evicts least-recently-touched family memos past the state budget,
+    drops terminated streaming handles), so a long-lived driver
+    walking hundreds of queries against ONE dataset stays inside a
+    fixed heap instead of accumulating every family's pinned frames."""
 
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        cachereg.query_boundary(spark)
         return fn(spark, sf_dir)
 
     wrapped.__name__ = getattr(fn, "__name__", "query")
@@ -83,78 +93,71 @@ def _pinned(fn: Callable[[SparkSession, str], DataFrame]):
 # or least-recently-checked surface into the window (every name here
 # has a DuckDB oracle — no rows-only checks waste a slot).
 #
-# Round 9 window — ZERO overlap with the r8 window (r8 verdict ask
-# #6). Lead (4): er_unlinked (new this round — the ER residual report,
-# ask #7) and the three whose behavior changed this round and need a
-# fresh driver row: sem_dedup_clusters (size-gated routing to the
-# scaled path, ask #3), sem_dedup_scaled (ivf_assign_blocked now
-# blocks centroids on xxhash64 instead of cid % B — same winners,
-# different physical grouping; r8 advice #2), and src_jdbc_landing
-# (the CSV-metacharacter guard now derives from every string column
-# of the staged frame; r8 advice #3). The remaining 46 slots rotate
-# the oracled queries whose last driver row is OLDEST (computed from
-# CORRECTNESS_r0{1..8}.json): the full 26-name r3 band (samplers,
-# sinks, w_* windows, text_* quality family, round-3 stream drains,
-# REST sources) and the oldest 20 of the r4 band (agg grouping/pivot
-# surfaces, ev_* behavioral, li_* TPC-H shapes, semi/anti joins,
-# as-of/sessionize). The verdict-named inc_scd*/jl_dim_*_checked/
-# q2/q5/q11 carry r5 rows — next-oldest after these — and rotate in
-# r10.
+# Round 10 window — ZERO overlap with the r9 window (r9 verdict ask
+# #7: "rotate to the next-oldest ~50 names"). Computed from
+# CORRECTNESS_r0{1..9}.json: strictly the 50 oracled names whose last
+# driver row is OLDEST, oldest round first, alphabetical within a
+# round — the full 16-name r4 remainder (set ops, unpivot/filtered
+# aggs, dq/profile probes, observed/zorder sinks, lateral/recursive
+# SQL, the full-outer stream join) plus the first 34 of the r5 band
+# (the sketch-aggregate family, CDC/incremental-view maintenance,
+# bloom/salted joins, pandas grouped agg, samplers, SQL surface
+# probes, schema-evolution/malformed-CSV sources). The verdict's
+# example names (jl_dim_*_checked, sql_v*, mm_*, TPC-H q4-q10) carry
+# r6-r8 rows — NEWER than these — and rotate in later rounds.
 _WINDOW = [
-    # new this round — never driver-windowed
-    "er_unlinked",
-    # behavior changed this round
-    "sem_dedup_clusters",
-    "sem_dedup_scaled",
-    "src_jdbc_landing",
-    # rotation: the full r3 band (oldest driver rows)
-    "rel_correlated_scalar",
-    "samp_global_shuffle",
-    "samp_hash_split",
-    "samp_mixture",
-    "samp_reservoir_per_stratum",
-    "sink_compaction",
-    "sink_csv_roundtrip",
-    "sink_orc_roundtrip",
-    "sink_partitioned_roundtrip",
-    "src_rest_datasource",
-    "src_rest_ingest",
-    "stream_chained_window_agg",
-    "stream_dedup_within_watermark",
-    "stream_leftouter_interval_join",
-    "stream_static_join",
-    "text_bigram_lm_score",
-    "text_decontaminate",
-    "text_pack_batches",
-    "text_quality_classifier",
-    "text_redact",
-    "text_tfidf_top_terms",
-    "text_url_dedup",
-    "w_locf_forward_fill",
-    "w_moving_sum_30d",
-    "w_ntile_buckets",
-    "w_topk_per_group",
-    # rotation: oldest 20 of the r4 band
-    "agg_argmax_event",
-    "agg_cube_status_priority",
-    "agg_listagg_nations",
-    "agg_percentiles",
-    "agg_pivot_events",
-    "agg_price_histogram",
-    "agg_rollup_year_month",
-    "agg_salted_distinct",
-    "ev_cohort_retention",
-    "ev_funnel",
-    "j_anti_no_orders",
-    "j_semi_big_spenders",
-    "li_pricing_summary",
-    "li_revenue_topk",
-    "li_running_total",
-    "li_shipping_priority",
-    "li_supplier_nation_revenue",
-    "op_asof_last_view",
-    "op_sessionize",
-    "w_max_concurrency",
+    # r4 band — last driver row in CORRECTNESS_r04
+    "agg_approx_percentile_checked",
+    "agg_filtered_bools",
+    "agg_unpivot_events",
+    "dim_company_bucketed",
+    "dq_expectations",
+    "fn_explode_outer_keywords",
+    "inc_snapshot_diff",
+    "profile_table",
+    "set_except_customers",
+    "set_intersect_customers",
+    "sink_observed_write",
+    "sink_zorder_roundtrip",
+    "sql_lateral_topn",
+    "sql_recursive_month_spine",
+    "stream_fullouter_interval_join",
+    "text_top_bigrams",
+    # r5 band — last driver row in CORRECTNESS_r05 (first 34 of 48)
+    "agg_bitmap_distinct",
+    "agg_cms_frequency",
+    "agg_exact_moments",
+    "agg_hll_partition_merge",
+    "agg_kmv_distinct_checked",
+    "agg_kmv_intersection_checked",
+    "agg_session_window_batch",
+    "dd_duplicate_clusters",
+    "dd_prefix_filter_pairs",
+    "emb_l2_normalize_arrow",
+    "fn_collation_dedup",
+    "fn_sql_udf",
+    "fn_xml_roundtrip",
+    "graph_triangle_count",
+    "inc_agg_merge",
+    "inc_cdc_apply",
+    "inc_join_view_maintain",
+    "inc_topk_merge",
+    "j_bloom_filter_prune",
+    "j_salted_skew_join",
+    "ml_gram_matrix",
+    "op_grouped_agg_pandas",
+    "profile_catalog_stats",
+    "profile_table_approx_checked",
+    "q21_sole_late_suppliers",
+    "rag_hybrid_retrieval",
+    "samp_pack_sequences",
+    "samp_split_by_cluster",
+    "samp_stratified_exact",
+    "samp_temperature_mixture",
+    "samp_weighted_bernoulli",
+    "sink_inverted_index_roundtrip",
+    "sql_parameterized",
+    "sql_pivot_clause",
 ]
 
 

@@ -51,9 +51,19 @@ def get_spark(app_name: str = "end_to_end_data_engineering_job_listings_etl_spar
         # match round-3 timings exactly). 512 MB restores headroom;
         # harmless when unused. Driver-only conf is enough: local mode
         # executors share the driver JVM.
+        # GCLockerRetryAllocationCount: the JDK default (2) turns an
+        # allocation that races a JNI critical section (Arrow/netty
+        # buffers) under GC pressure into a SPURIOUS OutOfMemoryError
+        # ("Retried waiting for GCLocker too often") — the exact
+        # INTERNAL_ERROR that killed r9's long single-process sf10
+        # runs with gigabytes of heap still free. 32 retries makes the
+        # allocation wait out the critical section instead (JDK-8192647
+        # mitigation; diagnostic flag, hence the unlock).
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=512m",
+            "-XX:ReservedCodeCacheSize=512m "
+            "-XX:+UnlockDiagnosticVMOptions "
+            "-XX:GCLockerRetryAllocationCount=32",
         )
         # Cached frames here are small dims / landing cuts (≪ heap);
         # skip columnar-cache compression to trade a little memory for

@@ -11,10 +11,24 @@ Defaults: sf0.01 (the driver's correctness SF), artifact written to
 scripts_dev/sweep_r<ROUND>.json if --out not given (ROUND from
 $SWEEP_ROUND, default "5"). Imports __spark_entry__ by path exactly
 like the driver does, so registry wiring is exercised too.
+
+Oracle-digest cache (r9 verdict #8 — the r9 sf10 gate was a 3.3-hour
+session, ~dominated by DuckDB recomputing heavy oracle SQL): for
+digest-capable queries the DuckDB half (count + md5-chunk sums) is
+DETERMINISTIC in (oracle SQL, result schema, input files), so it is
+cached in $SWEEP_ORACLE_CACHE (default
+scripts_dev/oracle_digest_cache.json) keyed by
+sha256(name | sf fingerprint | oracle SQL | column canonicalization).
+The ENGINE side always runs fresh — the cache only skips re-running
+the oracle's own SQL when neither it nor the data changed (an edited
+oracle or regenerated dataset changes the key and misses). Strict
+(sub-threshold) compares are never cached: the driver's gate collects
+both sides, and at small row counts the oracle re-run is cheap.
 """
 
 from __future__ import annotations
 
+import hashlib
 import importlib.util
 import json
 import os
@@ -25,6 +39,25 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
+
+
+def _sf_fingerprint(sf_dir: str) -> str:
+    """Input-data identity for the cache key: per-table file sizes.
+    Regenerating a dataset (even at the same SF) changes sizes and
+    invalidates the cached oracle digests."""
+    from tests.oracle_check import TABLES
+
+    parts = []
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        parts.append(f"{t}:{os.path.getsize(p) if os.path.exists(p) else 0}")
+    return ";".join(parts)
+
+
+def _cache_key(name: str, sf_fp: str, sql: str, fields: dict) -> str:
+    canon = ";".join(f"{c}:{fields[c].simpleString()}" for c in sorted(fields))
+    blob = "\x1f".join(["digest-v1", name, sf_fp, sql, canon])
+    return hashlib.sha256(blob.encode()).hexdigest()[:32]
 
 
 def main() -> int:
@@ -51,7 +84,14 @@ def main() -> int:
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
 
-    from tests.oracle_check import compare, digest_compare, duckdb_conn
+    from tests.oracle_check import (
+        compare,
+        digest_compare,
+        digest_unsupported,
+        duck_digest,
+        duckdb_conn,
+        spark_digest,
+    )
 
     # oracle results above this row count are value-gated via the
     # engine-side digest instead of the collect-everything strict path.
@@ -69,6 +109,18 @@ def main() -> int:
     qs, oracles = mod.queries(), mod.oracle_sql()
     names = names or list(qs)
 
+    cache_path = Path(
+        os.environ.get(
+            "SWEEP_ORACLE_CACHE", str(REPO / "scripts_dev" / "oracle_digest_cache.json")
+        )
+    )
+    try:
+        cache: dict[str, dict] = json.loads(cache_path.read_text())
+    except (OSError, json.JSONDecodeError):
+        cache = {}
+    sf_fp = _sf_fingerprint(sf_dir)
+    n_cache_hits = 0
+
     t_start = time.time()
     entry_rows = len(mod.entry(spark).collect())
     results: dict[str, dict] = {}
@@ -81,15 +133,67 @@ def main() -> int:
                 # fact-scale results can't round-trip the Py4J collect
                 # path; above the threshold compare engine-side digests
                 # instead (same value gate, no driver materialization)
-                n_oracle = con.execute(
-                    f"SELECT count(*) FROM ({oracles[name]})"
-                ).fetchone()[0]
-                if n_oracle > digest_rows:
-                    digest_compare(df, con, oracles[name], name)
-                    status = "GREEN-digest"
+                fields = {f.name: f.dataType for f in df.schema.fields}
+                if not digest_unsupported(fields):
+                    # digest-capable: the deterministic DuckDB half
+                    # (count + chunk sums) comes from the cache when
+                    # (sql, schema, data) are unchanged; the Spark half
+                    # always runs fresh
+                    key = _cache_key(name, sf_fp, oracles[name], fields)
+                    ent = cache.get(key)
+                    if ent is None:
+                        d_cols, d_n, d_d1, d_d2 = duck_digest(
+                            con, oracles[name], fields
+                        )
+                        ent = {
+                            "name": name,
+                            "cols": d_cols,
+                            "n": d_n,
+                            "d1": str(d_d1),
+                            "d2": str(d_d2),
+                        }
+                        cache[key] = ent
+                        try:
+                            cache_path.write_text(
+                                json.dumps(cache, indent=0) + "\n"
+                            )
+                        except OSError:
+                            pass
+                    else:
+                        n_cache_hits += 1
+                    n_oracle = ent["n"]
+                    if n_oracle > digest_rows:
+                        s_n, s_d1, s_d2 = spark_digest(df)
+                        assert sorted(fields) == ent["cols"], (
+                            f"[{name}] columns differ: spark="
+                            f"{sorted(fields)} duckdb={ent['cols']}"
+                        )
+                        assert s_n == n_oracle, (
+                            f"[{name}] row counts differ: spark={s_n} "
+                            f"duckdb={n_oracle}"
+                        )
+                        assert (str(s_d1), str(s_d2)) == (ent["d1"], ent["d2"]), (
+                            f"[{name}] value digests differ over {s_n} rows:\n"
+                            f"  spark=({s_d1}, {s_d2})\n"
+                            f"  duckdb=({ent['d1']}, {ent['d2']})"
+                        )
+                        status = "GREEN-digest"
+                    else:
+                        compare(df, con, oracles[name], name)
+                        status = "GREEN"
                 else:
-                    compare(df, con, oracles[name], name)
-                    status = "GREEN"
+                    # digest-incapable result schema: original path
+                    # (count, then strict or the digest's own
+                    # unsupported-columns error above the threshold)
+                    n_oracle = con.execute(
+                        f"SELECT count(*) FROM ({oracles[name]})"
+                    ).fetchone()[0]
+                    if n_oracle > digest_rows:
+                        digest_compare(df, con, oracles[name], name)
+                        status = "GREEN-digest"
+                    else:
+                        compare(df, con, oracles[name], name)
+                        status = "GREEN"
                 n_green += 1
             else:
                 status = f"rows-only:{df.count()}"
@@ -106,6 +210,7 @@ def main() -> int:
 
     artifact = {
         "sf_dir": sf_dir,
+        "n_oracle_cache_hits": n_cache_hits,
         "n_queries": len(names),
         "n_green": n_green,
         "n_rows_only": n_rows_only,

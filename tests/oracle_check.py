@@ -175,18 +175,43 @@ def digest_compare(spark_df, con, sql: str, name: str = "?") -> None:
     avoid the flake structurally by pre-quantizing computed doubles
     in-query (round(x, 6) / e6 BIGINT columns), leaving the raw-
     double path to passthrough columns where floor is exact."""
-    from pyspark.sql import functions as F
-
     fields = {f.name: f.dataType for f in spark_df.schema.fields}
+    bad = digest_unsupported(fields)
+    if bad:
+        raise ValueError(f"[{name}] digest mode unsupported for columns {bad}")
+    s_n, s_d1, s_d2 = spark_digest(spark_df)
+    d_cols, d_n, d_d1, d_d2 = duck_digest(con, sql, fields)
+    assert sorted(fields) == d_cols, (
+        f"[{name}] columns differ: spark={sorted(fields)} duckdb={d_cols}"
+    )
+    assert s_n == d_n, f"[{name}] row counts differ: spark={s_n} duckdb={d_n}"
+    assert (s_d1, s_d2) == (d_d1, d_d2), (
+        f"[{name}] value digests differ over {s_n} rows:\n"
+        f"  spark=({s_d1}, {s_d2})\n  duckdb=({d_d1}, {d_d2})"
+    )
+
+
+def digest_unsupported(fields: dict) -> dict:
+    """Columns (name -> typeName) the engine-side digest cannot
+    canonicalize; empty dict == digest-capable result schema."""
 
     def _ok(t) -> bool:
         if t.typeName() == "array":
             return t.elementType.typeName() in _DIGEST_TYPES
         return t.typeName() in _DIGEST_TYPES or t.typeName() in ("double", "float")
 
-    bad = {k: v.typeName() for k, v in fields.items() if not _ok(v)}
-    if bad:
-        raise ValueError(f"[{name}] digest mode unsupported for columns {bad}")
+    return {k: v.typeName() for k, v in fields.items() if not _ok(v)}
+
+
+def spark_digest(spark_df) -> tuple[int, int, int]:
+    """Engine-side half of ``digest_compare``: (row count, two
+    disjoint 60-bit md5-chunk sums) over the name-sorted,
+    canonicalized result — the Spark side of the order-insensitive
+    value gate. Split out (r9 verdict #8) so harnesses can cache the
+    deterministic DuckDB half and still run this half fresh."""
+    from pyspark.sql import functions as F
+
+    fields = {f.name: f.dataType for f in spark_df.schema.fields}
     cols = sorted(fields)
 
     def _spark_cell(c: str):
@@ -233,10 +258,17 @@ def digest_compare(spark_df, con, sql: str, name: str = "?") -> None:
         )
         .collect()[0]
     )
-    s_n, s_d1, s_d2 = row["n"], int(row["d1"] or 0), int(row["d2"] or 0)
+    return row["n"], int(row["d1"] or 0), int(row["d2"] or 0)
 
+
+def duck_digest(con, sql: str, fields: dict) -> tuple[list, int, int, int]:
+    """Oracle-side half of ``digest_compare``: (name-sorted columns,
+    row count, two md5-chunk sums) for the DuckDB result under the
+    SAME canonicalization the Spark side used (``fields`` is the Spark
+    result schema — the canonicalization per column depends on it).
+    Deterministic in (sql, fields, input files), hence cacheable."""
+    cols = sorted(fields)
     d_cols = sorted(con.execute(f"SELECT * FROM ({sql}) LIMIT 0").df().columns)
-    assert cols == d_cols, f"[{name}] columns differ: spark={cols} duckdb={d_cols}"
 
     def _duck_cell(c: str) -> str:
         if fields[c].typeName() in ("double", "float"):
@@ -268,13 +300,7 @@ def digest_compare(spark_df, con, sql: str, name: str = "?") -> None:
         FROM (SELECT md5({dexpr}) AS h FROM ({sql}))
         """
     ).fetchone()
-    d_n, d_d1, d_d2 = d_n, int(d_d1 or 0), int(d_d2 or 0)
-
-    assert s_n == d_n, f"[{name}] row counts differ: spark={s_n} duckdb={d_n}"
-    assert (s_d1, s_d2) == (d_d1, d_d2), (
-        f"[{name}] value digests differ over {s_n} rows:\n"
-        f"  spark=({s_d1}, {s_d2})\n  duckdb=({d_d1}, {d_d2})"
-    )
+    return d_cols, d_n, int(d_d1 or 0), int(d_d2 or 0)
 
 
 def compare(spark_df, con, sql: str, name: str = "?") -> None:

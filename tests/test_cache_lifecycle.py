@@ -262,3 +262,76 @@ def test_evictor_failure_does_not_wedge_eviction():
     finally:
         cachereg._EVICTORS.remove(bad)
         cachereg._EVICTORS.remove(good)
+
+
+# ---------------------------------------------------------------------------
+# Within-dataset state budget (r9 verdict #1): query_boundary evicts
+# least-recently-touched FAMILY memos once pinned state exceeds the
+# budget, keeping the two most-recently-touched families (the active
+# burst's own memo plus the catalog scans nested under it).
+# ---------------------------------------------------------------------------
+
+
+def test_query_boundary_noop_under_budget(spark, monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_STATE_BUDGET_MB", raising=False)
+    qs = registry.all_queries()
+    qs["fact_orders"](spark, SF_A).write.format("noop").mode("overwrite").save()
+    assert star._PLAN_CACHE and star._LANDING_CACHE
+    stats = cachereg.query_boundary(spark)
+    # sf0.001 pinned state is far below the default 40%-of-heap budget
+    assert stats["before"] <= stats["budget"]
+    assert stats["evicted"] == []
+    assert star._PLAN_CACHE and star._LANDING_CACHE
+    cachereg.evict(spark)
+
+
+def test_query_boundary_evicts_lru_family_over_budget(spark, monkeypatch):
+    """Walk three families through the registry with a 1 MB budget:
+    the boundary before each query evicts the least-recently-touched
+    families beyond the protect-2 window, and a direct boundary call
+    afterwards drains down toward the budget oldest-first."""
+    monkeypatch.setenv("SPARK_GRAFT_STATE_BUDGET_MB", "1")
+    cachereg.evict(spark)
+    qs = registry.all_queries()
+    qs["fact_orders"](spark, SF_A).write.format("noop").mode("overwrite").save()
+    qs["jl_fact_checked"](spark, SF_A).write.format("noop").mode("overwrite").save()
+    assert joblistings._JL_STAR_CACHE
+    lru_before = [f for _, f in cachereg._FAMILY_LRU.get(spark, [])]
+    assert set(lru_before) >= {"star", "jl_star", "catalog"}
+    stats = cachereg.query_boundary(spark)
+    assert stats["before"] > stats["budget"]
+    assert stats["evicted"], "over-budget boundary must evict something"
+    # the two most-recently-touched families survive
+    survivors = [f for _, f in cachereg._FAMILY_LRU.get(spark, [])]
+    assert len(survivors) >= 2
+    assert survivors == lru_before[-2:]
+    for f in stats["evicted"]:
+        assert f not in survivors
+    cachereg.evict(spark)
+    monkeypatch.delenv("SPARK_GRAFT_STATE_BUDGET_MB", raising=False)
+
+
+def test_unmanaged_note_and_derby_drop(spark):
+    """src_jdbc_landing reports its in-memory Derby footprint to the
+    budget; the registered family evictor drops the DB (expected
+    SQLException 08006 = success) and clears the note. A fresh call
+    rebuilds the DB from scratch."""
+    from end_to_end_data_engineering_job_listings_etl_spark.plans import media_stream
+
+    df = media_stream.src_jdbc_landing(spark, SF_A)
+    n1 = df.count()
+    assert n1 > 0
+    assert cachereg._UNMANAGED.get(spark, {}).get("derby", 0) > 0
+    assert "derby" in cachereg._FAMILIES
+
+    media_stream._drop_derby_landing(spark)
+    assert cachereg._UNMANAGED.get(spark, {}).get("derby", 0) == 0
+    # the DB is gone: connecting WITHOUT create raises (XJ004)
+    with pytest.raises(Exception):
+        spark._jvm.java.sql.DriverManager.getConnection(
+            "jdbc:derby:memory:landing_db"
+        )
+    # and the query rebuilds end-to-end after the drop
+    assert media_stream.src_jdbc_landing(spark, SF_A).count() == n1
+    media_stream._drop_derby_landing(spark)
+    cachereg.evict(spark)
