@@ -89,8 +89,10 @@ def main() -> int:
         digest_compare,
         digest_unsupported,
         duck_digest,
+        duck_strict,
         duckdb_conn,
         spark_digest,
+        spark_strict,
     )
 
     # oracle results above this row count are value-gated via the
@@ -120,6 +122,64 @@ def main() -> int:
         cache = {}
     sf_fp = _sf_fingerprint(sf_dir)
     n_cache_hits = 0
+
+    def _flush_cache() -> None:
+        try:
+            cache_path.write_text(json.dumps(cache, indent=0) + "\n")
+        except OSError:
+            pass
+
+    def _rows_sha(cols: list, rows: list) -> str:
+        h = hashlib.sha256()
+        h.update("\x1d".join(cols).encode())
+        for r in sorted(rows):
+            h.update(b"\x1e")
+            h.update("\x1f".join(r).encode())
+        return h.hexdigest()
+
+    def _strict_cached(name: str, df, sql: str) -> None:
+        """The strict (driver-hash) compare with the DuckDB half
+        cached as (cols, count, sha256 over canonicalized sorted
+        rows) — value-equivalent to oracle_check.compare up to sha
+        collision. A cache-hit mismatch falls back to the REAL
+        compare for row-level diagnostics (and so a stale cache can
+        only cost time, never a wrong verdict)."""
+        nonlocal n_cache_hits
+        key = hashlib.sha256(
+            "\x1f".join(["strict-v1", name, sf_fp, sql]).encode()
+        ).hexdigest()[:32]
+        s_cols, s_rows = spark_strict(df)
+        ent = cache.get(key)
+        if ent is not None:
+            if (
+                ent["cols"] == s_cols
+                and ent["n"] == len(s_rows)
+                and ent["sha"] == _rows_sha(s_cols, s_rows)
+            ):
+                n_cache_hits += 1
+                return
+            compare(df, con, sql, name)  # authoritative diagnostics
+            return
+        d_cols, d_rows = duck_strict(con, sql)
+        assert s_cols == d_cols, (
+            f"[{name}] columns differ: spark={s_cols} duckdb={d_cols}"
+        )
+        assert len(s_rows) == len(d_rows), (
+            f"[{name}] row counts differ: spark={len(s_rows)} "
+            f"duckdb={len(d_rows)}"
+        )
+        for i, (a, b) in enumerate(zip(sorted(s_rows), sorted(d_rows))):
+            assert a == b, (
+                f"[{name}] first strict (driver-hash) mismatch at sorted "
+                f"row {i}:\n  spark={a}\n  duckdb={b}"
+            )
+        cache[key] = {
+            "name": name,
+            "cols": d_cols,
+            "n": len(d_rows),
+            "sha": _rows_sha(d_cols, d_rows),
+        }
+        _flush_cache()
 
     t_start = time.time()
     entry_rows = len(mod.entry(spark).collect())
@@ -153,12 +213,7 @@ def main() -> int:
                             "d2": str(d_d2),
                         }
                         cache[key] = ent
-                        try:
-                            cache_path.write_text(
-                                json.dumps(cache, indent=0) + "\n"
-                            )
-                        except OSError:
-                            pass
+                        _flush_cache()
                     else:
                         n_cache_hits += 1
                     n_oracle = ent["n"]
@@ -179,21 +234,15 @@ def main() -> int:
                         )
                         status = "GREEN-digest"
                     else:
-                        compare(df, con, oracles[name], name)
+                        _strict_cached(name, df, oracles[name])
                         status = "GREEN"
                 else:
-                    # digest-incapable result schema: original path
-                    # (count, then strict or the digest's own
-                    # unsupported-columns error above the threshold)
-                    n_oracle = con.execute(
-                        f"SELECT count(*) FROM ({oracles[name]})"
-                    ).fetchone()[0]
-                    if n_oracle > digest_rows:
-                        digest_compare(df, con, oracles[name], name)
-                        status = "GREEN-digest"
-                    else:
-                        compare(df, con, oracles[name], name)
-                        status = "GREEN"
+                    # digest-incapable result schema: strict with the
+                    # cached DuckDB half (these names are small by
+                    # construction — a huge digest-incapable result
+                    # would already have failed the r8+ gates)
+                    _strict_cached(name, df, oracles[name])
+                    status = "GREEN"
                 n_green += 1
             else:
                 status = f"rows-only:{df.count()}"

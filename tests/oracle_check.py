@@ -92,23 +92,37 @@ def _strict_cell(v) -> str:
     return str(v)
 
 
-def strict_frames(spark_df, con, sql: str):
-    """Fetch both sides at the pandas level — the representation the
-    driver hashes — and return (spark_cols, spark_rows, duck_cols,
-    duck_rows) with columns name-sorted and cells canonicalized."""
+def spark_strict(spark_df):
+    """Spark half of ``strict_frames``: (name-sorted columns,
+    canonicalized row tuples) at the pandas representation the driver
+    hashes."""
     sp = spark_df.toPandas()
     s_cols = sorted(sp.columns)
     s_rows = [
         tuple(_strict_cell(v) for v in row)
         for row in sp[s_cols].itertuples(index=False, name=None)
     ]
+    return s_cols, s_rows
+
+
+def duck_strict(con, sql: str):
+    """DuckDB half of ``strict_frames`` — deterministic in (sql, input
+    files), hence cacheable at the sorted-rows-sha level (the sweep
+    harness's strict cache)."""
     dp = con.execute(sql).df()
     d_cols = sorted(dp.columns)
     d_rows = [
         tuple(_strict_cell(v) for v in row)
         for row in dp[d_cols].itertuples(index=False, name=None)
     ]
-    return s_cols, s_rows, d_cols, d_rows
+    return d_cols, d_rows
+
+
+def strict_frames(spark_df, con, sql: str):
+    """Fetch both sides at the pandas level — the representation the
+    driver hashes — and return (spark_cols, spark_rows, duck_cols,
+    duck_rows) with columns name-sorted and cells canonicalized."""
+    return (*spark_strict(spark_df), *duck_strict(con, sql))
 
 
 # Types whose cast-to-string rendering is verified identical across
