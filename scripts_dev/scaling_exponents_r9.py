@@ -5,7 +5,9 @@ data; 1.0 = linear, <1 = sublinear (fixed overhead amortizing).
 Queries under 0.5 s at sf10 are skipped (session-overhead floor, the
 exponent would measure noise).
 
-Usage: python scripts_dev/scaling_exponents_r9.py [--md]
+Usage: python scripts_dev/scaling_exponents_r9.py [--md] [SF1.json SF10.json]
+(defaults to the r9 pair; pass e.g. bench_r10_sf1.json
+bench_r10_sf10.json for later rounds)
 """
 
 from __future__ import annotations
@@ -24,8 +26,11 @@ D = Path(__file__).resolve().parent
 
 
 def main() -> int:
-    sf1 = json.loads((D / "bench_r9_sf1.json").read_text())["queries"]
-    sf10 = json.loads((D / "bench_r9_sf10.json").read_text())["queries"]
+    paths = [a for a in sys.argv[1:] if a != "--md"]
+    f1 = paths[0] if len(paths) > 0 else str(D / "bench_r9_sf1.json")
+    f10 = paths[1] if len(paths) > 1 else str(D / "bench_r9_sf10.json")
+    sf1 = json.loads(Path(f1).read_text())["queries"]
+    sf10 = json.loads(Path(f10).read_text())["queries"]
     rows = []
     for n, v10 in sf10.items():
         v1 = sf1.get(n)
