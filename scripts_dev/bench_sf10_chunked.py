@@ -1,4 +1,12 @@
-"""Full-headline sf10 bench, chunked: one fresh cold `bench.py --once`
+"""LEGACY (r10): the within-dataset state budget + GCLocker retry fix
+(cachereg.query_boundary, session.py) let a single 16 GB JVM run the
+full sf10 headline — `SPARK_GRAFT_SF_DIR=/tmp/sf10
+SPARK_GRAFT_DRIVER_MEM=16g SPARK_GRAFT_BENCH_RUNS=1 python bench.py`
+— in one process, 0.92× this script's chunked total
+(scripts_dev/bench_r10_sf10.json). Kept only as the r9 artifact's
+provenance.
+
+Full-headline sf10 bench, chunked: one fresh cold `bench.py --once`
 process per ≤24-name HEADLINE slice, merged into one artifact.
 
 Why chunked: a single process running all 122 headline names at sf10
