@@ -35,7 +35,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from end_to_end_data_engineering_job_listings_etl_spark import registry  # noqa: E402
+from end_to_end_data_engineering_job_listings_etl_spark import cachereg, registry  # noqa: E402
 from end_to_end_data_engineering_job_listings_etl_spark.session import get_spark  # noqa: E402
 
 # Headline = the timed denominator (122 of 258 registered queries).
@@ -313,8 +313,15 @@ def run_once() -> dict:
     # rest. (Errored queries contribute 0 to the total.)
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    # Boundary observability (VERDICT r10 #7): attribute cachereg
+    # eviction churn to the query whose boundary fired it, so at sf10 —
+    # where the state budget actively evicts — the artifact shows
+    # before/after/families/seconds per evicting query. At sf ≤ 1 the
+    # boundary is a no-op and this records nothing.
+    boundary_per_query: dict[str, list[dict]] = {}
     for name in headline:
         fn = queries[name]
+        n_events0 = len(cachereg.boundary_stats()["events"])
         t0 = time.perf_counter()
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -322,6 +329,9 @@ def run_once() -> dict:
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             continue
         timings[name] = round(time.perf_counter() - t0, 3)
+        new_events = cachereg.boundary_stats()["events"][n_events0:]
+        if new_events:
+            boundary_per_query[name] = new_events
 
     # An errored query contributes 0 to the sum, which would silently
     # *improve* the headline total — publish the timed denominator
@@ -339,6 +349,10 @@ def run_once() -> dict:
         "errors": errors,
         "sf": sf,
         "overhead_probe_sec": overhead_probe,
+        "boundary": {
+            "counts": cachereg.boundary_stats()["counts"],
+            "per_query": boundary_per_query,
+        },
     }
 
 
@@ -532,6 +546,11 @@ def main() -> None:
         ),
         "overhead_probe_runs": [r.get("overhead_probe_sec") for r in runs],
         "errors": errors,
+        # per-run boundary counters (+ per-query eviction events from
+        # each pass) — meaningful at sf10 where the state budget evicts;
+        # the sf10 artifact is single-run (SPARK_GRAFT_BENCH_RUNS=1) and
+        # carries the full per-query detail via run_once directly
+        "boundary_runs": [r.get("boundary") for r in runs],
         "sf": runs[0].get("sf"),
         # why n_timed < len(registry): every non-headline query falls
         # in one of the four documented omission classes (see the

@@ -143,6 +143,13 @@ def note_unmanaged(spark: SparkSession, family: str, n_bytes: int) -> None:
         notes[family] = int(n_bytes)
 
 
+def unmanaged_estimates(spark: SparkSession) -> dict[str, int]:
+    """Copy of the session's reported unmanaged-heap estimates
+    (family -> bytes) — read by calibration probes that compare the
+    honor-system estimate against measured heap growth."""
+    return dict(_UNMANAGED.get(spark, {}))
+
+
 def pinned_bytes(spark: SparkSession) -> int:
     """Session state the budget governs: block-manager memSize over
     every persisted RDD (memo persists + localCheckpoint pins; disk
@@ -162,7 +169,13 @@ def state_budget_bytes(spark: SparkSession) -> int:
     even when a query's working set peaks."""
     env = os.environ.get("SPARK_GRAFT_STATE_BUDGET_MB")
     if env:
-        return int(env) * 2**20
+        # tolerate a malformed override (ADVICE r10 #1): query_boundary
+        # sits on the registry hot path, so a bad env var must fall
+        # through to the heap-derived default, not fail every query
+        try:
+            return int(env) * 2**20
+        except ValueError:
+            pass
     try:
         max_heap = int(
             spark._jvm.java.lang.Runtime.getRuntime().maxMemory()
@@ -170,6 +183,27 @@ def state_budget_bytes(spark: SparkSession) -> int:
     except Exception:  # noqa: BLE001
         max_heap = 8 * 2**30
     return int(max_heap * 0.40)
+
+
+# Boundary observability (VERDICT r10 #7): a bounded in-process log of
+# query_boundary outcomes so harnesses (bench.py, sweep scripts) can
+# attribute eviction churn to the query that triggered it. Counters are
+# cumulative for process lifetime; the event list keeps only boundaries
+# that actually evicted (the no-op case is ~1 ms and unbounded in
+# count — logging it would be the leak this module exists to prevent).
+_BOUNDARY_COUNTS = {"boundaries": 0, "evicting_boundaries": 0, "evictions": 0, "evict_sec": 0.0}
+_BOUNDARY_EVENTS: list[dict] = []
+_BOUNDARY_EVENTS_CAP = 500
+
+
+def boundary_stats() -> dict:
+    """Snapshot of boundary activity since process start: cumulative
+    counters plus the (capped) list of evicting-boundary events. Cheap;
+    returns copies so callers can diff before/after a query."""
+    return {
+        "counts": dict(_BOUNDARY_COUNTS),
+        "events": list(_BOUNDARY_EVENTS),
+    }
 
 
 def query_boundary(spark: SparkSession) -> dict:
@@ -184,7 +218,22 @@ def query_boundary(spark: SparkSession) -> dict:
     families until back under. The two most-recently-touched families
     are NEVER evicted here (see the loop comment) — same-family bursts
     keep their memo, and the worst-case bound is budget + the last two
-    families' working sets (documented in the module docstring)."""
+    families' working sets (documented in the module docstring).
+
+    Retained-frame hazard (ADVICE r10 #2): eviction here releases pins
+    that DataFrames RETURNED BY EARLIER registry queries may still
+    reference. Plain-persisted frames silently recompute on next
+    access; localCheckpoint-pinned frames (operators/ids.py) and the
+    dropped Derby landing FAIL-STOP instead — lineage was truncated, so
+    recompute is impossible by design. A caller holding result frames
+    across queries in an over-budget session must either re-invoke the
+    registry query (always rebuilds from source) or raise
+    $SPARK_GRAFT_STATE_BUDGET_MB; under budget nothing is ever
+    released. Checkpoint pins are NOT downgraded to plain unpersist to
+    dodge this: the pins exist to cut quadratic lineage (log-round
+    label propagation), and keeping a recompute path would keep that
+    lineage alive on the executors — the fail-stop is the cheaper,
+    explicit contract (tests/test_edges.py pins it)."""
     try:
         spark.streams.resetTerminated()
     except Exception:  # noqa: BLE001 - no streaming, stopped JVM
@@ -192,8 +241,10 @@ def query_boundary(spark: SparkSession) -> dict:
     budget = state_budget_bytes(spark)
     before = pinned_bytes(spark)
     stats = {"before": before, "budget": budget, "evicted": []}
+    _BOUNDARY_COUNTS["boundaries"] += 1
     if before <= budget:
         return stats
+    t0 = time.monotonic()
     lru = _FAMILY_LRU.get(spark) or []
     # oldest-first; the TWO most-recently-touched entries are never
     # evicted here: a memo build touches its own family first and then
@@ -214,13 +265,35 @@ def query_boundary(spark: SparkSession) -> dict:
         except ValueError:
             pass
         stats["evicted"].append(family)
-        # unpersist is async for plain persists; a short settle keeps
-        # the re-measure from over-evicting the next family for blocks
-        # that are already on their way out
-        time.sleep(0.15)
+        # unpersist is async for plain persists — poll the block
+        # manager (capped) instead of a fixed settle (VERDICT r10
+        # "what's wrong" #2) so the re-measure neither over-evicts the
+        # next family for blocks already on their way out nor pays the
+        # full wait when the release lands immediately
+        if pinned_bytes(spark) <= budget:
+            break
+        deadline = time.monotonic() + 0.15
+        while pinned_bytes(spark) > budget and time.monotonic() < deadline:
+            time.sleep(0.03)
         if pinned_bytes(spark) <= budget:
             break
     stats["after"] = pinned_bytes(spark)
+    stats["sec"] = round(time.monotonic() - t0, 3)
+    _BOUNDARY_COUNTS["evicting_boundaries"] += 1
+    _BOUNDARY_COUNTS["evictions"] += len(stats["evicted"])
+    _BOUNDARY_COUNTS["evict_sec"] = round(
+        _BOUNDARY_COUNTS["evict_sec"] + stats["sec"], 3
+    )
+    if len(_BOUNDARY_EVENTS) < _BOUNDARY_EVENTS_CAP:
+        _BOUNDARY_EVENTS.append(
+            {
+                "evicted": list(stats["evicted"]),
+                "before_mb": round(before / 2**20),
+                "after_mb": round(stats["after"] / 2**20),
+                "budget_mb": round(budget / 2**20),
+                "sec": stats["sec"],
+            }
+        )
     return stats
 
 

@@ -93,71 +93,71 @@ def _pinned(fn: Callable[[SparkSession, str], DataFrame]):
 # or least-recently-checked surface into the window (every name here
 # has a DuckDB oracle — no rows-only checks waste a slot).
 #
-# Round 10 window — ZERO overlap with the r9 window (r9 verdict ask
-# #7: "rotate to the next-oldest ~50 names"). Computed from
-# CORRECTNESS_r0{1..9}.json: strictly the 50 oracled names whose last
-# driver row is OLDEST, oldest round first, alphabetical within a
-# round — the full 16-name r4 remainder (set ops, unpivot/filtered
-# aggs, dq/profile probes, observed/zorder sinks, lateral/recursive
-# SQL, the full-outer stream join) plus the first 34 of the r5 band
-# (the sketch-aggregate family, CDC/incremental-view maintenance,
-# bloom/salted joins, pandas grouped agg, samplers, SQL surface
-# probes, schema-evolution/malformed-CSV sources). The verdict's
-# example names (jl_dim_*_checked, sql_v*, mm_*, TPC-H q4-q10) carry
-# r6-r8 rows — NEWER than these — and rotate in later rounds.
+# Round 11 window — ZERO overlap with the r10 window (r10 verdict ask
+# #4: rotate to the next band). Computed from
+# CORRECTNESS_r0{1..9}/r10.json the same way every round: strictly the
+# 50 oracled names whose last driver row is OLDEST, oldest round
+# first, alphabetical within a round — the r5 remainder (SQL scripting,
+# schema-evolution/malformed-CSV/resumable sources, stream CDC +
+# curation drains, the text CDC/BM25/dup-span layer, window EWMA/
+# cume_dist) plus the first 36 of the r6 band (the jl_dim_*_checked
+# star dims, both jl fact builds, the TPC-H q2-q20 shapes, the
+# dd_* minhash/simhash/keep-best dedup layer, multimodal audio/resize,
+# ANN recall, MMR rerank). Exactly the families the r10 verdict asked
+# to rotate in.
 _WINDOW = [
-    # r4 band — last driver row in CORRECTNESS_r04
-    "agg_approx_percentile_checked",
-    "agg_filtered_bools",
-    "agg_unpivot_events",
-    "dim_company_bucketed",
-    "dq_expectations",
-    "fn_explode_outer_keywords",
-    "inc_snapshot_diff",
-    "profile_table",
-    "set_except_customers",
-    "set_intersect_customers",
-    "sink_observed_write",
-    "sink_zorder_roundtrip",
-    "sql_lateral_topn",
-    "sql_recursive_month_spine",
-    "stream_fullouter_interval_join",
-    "text_top_bigrams",
-    # r5 band — last driver row in CORRECTNESS_r05 (first 34 of 48)
-    "agg_bitmap_distinct",
-    "agg_cms_frequency",
-    "agg_exact_moments",
-    "agg_hll_partition_merge",
-    "agg_kmv_distinct_checked",
-    "agg_kmv_intersection_checked",
-    "agg_session_window_batch",
-    "dd_duplicate_clusters",
-    "dd_prefix_filter_pairs",
-    "emb_l2_normalize_arrow",
-    "fn_collation_dedup",
-    "fn_sql_udf",
-    "fn_xml_roundtrip",
-    "graph_triangle_count",
-    "inc_agg_merge",
-    "inc_cdc_apply",
-    "inc_join_view_maintain",
-    "inc_topk_merge",
-    "j_bloom_filter_prune",
-    "j_salted_skew_join",
-    "ml_gram_matrix",
-    "op_grouped_agg_pandas",
-    "profile_catalog_stats",
-    "profile_table_approx_checked",
-    "q21_sole_late_suppliers",
-    "rag_hybrid_retrieval",
-    "samp_pack_sequences",
-    "samp_split_by_cluster",
-    "samp_stratified_exact",
-    "samp_temperature_mixture",
-    "samp_weighted_bernoulli",
-    "sink_inverted_index_roundtrip",
-    "sql_parameterized",
-    "sql_pivot_clause",
+    # r5 band — last driver row in CORRECTNESS_r05 (the remainder)
+    "sql_scripted_pipeline",
+    "src_csv_malformed",
+    "src_python_stream_resume",
+    "src_schema_evolution",
+    "stream_cdc_apply",
+    "stream_curation_pipeline",
+    "text_bm25_topk",
+    "text_cdc_chunks",
+    "text_chunk_overlap",
+    "text_dup_spans",
+    "text_repetition_signals",
+    "text_winnow_fingerprints",
+    "w_cume_dist_nth",
+    "w_ewma_decay",
+    # r6 band — last driver row in CORRECTNESS_r06 (first 36)
+    "dd_keep_best",
+    "dd_lsh_candidates",
+    "dd_minhash_signatures",
+    "dd_simhash",
+    "dd_soft_dedup_weights",
+    "emb_random_projection",
+    "ev_ann_recall",
+    "inc_dedup_merge",
+    "inc_lsh_merge",
+    "jl_bridge_checked",
+    "jl_dim_company_checked",
+    "jl_dim_date_checked",
+    "jl_dim_employment_type_checked",
+    "jl_dim_job_details_checked",
+    "jl_dim_location_checked",
+    "jl_dim_publisher_checked",
+    "jl_dim_skill_checked",
+    "jl_fact_checked",
+    "jl_fact_fallback_checked",
+    "li_big_orders",
+    "li_disjunctive_part_join",
+    "li_late_shipment_priority",
+    "li_lateness_by_class",
+    "mm_audio_energy_checked",
+    "mm_resize_checked",
+    "q11_nation_stock_share",
+    "q16_supplier_variety",
+    "q17_small_quantity",
+    "q20_dominant_suppliers",
+    "q2_min_balance_supplier",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "rag_mmr_rerank",
 ]
 
 

@@ -64,9 +64,62 @@ def jvm_stats(spark) -> dict:
     }
 
 
+def derby_calibration(sf_dir: str, out: Path) -> int:
+    """VERDICT r10 #6: the Derby family's ``note_unmanaged`` estimate
+    is a staged-CSV-bytes proxy; calibrate it against MEASURED heap
+    growth. Protocol: gc'd heap before → build the Derby landing
+    (src_jdbc_landing) → gc'd heap after (Derby page cache + staged
+    state now live) → read the estimate → evict the family → gc'd heap
+    once more (how much the eviction actually returns). The heap delta
+    is an upper bound on Derby's true footprint (it also includes
+    residual Spark session state from the query itself), so
+    estimate/delta < 1 means the proxy UNDER-counts at most by the
+    stated ratio; the post-evict heap shows the recoverable share."""
+    from end_to_end_data_engineering_job_listings_etl_spark import cachereg
+
+    spark = get_spark(app_name="derby-calib")
+    qs = registry.all_queries()
+    before = jvm_stats(spark)
+    t0 = time.time()
+    qs["src_jdbc_landing"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    sec = round(time.time() - t0, 1)
+    after = jvm_stats(spark)
+    est = cachereg.unmanaged_estimates(spark)
+    est_mb = round(est.get("derby", 0) / 2**20, 1)
+    # evict ONLY the derby family, then measure what came back
+    cachereg._FAMILIES["derby"](spark, None)
+    post = jvm_stats(spark)
+    delta_mb = after["heap_mb"] - before["heap_mb"]
+    row = {
+        "sf_dir": sf_dir,
+        "query_sec": sec,
+        "heap_before_mb": before["heap_mb"],
+        "heap_after_mb": after["heap_mb"],
+        "heap_after_evict_mb": post["heap_mb"],
+        "heap_delta_mb": delta_mb,
+        "recovered_on_evict_mb": after["heap_mb"] - post["heap_mb"],
+        "estimated_unmanaged_mb": est_mb,
+        "estimate_over_delta": round(est_mb / delta_mb, 2) if delta_mb else None,
+        "estimates_all": {k: round(v / 2**20, 1) for k, v in est.items()},
+    }
+    out.write_text(json.dumps(row, indent=1) + "\n")
+    print(json.dumps(row, indent=1))
+    return 0
+
+
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--boundary"]
+    flags = {"--boundary", "--derby"}
+    args = [a for a in sys.argv[1:] if a not in flags]
     boundary = "--boundary" in sys.argv[1:]
+    if "--derby" in sys.argv[1:]:
+        return derby_calibration(
+            args[0] if args else "/tmp/sf10",
+            Path(args[1]) if len(args) > 1 else (
+                REPO / "scripts_dev" / "derby_calib.json"
+            ),
+        )
     sf_dir = args[0] if len(args) > 0 else "/tmp/sf10"
     n_names = int(args[1]) if len(args) > 1 else 30
     out = Path(args[2]) if len(args) > 2 else (

@@ -42,9 +42,37 @@ sys.path.insert(0, str(REPO))
 
 
 def _sf_fingerprint(sf_dir: str) -> str:
-    """Input-data identity for the cache key: per-table file sizes.
-    Regenerating a dataset (even at the same SF) changes sizes and
-    invalidates the cached oracle digests."""
+    """Input-data identity for the cache key: per-table size plus a
+    cheap content hash (sha256 over the first+last 64 KiB — parquet
+    footers carry row-group stats, so any regeneration perturbs the
+    tail even at identical size; ADVICE r10 #3). Content-based rather
+    than mtime-based on purpose: /tmp datasets are rebuilt
+    deterministically across sessions, and a byte-identical rebuild
+    should HIT the banked digests, while any real regeneration misses."""
+    from tests.oracle_check import TABLES
+
+    parts = []
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        try:
+            size = os.path.getsize(p)
+            h = hashlib.sha256()
+            with open(p, "rb") as fh:
+                h.update(fh.read(65536))
+                if size > 65536:
+                    fh.seek(max(65536, size - 65536))
+                    h.update(fh.read(65536))
+            parts.append(f"{t}:{size}:{h.hexdigest()[:16]}")
+        except OSError:
+            parts.append(f"{t}:0")
+    return ";".join(parts)
+
+
+def _sf_fingerprint_legacy(sf_dir: str) -> str:
+    """The pre-r11 sizes-only fingerprint — kept ONLY so banked digests
+    keyed under it migrate to the content-hash key on first hit (the
+    sf10 bank is hours of oracle compute; a key-schema change must not
+    cold-start it)."""
     from tests.oracle_check import TABLES
 
     parts = []
@@ -121,6 +149,7 @@ def main() -> int:
     except (OSError, json.JSONDecodeError):
         cache = {}
     sf_fp = _sf_fingerprint(sf_dir)
+    sf_fp_old = _sf_fingerprint_legacy(sf_dir)
     n_cache_hits = 0
 
     def _flush_cache() -> None:
@@ -128,6 +157,18 @@ def main() -> int:
             cache_path.write_text(json.dumps(cache, indent=0) + "\n")
         except OSError:
             pass
+
+    def _cache_lookup(key: str, legacy_key: str) -> dict | None:
+        """Content-hash key first; on miss, migrate a sizes-only-keyed
+        bank entry (pre-r11) to the new key. Migration can only HIT for
+        data that also matches on sizes — exactly the old guarantee —
+        and after one warm pass every entry carries the content key."""
+        ent = cache.get(key)
+        if ent is None and legacy_key in cache:
+            ent = cache.pop(legacy_key)
+            cache[key] = ent
+            _flush_cache()
+        return ent
 
     def _rows_sha(cols: list, rows: list) -> str:
         h = hashlib.sha256()
@@ -148,8 +189,11 @@ def main() -> int:
         key = hashlib.sha256(
             "\x1f".join(["strict-v1", name, sf_fp, sql]).encode()
         ).hexdigest()[:32]
+        key_old = hashlib.sha256(
+            "\x1f".join(["strict-v1", name, sf_fp_old, sql]).encode()
+        ).hexdigest()[:32]
         s_cols, s_rows = spark_strict(df)
-        ent = cache.get(key)
+        ent = _cache_lookup(key, key_old)
         if ent is not None:
             if (
                 ent["cols"] == s_cols
@@ -184,6 +228,7 @@ def main() -> int:
     t_start = time.time()
     entry_rows = len(mod.entry(spark).collect())
     results: dict[str, dict] = {}
+    artifact: dict = {"sf_dir": sf_dir, "n_queries": len(names), "queries": results}
     n_green = n_rows_only = n_fail = 0
     for i, name in enumerate(names):
         t0 = time.time()
@@ -200,7 +245,9 @@ def main() -> int:
                     # (sql, schema, data) are unchanged; the Spark half
                     # always runs fresh
                     key = _cache_key(name, sf_fp, oracles[name], fields)
-                    ent = cache.get(key)
+                    ent = _cache_lookup(
+                        key, _cache_key(name, sf_fp_old, oracles[name], fields)
+                    )
                     if ent is None:
                         d_cols, d_n, d_d1, d_d2 = duck_digest(
                             con, oracles[name], fields
@@ -256,18 +303,27 @@ def main() -> int:
         wall = round(time.time() - t0, 3)
         results[name] = {"status": status, "sec": wall, **({"err": err} if err else {})}
         print(f"[{i + 1}/{len(names)}] {name}: {status} ({wall}s)", flush=True)
+        # incremental checkpoint: a multi-hour sf10 gate that dies at
+        # name 200 must leave the 199 finished rows on disk, not lose
+        # them with the process (the banked oracle digests already
+        # survive; this makes the ENGINE-side progress survive too)
+        artifact = {
+            "sf_dir": sf_dir,
+            "n_oracle_cache_hits": n_cache_hits,
+            "n_queries": len(names),
+            "n_done": i + 1,
+            "n_green": n_green,
+            "n_rows_only": n_rows_only,
+            "n_fail": n_fail,
+            "entry_rows": entry_rows,
+            "total_sec": round(time.time() - t_start, 1),
+            "queries": results,
+        }
+        try:
+            Path(out).write_text(json.dumps(artifact, indent=1) + "\n")
+        except OSError:
+            pass
 
-    artifact = {
-        "sf_dir": sf_dir,
-        "n_oracle_cache_hits": n_cache_hits,
-        "n_queries": len(names),
-        "n_green": n_green,
-        "n_rows_only": n_rows_only,
-        "n_fail": n_fail,
-        "entry_rows": entry_rows,
-        "total_sec": round(time.time() - t_start, 1),
-        "queries": results,
-    }
     Path(out).write_text(json.dumps(artifact, indent=1) + "\n")
     print(
         f"\n{n_green} green / {n_rows_only} rows-only / {n_fail} FAIL"

@@ -283,6 +283,11 @@ def duck_digest(con, sql: str, fields: dict) -> tuple[list, int, int, int]:
     Deterministic in (sql, fields, input files), hence cacheable."""
     cols = sorted(fields)
     d_cols = sorted(con.execute(f"SELECT * FROM ({sql}) LIMIT 0").df().columns)
+    # Column equality must gate BEFORE the digest SQL is built (ADVICE
+    # r10 #4): the canonicalization below references Spark-side column
+    # names, so on a mismatch the query would die with an opaque DuckDB
+    # binder error instead of this message.
+    assert cols == d_cols, f"columns differ: spark={cols} duckdb={d_cols}"
 
     def _duck_cell(c: str) -> str:
         if fields[c].typeName() in ("double", "float"):
