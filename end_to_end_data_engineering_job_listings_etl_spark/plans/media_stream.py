@@ -811,6 +811,16 @@ def src_jdbc_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cachereg.register_family("derby", _drop_derby_landing)
     cachereg.touch_family(spark, sf_dir, "derby")
+    # Calibration (scripts_dev/derby_calib_r11.json, measured at sf10
+    # in a 16 GB JVM): staged-CSV bytes UNDER-estimate Derby's actual
+    # heap footprint ~2.5x (389 MB estimate vs 990 MB gc'd heap delta;
+    # Derby stores rows uncompressed plus btree index pages and page
+    # slack, while the CSV stage is compact text). The proxy is kept
+    # as-is deliberately: it is deterministic and cheap, the budget's
+    # 40%-of-heap default leaves multi-GB slack for exactly this class
+    # of estimate error, and evicting the family returns 97% of the
+    # measured delta — so the error band affects WHEN eviction fires,
+    # never whether state is recoverable.
     cachereg.note_unmanaged(spark, "derby", stage_bytes)
     hi = orders.agg(F.max("o_orderkey")).collect()[0][0]
     back = (
