@@ -335,3 +335,73 @@ def test_unmanaged_note_and_derby_drop(spark):
     assert media_stream.src_jdbc_landing(spark, SF_A).count() == n1
     media_stream._drop_derby_landing(spark)
     cachereg.evict(spark)
+
+
+# ---------------------------------------------------------------------------
+# Round-11 additions: env-guard on the budget override (ADVICE r10 #1),
+# boundary observability (VERDICT r10 #7), unmanaged-estimate accessor.
+# ---------------------------------------------------------------------------
+
+
+def test_state_budget_malformed_env_falls_back(spark, monkeypatch):
+    """A malformed $SPARK_GRAFT_STATE_BUDGET_MB must fall through to
+    the heap-derived default instead of raising on the registry hot
+    path (query_boundary runs before EVERY registry query)."""
+    monkeypatch.setenv("SPARK_GRAFT_STATE_BUDGET_MB", "sixteen-gigs")
+    budget = cachereg.state_budget_bytes(spark)
+    assert budget > 0  # heap-derived, no ValueError
+    # the boundary itself stays a working no-op under that budget
+    stats = cachereg.query_boundary(spark)
+    assert stats["budget"] == budget
+    monkeypatch.setenv("SPARK_GRAFT_STATE_BUDGET_MB", "7")
+    assert cachereg.state_budget_bytes(spark) == 7 * 2**20
+
+
+def test_boundary_stats_counters_and_events(spark, monkeypatch):
+    """boundary_stats() exposes cumulative counters plus an event per
+    EVICTING boundary (no-op boundaries are counted but not logged) —
+    the feed bench.py attributes eviction churn from."""
+    monkeypatch.delenv("SPARK_GRAFT_STATE_BUDGET_MB", raising=False)
+    cachereg.evict(spark)
+    before = cachereg.boundary_stats()
+    cachereg.query_boundary(spark)  # under budget: counted, not logged
+    mid = cachereg.boundary_stats()
+    assert mid["counts"]["boundaries"] == before["counts"]["boundaries"] + 1
+    assert len(mid["events"]) == len(before["events"])
+
+    monkeypatch.setenv("SPARK_GRAFT_STATE_BUDGET_MB", "1")
+    qs = registry.all_queries()
+    qs["fact_orders"](spark, SF_A).write.format("noop").mode("overwrite").save()
+    qs["jl_fact_checked"](spark, SF_A).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    stats = cachereg.query_boundary(spark)
+    assert stats["evicted"]
+    after = cachereg.boundary_stats()
+    assert (
+        after["counts"]["evicting_boundaries"]
+        > mid["counts"]["evicting_boundaries"]
+    )
+    assert after["counts"]["evictions"] >= len(stats["evicted"])
+    ev = after["events"][-1]
+    assert ev["evicted"] == stats["evicted"]
+    assert ev["before_mb"] > ev["budget_mb"]
+    assert ev["sec"] >= 0
+    # the LIST is a copy (appends to the live log don't retro-grow a
+    # snapshot a harness already took); elements are shared read-only
+    assert after["events"] is not cachereg._BOUNDARY_EVENTS
+    assert after["counts"] is not cachereg._BOUNDARY_COUNTS
+    cachereg.evict(spark)
+    monkeypatch.delenv("SPARK_GRAFT_STATE_BUDGET_MB", raising=False)
+
+
+def test_unmanaged_estimates_accessor(spark):
+    """unmanaged_estimates returns a copy of the session's reported
+    family estimates; reporting 0 clears an entry."""
+    cachereg.note_unmanaged(spark, "probe_fam", 123)
+    est = cachereg.unmanaged_estimates(spark)
+    assert est["probe_fam"] == 123
+    est["probe_fam"] = 999  # a copy — must not write through
+    assert cachereg.unmanaged_estimates(spark)["probe_fam"] == 123
+    cachereg.note_unmanaged(spark, "probe_fam", 0)
+    assert "probe_fam" not in cachereg.unmanaged_estimates(spark)

@@ -308,6 +308,17 @@ def test_digest_agrees_with_strict(spark, duck):
     df = qs["sim_cosine_topk"](spark, SF_DIR)  # double cos_sim column
     compare(df, duck, oracles["sim_cosine_topk"], "sim_cosine_topk")
     digest_compare(df, duck, oracles["sim_cosine_topk"], "sim_cosine_topk")
+    # a COLUMN mismatch must report cleanly ("columns differ"), not die
+    # in a DuckDB binder error from the digest SQL referencing a Spark
+    # column the oracle lacks (ADVICE r10 #4 — the check must gate
+    # BEFORE the digest query is built)
+    with pytest.raises(AssertionError, match="columns differ"):
+        digest_compare(
+            dbl_probe.withColumnRenamed("d", "spark_only_name"),
+            duck,
+            "SELECT CAST(1.5 AS DOUBLE) AS d",
+            "digest-colname-probe",
+        )
     # unsupported types refuse loudly instead of hashing engine-variant
     # renderings
     with pytest.raises(ValueError):
