@@ -132,12 +132,20 @@ HEADLINE = [
     # round-3 representatives: the newly window-verified LLM-pipeline
     # layer enters the recorded baseline the same round it is banked
     # (totals are comparable only at equal n_timed — recorded since r3)
-    "sem_dedup_clusters",
-    # sem_dedup_scaled was timed here r3–r9 — dropped r10 (verdict r9
-    # #4, omission class 1): above the 5000-vector size gate
-    # sem_dedup_clusters routes to the SAME physical plan
-    # (plans/curation.py), so at every benched SF the headline timed
-    # one plan twice.
+    # sem_dedup_clusters was timed here r3–r11 — swapped for its twin
+    # sem_dedup_scaled in r12 (VERDICT r11 "what's wrong" #3): above
+    # the 5000-vector size gate clusters routes to the SAME physical
+    # plan as scaled (plans/curation.py), so at every benched SF the
+    # two are one plan and only one belongs in the headline (omission
+    # class 1, plan-sharing twin); the SCALED name is the one kept
+    # because its semantics are identical at every SF (always k ∝ N,
+    # no routing branch), while the clusters slot accumulated a
+    # standing PARITY adjudication for warm-state sampling variance
+    # (in-bench sf10 samples 38.6/14.2/36.6 s on byte-identical code).
+    # The SemDeDup scale signal is carried by this name's sf1→sf10
+    # exponent plus the committed cold-solo artifact
+    # (scripts_dev/semdedup_cold_r11.json).
+    "sem_dedup_scaled",
     "text_quality_classifier",
     "samp_mixture",
     "stream_chained_window_agg",
@@ -319,6 +327,10 @@ def run_once() -> dict:
     # before/after/families/seconds per evicting query. At sf ≤ 1 the
     # boundary is a no-op and this records nothing.
     boundary_per_query: dict[str, list[dict]] = {}
+    # cachereg counters are process-cumulative; snapshot here so the
+    # artifact's per-run "counts" really are per-run deltas even with
+    # SPARK_GRAFT_BENCH_RUNS>1 (ADVICE r11).
+    counts0 = cachereg.boundary_stats()["counts"]
     for name in headline:
         fn = queries[name]
         n_events0 = len(cachereg.boundary_stats()["events"])
@@ -327,6 +339,11 @@ def run_once() -> dict:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            # Eviction events fired during an errored query must keep
+            # their attribution (ADVICE r11) — capture before skipping.
+            new_events = cachereg.boundary_stats()["events"][n_events0:]
+            if new_events:
+                boundary_per_query[name] = new_events
             continue
         timings[name] = round(time.perf_counter() - t0, 3)
         new_events = cachereg.boundary_stats()["events"][n_events0:]
@@ -350,7 +367,10 @@ def run_once() -> dict:
         "sf": sf,
         "overhead_probe_sec": overhead_probe,
         "boundary": {
-            "counts": cachereg.boundary_stats()["counts"],
+            "counts": {
+                k: round(v - counts0[k], 3)
+                for k, v in cachereg.boundary_stats()["counts"].items()
+            },
             "per_query": boundary_per_query,
         },
     }
@@ -536,6 +556,14 @@ def main() -> None:
             name: len(xs) for name, xs in samples.items() if len(xs) > len(runs)
         },
         "resampled": noisy,
+        # Noisy-window stamp (VERDICT r11 "what's wrong" #2): when more
+        # than half the timed queries trip the ±20% resample rule, the
+        # host window itself is degraded (r11 measured: 84/120 tripped
+        # on a bad window vs ~50/120 on a quiet one) and the artifact's
+        # totals are not comparable round-over-round. The stamp makes
+        # the "re-run on a quiet host" protocol mechanical:
+        # scripts_dev/scaling_exponents_r9.py refuses noisy inputs.
+        "noisy": len(runs) > 1 and len(noisy) > 0.5 * max(len(medians), 1),
         "run_totals": [r["total_timed"] for r in runs],
         # per-pass fixed-overhead probe (empty-plan 1-row noop write):
         # median is the session-overhead floor a sub-second query pays

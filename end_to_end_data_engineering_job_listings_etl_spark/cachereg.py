@@ -279,6 +279,13 @@ def query_boundary(spark: SparkSession) -> dict:
             break
     stats["after"] = pinned_bytes(spark)
     stats["sec"] = round(time.monotonic() - t0, 3)
+    if not stats["evicted"]:
+        # Over budget but nothing evictable (LRU <= 2 families, all
+        # protected): don't count this as an evicting boundary or burn
+        # an event slot — a session stuck over budget would otherwise
+        # fill the event cap with no-op entries and starve real
+        # eviction attribution (ADVICE r11).
+        return stats
     _BOUNDARY_COUNTS["evicting_boundaries"] += 1
     _BOUNDARY_COUNTS["evictions"] += len(stats["evicted"])
     _BOUNDARY_COUNTS["evict_sec"] = round(

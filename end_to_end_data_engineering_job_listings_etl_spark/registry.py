@@ -93,71 +93,70 @@ def _pinned(fn: Callable[[SparkSession, str], DataFrame]):
 # or least-recently-checked surface into the window (every name here
 # has a DuckDB oracle — no rows-only checks waste a slot).
 #
-# Round 11 window — ZERO overlap with the r10 window (r10 verdict ask
-# #4: rotate to the next band). Computed from
-# CORRECTNESS_r0{1..9}/r10.json the same way every round: strictly the
-# 50 oracled names whose last driver row is OLDEST, oldest round
-# first, alphabetical within a round — the r5 remainder (SQL scripting,
-# schema-evolution/malformed-CSV/resumable sources, stream CDC +
-# curation drains, the text CDC/BM25/dup-span layer, window EWMA/
-# cume_dist) plus the first 36 of the r6 band (the jl_dim_*_checked
-# star dims, both jl fact builds, the TPC-H q2-q20 shapes, the
-# dd_* minhash/simhash/keep-best dedup layer, multimodal audio/resize,
-# ANN recall, MMR rerank). Exactly the families the r10 verdict asked
-# to rotate in.
+# Round 12 window — ZERO overlap with the r11 window (r11 verdict ask
+# #2: rotate to the next-oldest band). Computed from
+# CORRECTNESS_r0{1..9}/r10/r11.json the same way every round: strictly
+# the 50 oracled names whose last driver row is OLDEST, oldest round
+# first, alphabetical within a round — the r6 remainder (the sim_*
+# ANN/PQ similarity family, DSIR selection, the text quality-filter
+# band) plus the first 41 of the r7 band (the whole bi_* dashboard
+# layer, the generic dim_* builds + fact_orders, the fn_* JSON/string
+# kit, SCD1/SCD2/upsert incrementals, LSH/IVF checked twins, token
+# budget, JSON source). Exactly the families the r11 verdict asked to
+# rotate in.
 _WINDOW = [
-    # r5 band — last driver row in CORRECTNESS_r05 (the remainder)
-    "sql_scripted_pipeline",
-    "src_csv_malformed",
-    "src_python_stream_resume",
-    "src_schema_evolution",
-    "stream_cdc_apply",
-    "stream_curation_pipeline",
-    "text_bm25_topk",
-    "text_cdc_chunks",
-    "text_chunk_overlap",
-    "text_dup_spans",
-    "text_repetition_signals",
-    "text_winnow_fingerprints",
-    "w_cume_dist_nth",
-    "w_ewma_decay",
-    # r6 band — last driver row in CORRECTNESS_r06 (first 36)
-    "dd_keep_best",
-    "dd_lsh_candidates",
-    "dd_minhash_signatures",
-    "dd_simhash",
-    "dd_soft_dedup_weights",
-    "emb_random_projection",
-    "ev_ann_recall",
-    "inc_dedup_merge",
-    "inc_lsh_merge",
-    "jl_bridge_checked",
-    "jl_dim_company_checked",
-    "jl_dim_date_checked",
-    "jl_dim_employment_type_checked",
-    "jl_dim_job_details_checked",
-    "jl_dim_location_checked",
-    "jl_dim_publisher_checked",
-    "jl_dim_skill_checked",
-    "jl_fact_checked",
-    "jl_fact_fallback_checked",
-    "li_big_orders",
-    "li_disjunctive_part_join",
-    "li_late_shipment_priority",
-    "li_lateness_by_class",
-    "mm_audio_energy_checked",
-    "mm_resize_checked",
-    "q11_nation_stock_share",
-    "q16_supplier_variety",
-    "q17_small_quantity",
-    "q20_dominant_suppliers",
-    "q2_min_balance_supplier",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q9_product_profit",
-    "rag_mmr_rerank",
+    # r6 band — last driver row in CORRECTNESS_r06 (the remainder)
+    "samp_dsir_select",
+    "sim_cosine_topk",
+    "sim_ivfpq_topk",
+    "sim_knn_join",
+    "sim_pq_adc",
+    "text_boilerplate_lines",
+    "text_c4_filters",
+    "text_gopher_rules",
+    "text_quality_buckets",
+    # r7 band — last driver row in CORRECTNESS_r07 (first 41)
+    "bi_count_by_region",
+    "bi_daily_counts",
+    "bi_daily_spine",
+    "bi_keyword_flatten",
+    "bi_monthly_trend",
+    "bi_revenue_by_segment",
+    "bi_temporal_window",
+    "bi_top15_employers",
+    "bi_top_keywords",
+    "bi_total_postings",
+    "bi_year_month",
+    "bridge_doc_keyword",
+    "corpus_curation",
+    "dd_dedup_stats",
+    "dd_embedding_neardup",
+    "dd_minhash_estimate",
+    "dim_company",
+    "dim_date",
+    "dim_keyword",
+    "dim_location",
+    "dim_priority",
+    "dim_segment",
+    "fact_orders",
+    "fn_boolean_sum",
+    "fn_json_extract",
+    "fn_json_modes",
+    "fn_json_roundtrip",
+    "fn_normalize_strings",
+    "fn_parse_string_array",
+    "fn_relative_time",
+    "fn_union_by_country",
+    "fn_variant_extract",
+    "inc_scd1_merge",
+    "inc_scd2_status",
+    "inc_upsert_dim",
+    "samp_token_budget",
+    "sim_ivf_topk",
+    "sim_ivf_topk_checked",
+    "sim_lsh_ann",
+    "sim_lsh_ann_checked",
+    "src_json_records",
 ]
 
 

@@ -80,8 +80,21 @@ def main() -> int:
     digest_rows = int(os.environ.get("SWEEP_DIGEST_ROWS", "1000000"))
 
     # ---- phase 1: the forced-eviction walk --------------------------
+    # PROBE_NAMES overrides the default headline-prefix walk with an
+    # explicit ordering (VERDICT r11 next-round #1): to prove the
+    # FAIL-STOP checkpoint-pinned dedup_cc family rebuilds after a
+    # BUDGET eviction (not an explicit evict), run its query FIRST so
+    # the family ages to the LRU cold end, then heavy star/catalog
+    # builders so the boundary fires while dedup_cc is outside the
+    # protected most-recent-2 — the eviction itself still comes from
+    # cachereg.query_boundary, same mechanism as production.
     walk: list[dict] = []
-    names = bench.HEADLINE[:n_names]
+    probe_names = os.environ.get("PROBE_NAMES")
+    names = (
+        [n for n in probe_names.split(",") if n]
+        if probe_names
+        else bench.HEADLINE[:n_names]
+    )
     for i, name in enumerate(names):
         n0 = len(cachereg.boundary_stats()["events"])
         t0 = time.time()

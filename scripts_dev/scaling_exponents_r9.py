@@ -26,11 +26,27 @@ D = Path(__file__).resolve().parent
 
 
 def main() -> int:
-    paths = [a for a in sys.argv[1:] if a != "--md"]
+    paths = [a for a in sys.argv[1:] if a not in ("--md", "--force")]
     f1 = paths[0] if len(paths) > 0 else str(D / "bench_r9_sf1.json")
     f10 = paths[1] if len(paths) > 1 else str(D / "bench_r9_sf10.json")
-    sf1 = json.loads(Path(f1).read_text())["queries"]
-    sf10 = json.loads(Path(f10).read_text())["queries"]
+    art1 = json.loads(Path(f1).read_text())
+    art10 = json.loads(Path(f10).read_text())
+    # Refuse noisy-window artifacts for cross-scale ratios (VERDICT r11
+    # "what's wrong" #2): bench.py stamps `noisy: true` when >50% of
+    # timed queries tripped the ±20% resample rule — a degraded host
+    # window inflates a whole bench 15-20% and the exponents with it.
+    # Re-run on a quiet host instead; --force overrides for forensics.
+    if "--force" not in sys.argv[1:]:
+        for p, art in ((f1, art1), (f10, art10)):
+            if art.get("noisy"):
+                print(
+                    f"REFUSED: {p} is stamped noisy (degraded host "
+                    "window) — re-run the bench on a quiet host, or "
+                    "pass --force to compare anyway."
+                )
+                return 2
+    sf1 = art1["queries"]
+    sf10 = art10["queries"]
     rows = []
     for n, v10 in sf10.items():
         v1 = sf1.get(n)

@@ -167,7 +167,11 @@ def main() -> int:
         if ent is None and legacy_key in cache:
             ent = cache.pop(legacy_key)
             cache[key] = ent
-            _flush_cache()
+            # No per-hit flush: rewriting the ~11k-line bank once per
+            # migrated entry made the first warm pass over a pre-r11
+            # bank O(entries) full-file writes (ADVICE r11). The
+            # existing flush points after fresh computes — and the
+            # final flush at end of run — persist migrated keys.
         return ent
 
     def _rows_sha(cols: list, rows: list) -> str:
@@ -325,6 +329,9 @@ def main() -> int:
             pass
 
     Path(out).write_text(json.dumps(artifact, indent=1) + "\n")
+    # persist any legacy-key migrations even on an all-cache-hit pass
+    # (per-hit flushes were dropped — ADVICE r11)
+    _flush_cache()
     print(
         f"\n{n_green} green / {n_rows_only} rows-only / {n_fail} FAIL"
         f"  (entry_rows={entry_rows})  → {out}"
