@@ -473,21 +473,31 @@ def connected_components(
     block-manager churn behind this query's ±40% bench spread,
     VERDICT r4 item 3). Driver involvement per round is a single
     boolean ("did any label change"), computed as a limit(1).count()
-    — no label data is collected.
+    — no label data is collected. The old label rides through the
+    min-aggregate (tagged ``__own`` rows — every vertex contributes
+    exactly one), so the changed check is a shuffle-free filter over
+    the freshly checkpointed blocks instead of a per-round
+    new ⋈ old label join (r12; guide §2.4 — one exchange per round,
+    not two).
     """
     from .ids import release_pins
     sym = edges.select(
         F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
     ).union(edges.select(F.col(dst_col).alias("__src"), F.col(src_col).alias("__dst")))
     adj = sym.persist()
-    labels = vertices.select(
+    gen = vertices.select(
         F.col(id_col).alias("__id"), F.col(id_col).alias("cluster_id")
     ).localCheckpoint()
+    labels = gen
     for it in range(max_iter):
         msgs = adj.join(labels, adj["__src"] == labels["__id"]).select(
-            F.col("__dst").alias("__id"), F.col("cluster_id")
+            F.col("__dst").alias("__id"),
+            F.col("cluster_id"),
+            F.lit(False).alias("__own"),
         )
-        candidates = labels.union(msgs)
+        candidates = labels.select(
+            "__id", "cluster_id", F.lit(True).alias("__own")
+        ).union(msgs)
         if it > 0:
             # Pointer jumping is a provable no-op in round 1 (labels
             # are still the identity map), so the self-join starts in
@@ -495,29 +505,38 @@ def connected_components(
             jump = (
                 labels.alias("l1")
                 .join(labels.alias("l2"), F.col("l1.cluster_id") == F.col("l2.__id"))
-                .select(F.col("l1.__id").alias("__id"), F.col("l2.cluster_id"))
+                .select(
+                    F.col("l1.__id").alias("__id"),
+                    F.col("l2.cluster_id"),
+                    F.lit(False).alias("__own"),
+                )
             )
             candidates = candidates.union(jump)
-        new_labels = (
+        new_gen = (
             candidates.groupBy("__id")
-            .agg(F.min("cluster_id").alias("cluster_id"))
+            .agg(
+                F.min("cluster_id").alias("cluster_id"),
+                # each vertex's single __own row = its previous label
+                F.min(F.when(F.col("__own"), F.col("cluster_id"))).alias(
+                    "__prev"
+                ),
+            )
             .localCheckpoint()
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "__id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            new_gen.filter(F.col("cluster_id") != F.col("__prev"))
             .limit(1)
             .count()
         )
-        # new_labels is materialized (eager checkpoint) and `changed`
-        # has consumed the old generation — release its blocks now.
-        release_pins([labels])
-        labels = new_labels
+        # new_gen is materialized (eager checkpoint) and `changed`
+        # has consumed it — the old generation's blocks can go now.
+        release_pins([gen])
+        gen = new_gen
+        labels = new_gen.select("__id", "cluster_id")
         if changed == 0:
             break
     adj.unpersist()
-    _cc_repin(vertices.sparkSession, labels)
+    _cc_repin(vertices.sparkSession, gen)
     return labels.select(F.col("__id").alias(id_col), "cluster_id")
 
 

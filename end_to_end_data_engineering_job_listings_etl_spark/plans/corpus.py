@@ -18,6 +18,8 @@ Oracle notes (determinism across engines):
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -312,9 +314,25 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    return _query_vecs(spark, sf_dir, [vec_id])[vec_id]
+
+
+def _query_vecs(
+    spark: SparkSession, sf_dir: str, vec_ids: "Sequence[int]"
+) -> dict[int, list[float]]:
+    """Fetch several seed/query vectors in ONE bounded collect (≤ a few
+    rows) — builders that seed 4 centroids plus a probe were paying one
+    filter-scan job per id (guide §1.2: don't run five jobs where one
+    serves)."""
     emb = load_table_dist(spark, sf_dir, "embeddings", cols=("vec_id", "embedding"))
-    row = emb.filter(F.col("vec_id") == vec_id).select("embedding").collect()[0]
-    return [float(v) for v in row["embedding"]]
+    rows = (
+        emb.filter(F.col("vec_id").isin(*[int(i) for i in vec_ids]))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return {
+        int(r["vec_id"]): [float(v) for v in r["embedding"]] for r in rows
+    }
 
 
 def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -350,10 +368,9 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break contract — see ``_IVF_TOPK_ORACLE``. Also
     invariant-tested against the brute-force ranking in tests."""
     emb = load_table_dist(spark, sf_dir, "embeddings", cols=("vec_id", "embedding"))
-    centroids = [
-        (i, _query_vec(spark, sf_dir, vid)) for i, vid in enumerate([0, 7, 13, 42])
-    ]
-    q = _query_vec(spark, sf_dir, 1)
+    vecs = _query_vecs(spark, sf_dir, [0, 7, 13, 42, 1])
+    centroids = [(i, vecs[vid]) for i, vid in enumerate([0, 7, 13, 42])]
+    q = vecs[1]
     return S.ivf_topk(emb, "embedding", "vec_id", q, centroids, k=10, nprobe=2)
 
 
@@ -587,9 +604,8 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     base, cb = _pq_base_and_codebook(spark, sf_dir)
-    centroids = [
-        (i, _query_vec(spark, sf_dir, vid)) for i, vid in enumerate(_IVFPQ_SEEDS)
-    ]
+    seed_vecs = _query_vecs(spark, sf_dir, _IVFPQ_SEEDS)
+    centroids = [(i, seed_vecs[vid]) for i, vid in enumerate(_IVFPQ_SEEDS)]
     cb_rows = sorted(cb.collect(), key=lambda r: r["j"])
     cbv = [[float(x) for x in r["cv"]] for r in cb_rows]
     qv = cbv[_PQ_QUERY_ID]

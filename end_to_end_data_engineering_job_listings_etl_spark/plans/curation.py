@@ -124,7 +124,11 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``C(w1·) = Σ_w2 C(w1,w2)``) — a second agg over the already-
     reduced model frame instead of a second corpus-wide explode +
     shuffle; the token array is staged once per doc so the bigram
-    lambda doesn't re-split the text per element access."""
+    lambda doesn't re-split the text per element access. (r12 note: a
+    shared ``repartition("bg")`` for the model agg and the score join
+    was tried and reverted — divergent column pruning keeps the two
+    exchanges non-identical, so nothing is reused, and the explicit
+    exchange forfeits the model branch's map-side partial agg.)"""
     docs = load_table_dist(spark, sf_dir, "documents", cols=("doc_id", "text"))
     toked = docs.select("doc_id", F.split("text", " ").alias("__t"))
     bigrams = toked.filter(F.size("__t") >= 2).select(

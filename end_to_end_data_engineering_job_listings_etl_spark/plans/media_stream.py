@@ -43,6 +43,7 @@ def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows are exactly date_trunc('hour') buckets, so the oracle is
     plain SQL."""
     from ..streaming.watermark import (
+        derived_state_partitions,
         events_stream_dir,
         run_to_memory_sink,
         stream_events,
@@ -51,8 +52,16 @@ def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = f"stream_counts_{uuid.uuid4().hex[:8]}"
     ckpt = scratch_dir(prefix="ckpt_win_")
-    agg = windowed_event_counts(stream_events(spark, events_stream_dir(sf_dir)))
-    run_to_memory_sink(agg, name, ckpt)
+    src = events_stream_dir(sf_dir)
+    agg = windowed_event_counts(stream_events(spark, src))
+    run_to_memory_sink(
+        agg,
+        name,
+        ckpt,
+        # state layout sized from the source, not the core count
+        # (watermark.derived_state_partitions)
+        state_partitions=derived_state_partitions(spark, src),
+    )
     return spark.table(name)
 
 

@@ -130,18 +130,28 @@ def graph_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     div 100. Suppliers with no inlinks keep the teleport rank.
     Iterating = feeding rank_e6 back as the next init; each step is
     two hash aggregations and one join — the textbook distributed
-    PR shape with none of the float nondeterminism."""
+    PR shape with none of the float nondeterminism.
+
+    Plan shape (r12): the edge distinct, the out-degree and the
+    per-edge contribution all share ONE exchange keyed on o_custkey —
+    an explicit repartition establishes hashpartitioning(o_custkey),
+    which satisfies the distinct's (o_custkey, l_suppkey) clustering
+    (subset rule), and out-degree is a window over the same key
+    instead of a groupBy + self-join. Before: lineitem was scanned
+    (and the distinct shuffled) TWICE — once per side of an
+    edges ⋈ outdeg sort-merge join."""
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     edges = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select("o_custkey", "l_suppkey")
-        .distinct()
+        .repartition("o_custkey")
+        .dropDuplicates(["o_custkey", "l_suppkey"])
     )
-    outdeg = edges.groupBy("o_custkey").agg(F.count("*").alias("deg"))
-    contrib = edges.join(outdeg, "o_custkey").select(
-        "l_suppkey", F.expr("1000000 div deg").alias("c")
-    )
+    w_cust = Window.partitionBy("o_custkey")
+    contrib = edges.withColumn(
+        "deg", F.count(F.lit(1)).over(w_cust)
+    ).select("l_suppkey", F.expr("1000000 div deg").alias("c"))
     inflow = contrib.groupBy("l_suppkey").agg(F.sum("c").alias("sum_c"))
     supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey")
     return (

@@ -61,7 +61,7 @@ from ..catalog import load_table_dist
 from ..functions import text as T
 from ..functions.vectors import cosine, lit_vector
 from ..operators import similarity as S
-from .corpus import _cos, _query_vec
+from .corpus import _cos, _query_vec, _query_vecs
 
 # ---------------------------------------------------------------------------
 # samp_dsir_select — DSIR hashed n-gram importance resampling
@@ -290,9 +290,8 @@ def ev_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate candidate SET itself is under the hash gate."""
     emb = load_table_dist(spark, sf_dir, "embeddings", cols=("vec_id", "embedding"))
     base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    centroids = [
-        (i, _query_vec(spark, sf_dir, vid)) for i, vid in enumerate(_ANN_CENTROID_IDS)
-    ]
+    seed_vecs = _query_vecs(spark, sf_dir, _ANN_CENTROID_IDS)
+    centroids = [(i, seed_vecs[vid]) for i, vid in enumerate(_ANN_CENTROID_IDS)]
     assigned = S.ivf_assign(base, "v", "vec_id", centroids, keep=("v",))
     probes = base.filter(F.col("vec_id").isin(*_ANN_PROBE_IDS)).select(
         F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")

@@ -962,10 +962,20 @@ def rag_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import cosine_topk
     from .corpus import _query_vec
 
+    def _pin_cand(df: DataFrame) -> DataFrame:
+        # ≤ _RRF_CAND rows by construction: land the candidate list as
+        # a LocalRelation (bounded collect — the PQ-codebook class) so
+        # the rank self-join and the fusion join don't re-run the
+        # scan+TakeOrdered candidate generator once per consumer; the
+        # generator subtree otherwise appears 2-3× in the plan.
+        return df.sparkSession.createDataFrame(df.collect(), df.schema)
+
     lex = _rank_small(
-        bm25_scores(spark, sf_dir)
-        .orderBy(F.desc("score_e3"), F.asc("doc_id"))
-        .limit(_RRF_CAND),
+        _pin_cand(
+            bm25_scores(spark, sf_dir)
+            .orderBy(F.desc("score_e3"), F.asc("doc_id"))
+            .limit(_RRF_CAND)
+        ),
         "score_e3",
         "doc_id",
     ).withColumnRenamed("rnk", "lex_rank")
@@ -973,7 +983,7 @@ def rag_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table_dist(spark, sf_dir, "embeddings", cols=("vec_id", "embedding"))
     q = _query_vec(spark, sf_dir, 0)
     dense = _rank_small(
-        cosine_topk(emb, "embedding", "vec_id", q, k=_RRF_CAND),
+        _pin_cand(cosine_topk(emb, "embedding", "vec_id", q, k=_RRF_CAND)),
         "cos_sim",
         "vec_id",
     ).withColumnRenamed("vec_id", "doc_id").withColumnRenamed("rnk", "dense_rank")

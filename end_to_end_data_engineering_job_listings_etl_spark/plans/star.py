@@ -340,6 +340,11 @@ def star_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.select("o_orderkey"),
         ["o_orderkey"],
         "order_pk",
+        # pin_input=False: base IS the persisted landing, so the range
+        # sampling and exchange passes re-read the cache — an input
+        # checkpoint would only add a materialization job (the same
+        # rule build_dim applies to its distinct; r12)
+        pin_input=False,
         # checkpoint ownership: released with the rest of this
         # (session, sf_dir)'s pinned frames on eviction
         pinned_out=_STAR_PINNED.setdefault((spark, sf_dir), []),

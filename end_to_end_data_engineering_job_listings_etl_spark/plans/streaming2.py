@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..streaming.watermark import (
+    derived_state_partitions,
     drain_counted,
     events_stream_dir,
     run_to_memory_sink,
@@ -53,7 +54,8 @@ def stream_chained_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     passed are emitted; the oracle applies the same cutoff."""
     name = f"stream_chain_{uuid.uuid4().hex[:8]}"
     ckpt = scratch_dir(prefix="ckpt_chain_")
-    ev = stream_events(spark, events_stream_dir(sf_dir))
+    src = events_stream_dir(sf_dir)
+    ev = stream_events(spark, src)
     per_10m = (
         ev.withWatermark("ts", _WM)
         .groupBy(F.window("ts", "10 minutes").alias("win"), "event_type")
@@ -71,7 +73,16 @@ def stream_chained_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_buckets",
         )
     )
-    run_to_memory_sink(hourly, name, ckpt, output_mode="append")
+    run_to_memory_sink(
+        hourly,
+        name,
+        ckpt,
+        output_mode="append",
+        # two chained stateful operators: each micro-batch commits
+        # 2 × state_partitions store instances — size them from the
+        # source, not the core count (watermark.derived_state_partitions)
+        state_partitions=derived_state_partitions(spark, src),
+    )
     return spark.table(name)
 
 

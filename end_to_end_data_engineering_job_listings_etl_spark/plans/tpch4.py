@@ -35,7 +35,7 @@ Scale shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -262,7 +262,15 @@ def q21_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-expressed as two aggregations over the same (orderkey) grouping
     — lineitem is scanned once, joined to orders once, and the blame
     predicate (n_suppliers ≥ 2 AND n_late_suppliers = 1 AND this
-    supplier late) is evaluated on the per-(order, supplier) rollup."""
+    supplier late) is evaluated on the per-(order, supplier) rollup.
+
+    Plan shape (r12): the per-(order, supplier) rollup, the per-order
+    counts and the blame filter share ONE exchange keyed on
+    l_orderkey — the explicit repartition satisfies the rollup's
+    two-key clustering (subset rule) and the order-level counts are
+    windows over the same key. Before: the rollup subtree was
+    computed twice (two lineitem scans, two exchanges) and its two
+    generations met in an orderkey sort-merge join."""
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     li = (
         load_table(spark, sf_dir, "lineitem")
@@ -277,16 +285,22 @@ def q21_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int").alias("is_late"),
         )
     )
-    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max("is_late").alias("supp_late")
+    per_os = (
+        li.repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("is_late").alias("supp_late"))
     )
-    per_o = per_os.groupBy("l_orderkey").agg(
-        F.count("*").alias("n_supp"), F.sum("supp_late").alias("n_late")
-    )
-    blamed = (
-        per_os.filter(F.col("supp_late") == 1)
-        .join(per_o, "l_orderkey")
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    w_order = Window.partitionBy("l_orderkey")
+    blamed = per_os.select(
+        "l_orderkey",
+        "l_suppkey",
+        "supp_late",
+        F.count(F.lit(1)).over(w_order).alias("n_supp"),
+        F.sum("supp_late").over(w_order).alias("n_late"),
+    ).filter(
+        (F.col("supp_late") == 1)
+        & (F.col("n_supp") >= 2)
+        & (F.col("n_late") == 1)
     )
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     # Group and tie-break on the supplier KEY, not the name: names are

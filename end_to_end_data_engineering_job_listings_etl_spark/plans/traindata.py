@@ -52,6 +52,7 @@ from .corpus import (
     _TOKS_LOWER,
     _cos,
     _query_vec,
+    _query_vecs,
 )
 
 # ---------------------------------------------------------------------------
@@ -318,7 +319,11 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the benchmark shingle set is distinct-ed and
     broadcast (benchmark suites are tiny next to the corpus), so the
     overlap join is map-side — the 100 TB side never shuffles on the
-    shingle key."""
+    shingle key. Shingle count and overlap count come out of ONE
+    aggregation over a hit-marked broadcast LEFT join (the bench set
+    is distinct, so a hit is at most one match) — before r12 the
+    train-side explode ran twice (separate sizes/shared aggregates)
+    and met again in a doc_id sort-merge join."""
     docs = load_table_dist(
         spark, sf_dir, "documents", cols=("doc_id", "text", "source")
     )
@@ -330,19 +335,20 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     train_sh = docs.filter(F.col("source") != _BENCH_SOURCE).select(
         "doc_id", F.explode(word_shingles("text", 3)).alias("sh")
     )
-    sizes = train_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    shared = (
-        train_sh.join(F.broadcast(bench_sh), "sh")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_shared"))
+    marked = train_sh.join(
+        F.broadcast(bench_sh.select("sh", F.lit(1).alias("__hit"))), "sh", "left"
     )
-    return sizes.join(shared, "doc_id", "left").select(
+    per_doc = marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("long").alias("n_shared"),
+    )
+    return per_doc.select(
         "doc_id",
         "n_shingles",
-        F.coalesce(F.col("n_shared"), F.lit(0)).alias("n_shared"),
-        F.floor(
-            F.coalesce(F.col("n_shared"), F.lit(0)) * 1_000_000 / F.col("n_shingles")
-        ).alias("contam_e6"),
+        "n_shared",
+        F.floor(F.col("n_shared") * 1_000_000 / F.col("n_shingles")).alias(
+            "contam_e6"
+        ),
     )
 
 
@@ -389,10 +395,9 @@ def sim_ivf_topk_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking IS the expected answer. (``sim_ivf_topk`` keeps nprobe=2:
     the approximate scale posture, invariant-tested.)"""
     emb = load_table_dist(spark, sf_dir, "embeddings", cols=("vec_id", "embedding"))
-    centroids = [
-        (i, _query_vec(spark, sf_dir, vid)) for i, vid in enumerate([0, 7, 13, 42])
-    ]
-    q = _query_vec(spark, sf_dir, 1)
+    vecs = _query_vecs(spark, sf_dir, [0, 7, 13, 42, 1])
+    centroids = [(i, vecs[vid]) for i, vid in enumerate([0, 7, 13, 42])]
+    q = vecs[1]
     return S.ivf_topk(emb, "embedding", "vec_id", q, centroids, k=10, nprobe=4)
 
 

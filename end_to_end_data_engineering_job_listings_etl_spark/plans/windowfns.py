@@ -313,7 +313,15 @@ def w_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     never overlap their successor), and the default RANGE frame gives
     every tied boundary the post-group sum — identical in both
     engines, so the per-day max is deterministic. The oracle states
-    the naive single-window form; the decomposition is value-exact."""
+    the naive single-window form; the decomposition is value-exact.
+
+    One pass (r12): the carry is CONSTANT within a (type, day) group,
+    so max(run_in + carry) = max(run_in) + carry — the per-day max
+    and the day's net delta come out of ONE aggregate directly over
+    the windowed boundaries (which reuses the window's (type, day)
+    partitioning), and the carry window runs on that tiny aggregate.
+    Before r12 the boundary frame was built twice and re-joined on
+    (type, day)."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
     starts = ev.select(
         "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta")
@@ -326,26 +334,27 @@ def w_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = starts.unionByName(ends).withColumn("day", F.to_date("t"))
     w_in = Window.partitionBy("event_type", "day").orderBy("t", "delta")
     run_in = pts.select("*", F.sum("delta").over(w_in).alias("run_in"))
-    daily = pts.groupBy("event_type", "day").agg(
-        F.sum("delta").alias("day_delta")
+    per_day = run_in.groupBy("event_type", "day").agg(
+        F.max("run_in").alias("max_in"), F.sum("delta").alias("day_delta")
     )
     w_day = (
         Window.partitionBy("event_type")
         .orderBy("day")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = daily.select(
-        "event_type",
-        "day",
-        F.coalesce(F.sum("day_delta").over(w_day), F.lit(0)).alias("carry"),
-    )
     return (
-        run_in.join(offsets, ["event_type", "day"])
-        .groupBy("event_type", "day")
-        .agg(
-            F.max(F.col("run_in") + F.col("carry"))
-            .cast("bigint")
-            .alias("max_concurrent")
+        per_day.select(
+            "event_type",
+            "day",
+            "max_in",
+            F.coalesce(F.sum("day_delta").over(w_day), F.lit(0)).alias("carry"),
+        )
+        .select(
+            "event_type",
+            "day",
+            (F.col("max_in") + F.col("carry")).cast("bigint").alias(
+                "max_concurrent"
+            ),
         )
         .orderBy("event_type", "day")
     )

@@ -157,22 +157,72 @@ def windowed_event_counts(
     )
 
 
+def derived_state_partitions(spark: SparkSession, source_dir: str) -> int:
+    """Stateful streaming has no AQE: ``spark.sql.shuffle.partitions``
+    is frozen into the checkpoint as the state-store instance count,
+    so a core-count default makes every micro-batch schedule (cores ×
+    stateful operators) state tasks and commit as many store delta
+    files even when the source is a few MB. Size the state layout from
+    the SOURCE the way AQE sizes batch partitions — ~32 MB of input
+    per state partition — clamped to [1, current shuffle partitions]
+    so a large landing keeps full parallelism and a small one stops
+    paying per-instance commit overhead. Partitioning never changes
+    stateful-aggregation values (same keys, same windows, same
+    watermark), only their layout. Env override:
+    ``SPARK_GRAFT_STREAM_STATE_PARTITIONS``."""
+    import os
+
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    env = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+    if env:
+        try:
+            return max(1, min(int(env), cur))
+        except ValueError:
+            pass  # malformed override falls through to the derivation
+    total = 0
+    for root, _dirs, files in os.walk(source_dir, followlinks=True):
+        for f in files:
+            try:  # os.stat follows the staged symlinks to the parquet
+                total += os.stat(os.path.join(root, f)).st_size
+            except OSError:
+                pass
+    return max(1, min(cur, -(-total // (32 << 20))))
+
+
 def run_to_memory_sink(
     agg: DataFrame,
     table_name: str,
     checkpoint_dir: str,
     output_mode: str = "complete",
+    state_partitions: int | None = None,
 ) -> None:
     """Drain the stream with availableNow (process-everything-then-stop
     — the batch-parity trigger) into an in-memory sink. ``output_mode``
     follows the query shape: complete for full-rewrite aggregations,
-    update for stateful per-key operators, append for dedup/selection."""
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    update for stateful per-key operators, append for dedup/selection.
+
+    ``state_partitions`` (usually ``derived_state_partitions``) pins
+    ``spark.sql.shuffle.partitions`` for THIS drain only — the value is
+    read at micro-batch planning, so setting it around the synchronous
+    availableNow drain scopes it exactly; restored afterwards."""
+    spark = agg.sparkSession
+    prev = (
+        spark.conf.get("spark.sql.shuffle.partitions")
+        if state_partitions is not None
+        else None
     )
-    q.awaitTermination()
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)

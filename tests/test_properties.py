@@ -147,6 +147,26 @@ def test_connected_components_match_union_find(spark, edges):
     assert got == expected
 
 
+def test_connected_components_long_chain(spark):
+    """A 40-node path graph: diameter 39 forces several pointer-jumping
+    rounds, pinning the r12 changed-detection rewrite (the previous
+    label rides through the min-aggregate as the tagged ``__own`` row
+    instead of a per-round new ⋈ old join) across the multi-round
+    convergence path, including the final no-change round."""
+    from end_to_end_data_engineering_job_listings_etl_spark.operators.dedup import connected_components
+
+    n = 40
+    verts = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edf = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(verts, edf, id_col="doc_id").collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
 _tok = st.sampled_from(
     ["alpha", "bravo", "charlie", "delta", "echo", "fox", "golf", "hotel",
      "india", "kilo", "lima", "mike", "oscar", "papa", "romeo", "tango"]
