@@ -80,8 +80,17 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = f"stream_totals_{uuid.uuid4().hex[:8]}"
     ckpt = scratch_dir(prefix="ckpt_tot_")
-    stream = running_user_totals(stream_events(spark, events_stream_dir(sf_dir)))
-    run_to_memory_sink(stream, name, ckpt, output_mode="update")
+    from ..streaming.watermark import derived_state_partitions
+
+    src = events_stream_dir(sf_dir)
+    stream = running_user_totals(stream_events(spark, src))
+    run_to_memory_sink(
+        stream,
+        name,
+        ckpt,
+        output_mode="update",
+        state_partitions=derived_state_partitions(spark, src),
+    )
     # update mode re-emits a user's row per micro-batch; keep the last
     # (= max n_events) state per user so multi-batch drains stay exact.
     totals = spark.table(name)
@@ -181,11 +190,22 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
     ckpt = scratch_dir(prefix="ckpt_dd_")
-    stream = stream_events(spark, events_stream_dir(sf_dir))
+    from ..streaming.watermark import derived_state_partitions
+
+    src = events_stream_dir(sf_dir)
+    stream = stream_events(spark, src)
     dd = stream.dropDuplicates(["user_id", "event_type"]).select(
         "user_id", "event_type"
     )
-    run_to_memory_sink(dd, name, ckpt, output_mode="append")
+    # output projects the dedup KEYS only — survivor-independent, so
+    # the state layout follows the source size
+    run_to_memory_sink(
+        dd,
+        name,
+        ckpt,
+        output_mode="append",
+        state_partitions=derived_state_partitions(spark, src),
+    )
     return spark.table(name)
 
 
@@ -207,7 +227,10 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
     ckpt = scratch_dir(prefix="ckpt_ssj_")
-    stream = stream_events(spark, events_stream_dir(sf_dir))
+    from ..streaming.watermark import derived_state_partitions
+
+    src = events_stream_dir(sf_dir)
+    stream = stream_events(spark, src)
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     joined = stream.join(cust, stream.user_id == cust.c_custkey)
     agg = joined.groupBy("c_mktsegment").agg(
@@ -216,7 +239,13 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("value").cast("decimal(18,6)") * 1000000).cast("bigint")
         ).alias("sum_value_e6"),
     )
-    run_to_memory_sink(agg, name, ckpt, output_mode="complete")
+    run_to_memory_sink(
+        agg,
+        name,
+        ckpt,
+        output_mode="complete",
+        state_partitions=derived_state_partitions(spark, src),
+    )
     return spark.table(name)
 
 
@@ -264,7 +293,15 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
         & (F.col("v_ts") <= F.col("p_ts")),
     ).select("purchase_id", "view_id")
-    run_to_memory_sink(joined, name, ckpt, output_mode="append")
+    from ..streaming.watermark import derived_state_partitions
+
+    run_to_memory_sink(
+        joined,
+        name,
+        ckpt,
+        output_mode="append",
+        state_partitions=derived_state_partitions(spark, src),
+    )
     return spark.table(name)
 
 

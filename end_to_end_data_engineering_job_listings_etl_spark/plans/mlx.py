@@ -181,7 +181,14 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: edge orientation bounds the wedge join by the SMALLER
     endpoint's out-degree (the classic skew fix — a hub vertex's
     wedges are generated from its low-degree neighbors, not from the
-    hub); both joins are key-equi hash joins, no cartesian."""
+    hub); both joins are key-equi hash joins, no cartesian. Corner
+    credits are an explode over the triangle rows (r12) instead of a
+    3-branch unionAll — the union re-planned the whole triple-join
+    subtree once per corner (36 fact-scan nodes in one plan); with
+    the explode each edge subtree appears 3× but AQE reuses their
+    canonical shuffle stages at runtime. (A bounded-collect
+    LocalRelation of the edge list was also tried — measured neutral
+    at sf0.1, reverted to keep the plan lazy.)"""
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     cs = (
@@ -211,10 +218,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e2.eb").alias("vc"),
         )
     )
-    corners = (
-        tri.select(F.col("va").alias("v"))
-        .unionAll(tri.select(F.col("vb").alias("v")))
-        .unionAll(tri.select(F.col("vc").alias("v")))
+    corners = tri.select(
+        F.explode(F.array(F.col("va"), F.col("vb"), F.col("vc"))).alias("v")
     )
     return (
         corners.groupBy("v")

@@ -117,6 +117,11 @@ def samp_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("lang") == _DSIR_TARGET_LANG, F.lit(1)).otherwise(F.lit(0))
         ).alias("n_tgt"),
     )
+    # (r12 note: totals' subtree shares bucket_counts' canonical
+    # shuffle stage under AQE at runtime, so the gram explode really
+    # runs twice — histogram pass + scoring join — not three times; a
+    # bounded-collect LocalRelation of the 128-row histogram measured
+    # neutral and was reverted.)
     totals = bucket_counts.agg(
         F.sum("n_raw").alias("raw_tot"), F.sum("n_tgt").alias("tgt_tot")
     )

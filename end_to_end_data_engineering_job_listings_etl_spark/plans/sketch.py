@@ -962,20 +962,15 @@ def rag_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import cosine_topk
     from .corpus import _query_vec
 
-    def _pin_cand(df: DataFrame) -> DataFrame:
-        # ≤ _RRF_CAND rows by construction: land the candidate list as
-        # a LocalRelation (bounded collect — the PQ-codebook class) so
-        # the rank self-join and the fusion join don't re-run the
-        # scan+TakeOrdered candidate generator once per consumer; the
-        # generator subtree otherwise appears 2-3× in the plan.
-        return df.sparkSession.createDataFrame(df.collect(), df.schema)
-
+    # (r12 note: the rank self-join's two sides and the fusion join
+    # share the candidate generator's canonical stages under AQE at
+    # runtime — a bounded-collect LocalRelation of the 20-row
+    # candidate lists was tried and REVERTED, measured 1.27 → 2.46 s
+    # at sf0.1: two eager collect jobs cost more than the reuse saved.)
     lex = _rank_small(
-        _pin_cand(
-            bm25_scores(spark, sf_dir)
-            .orderBy(F.desc("score_e3"), F.asc("doc_id"))
-            .limit(_RRF_CAND)
-        ),
+        bm25_scores(spark, sf_dir)
+        .orderBy(F.desc("score_e3"), F.asc("doc_id"))
+        .limit(_RRF_CAND),
         "score_e3",
         "doc_id",
     ).withColumnRenamed("rnk", "lex_rank")
@@ -983,7 +978,7 @@ def rag_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table_dist(spark, sf_dir, "embeddings", cols=("vec_id", "embedding"))
     q = _query_vec(spark, sf_dir, 0)
     dense = _rank_small(
-        _pin_cand(cosine_topk(emb, "embedding", "vec_id", q, k=_RRF_CAND)),
+        cosine_topk(emb, "embedding", "vec_id", q, k=_RRF_CAND),
         "cos_sim",
         "vec_id",
     ).withColumnRenamed("vec_id", "doc_id").withColumnRenamed("rnk", "dense_rank")

@@ -141,7 +141,13 @@ def stream_leftouter_interval_join(spark: SparkSession, sf_dir: str) -> DataFram
         & (F.col("v_ts") <= F.col("p_ts")),
         "left_outer",
     ).select("purchase_id", "view_id")
-    run_to_memory_sink(joined, name, ckpt, output_mode="append")
+    run_to_memory_sink(
+        joined,
+        name,
+        ckpt,
+        output_mode="append",
+        state_partitions=derived_state_partitions(spark, src),
+    )
     return spark.table(name)
 
 
@@ -189,7 +195,13 @@ def stream_fullouter_interval_join(spark: SparkSession, sf_dir: str) -> DataFram
         & (F.col("v_ts") <= F.col("p_ts")),
         "full_outer",
     ).select("purchase_id", "view_id")
-    run_to_memory_sink(joined, name, ckpt, output_mode="append")
+    run_to_memory_sink(
+        joined,
+        name,
+        ckpt,
+        output_mode="append",
+        state_partitions=derived_state_partitions(spark, src),
+    )
     return spark.table(name)
 
 
@@ -203,14 +215,23 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     at the keys seen within the horizon."""
     name = f"stream_ddw_{uuid.uuid4().hex[:8]}"
     ckpt = scratch_dir(prefix="ckpt_ddw_")
-    ev = stream_events(spark, events_stream_dir(sf_dir))
+    src = events_stream_dir(sf_dir)
+    ev = stream_events(spark, src)
     deduped = (
         ev.select("user_id", "event_type", "ts")
         .withWatermark("ts", "60 days")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
-    run_to_memory_sink(deduped, name, ckpt, output_mode="append")
+    # output projects the dedup KEYS only, so any survivor row projects
+    # identically — state layout is free to follow the source size
+    run_to_memory_sink(
+        deduped,
+        name,
+        ckpt,
+        output_mode="append",
+        state_partitions=derived_state_partitions(spark, src),
+    )
     return spark.table(name)
 
 

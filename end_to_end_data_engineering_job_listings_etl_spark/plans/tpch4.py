@@ -141,7 +141,11 @@ def q11_nation_stock_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantity*extendedprice over lineitem).
 
     The global total is a single-row broadcast cross join — the
-    grouped pass is the only fact shuffle."""
+    grouped pass is the only fact shuffle. (r12 note: the total's
+    subtree is canonically IDENTICAL to per_nation's, so AQE reuses
+    the shuffle stage at runtime — a bounded-collect LocalRelation of
+    the 25-row aggregate was tried and REVERTED: it replaced a reused
+    stage with an extra eager job, measured 1.14 → 1.84 s at sf0.1.)"""
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     value_e2 = (
@@ -220,7 +224,12 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Both aggregations group by l_partkey, so the per-part totals join
     is partition-local after one shuffle; the >½ predicate is exact
-    integer arithmetic (2*supp ﹥ total), no division."""
+    integer arithmetic (2*supp ﹥ total), no division.
+
+    Plan shape (r12): the per-part total is a window over the
+    per-supplier rollup's own partitioning (explicit repartition on
+    l_partkey, subset rule) — before, the rollup subtree was computed
+    once per side of a per_supp ⋈ per_part join (two lineitem scans)."""
     part = (
         load_table(spark, sf_dir, "part")
         .filter(F.col("p_name").startswith("small"))
@@ -235,13 +244,15 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .select("l_partkey", "l_suppkey", F.col("l_quantity").cast("bigint").alias("qty"))
     )
-    per_supp = li97.groupBy("l_partkey", "l_suppkey").agg(
-        F.sum("qty").alias("supp_qty")
+    per_supp = (
+        li97.repartition("l_partkey")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("qty").alias("supp_qty"))
     )
-    per_part = per_supp.groupBy("l_partkey").agg(F.sum("supp_qty").alias("total_qty"))
-    dominant = per_supp.join(per_part, "l_partkey").filter(
-        F.col("supp_qty") * 2 > F.col("total_qty")
-    )
+    dominant = per_supp.withColumn(
+        "total_qty",
+        F.sum("supp_qty").over(Window.partitionBy("l_partkey")),
+    ).filter(F.col("supp_qty") * 2 > F.col("total_qty"))
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         dominant.groupBy("l_suppkey")

@@ -878,6 +878,10 @@ def samp_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     one 1-row broadcast of the denominator — nothing else."""
     docs = load_table_dist(spark, sf_dir, "documents", cols=("doc_id", "lang"))
     per_lang = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    # (r12 note: the totals subtree is canonically identical to
+    # per_lang's, so AQE reuses its shuffle stage at runtime — a
+    # bounded-collect LocalRelation was tried and reverted, measured
+    # 0.49 → 1.03 s at sf0.1.)
     s = F.floor(F.sqrt(F.col("n_docs").cast("double") * 1e12)).cast("bigint")
     sized = per_lang.select("lang", "n_docs", s.alias("__s"))
     totals = sized.agg(
@@ -927,6 +931,10 @@ def samp_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table_dist(spark, sf_dir, "documents", cols=("doc_id", "lang"))
     counts = docs.groupBy("lang").agg(F.count("*").alias("n_s"))
+    # (r12 note: every consumer of this frame shares its canonical
+    # shuffle stage under AQE at runtime — a bounded-collect
+    # LocalRelation was tried and reverted, measured 0.68 → 1.68 s at
+    # sf0.1: the eager collect job cost more than the reused stages.)
     tot = counts.agg(F.sum("n_s").cast("bigint").alias("N")).select(
         "N", F.expr(f"N div {_STRAT_DENOM}").cast("bigint").alias("k")
     )
