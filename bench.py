@@ -321,6 +321,19 @@ def run_once() -> dict:
     # rest. (Errored queries contribute 0 to the total.)
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    # Per-query JOB counts (VERDICT r12 ask #7): at sf0.1 the suite is
+    # overhead-bound (8 cores beat 32), and the per-query fixed cost is
+    # proportional to how many Spark JOBS a builder launches, not just
+    # engine work. Job ids are global and sequential; the delta of the
+    # max known id across a query's timed action counts its jobs. Read
+    # OUTSIDE the timed region (one status-tracker call each side) so
+    # the timing methodology is unchanged.
+    jobs: dict[str, int] = {}
+    tracker = spark.sparkContext.statusTracker()
+
+    def _max_job_id() -> int:
+        ids = tracker.getJobIdsForGroup(None)
+        return max(ids) if ids else -1
     # Boundary observability (VERDICT r10 #7): attribute cachereg
     # eviction churn to the query whose boundary fired it, so at sf10 —
     # where the state budget actively evicts — the artifact shows
@@ -334,6 +347,7 @@ def run_once() -> dict:
     for name in headline:
         fn = queries[name]
         n_events0 = len(cachereg.boundary_stats()["events"])
+        jid0 = _max_job_id()
         t0 = time.perf_counter()
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -346,6 +360,7 @@ def run_once() -> dict:
                 boundary_per_query[name] = new_events
             continue
         timings[name] = round(time.perf_counter() - t0, 3)
+        jobs[name] = _max_job_id() - jid0
         new_events = cachereg.boundary_stats()["events"][n_events0:]
         if new_events:
             boundary_per_query[name] = new_events
@@ -363,6 +378,7 @@ def run_once() -> dict:
         "n_queries": len(headline),
         "unit": "sec",
         "queries": timings,
+        "jobs": jobs,
         "errors": errors,
         "sf": sf,
         "overhead_probe_sec": overhead_probe,
@@ -484,10 +500,13 @@ def main() -> None:
         return
 
     samples: dict[str, list[float]] = {}
+    job_samples: dict[str, list[int]] = {}
     errors: dict[str, str] = {}
     for r in runs:
         for name, sec in r["queries"].items():
             samples.setdefault(name, []).append(sec)
+        for name, nj in r.get("jobs", {}).items():
+            job_samples.setdefault(name, []).append(nj)
         errors.update(r["errors"])
     if run_errors:
         errors["__runs__"] = "; ".join(run_errors)[:900]
@@ -554,6 +573,12 @@ def main() -> None:
         },
         "n_samples": {
             name: len(xs) for name, xs in samples.items() if len(xs) > len(runs)
+        },
+        # per-query Spark JOB counts (median across base runs) — the
+        # fixed-overhead multiplier the r12 verdict asked the probe to
+        # expose (ask #7); measured outside the timed region
+        "jobs": {
+            name: int(_median(xs)) for name, xs in job_samples.items()
         },
         "resampled": noisy,
         # Noisy-window stamp (VERDICT r11 "what's wrong" #2): when more

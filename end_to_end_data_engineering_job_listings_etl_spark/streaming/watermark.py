@@ -169,16 +169,27 @@ def derived_state_partitions(spark: SparkSession, source_dir: str) -> int:
     paying per-instance commit overhead. Partitioning never changes
     stateful-aggregation values (same keys, same windows, same
     watermark), only their layout. Env override:
-    ``SPARK_GRAFT_STREAM_STATE_PARTITIONS``."""
+    ``SPARK_GRAFT_STREAM_STATE_PARTITIONS`` — taken VERBATIM (≥ 1),
+    including values above the session's shuffle-partition count: an
+    explicit override is the operator sizing the state store for a
+    target cluster, so the derivation's clamp ceiling does not apply
+    (ADVICE r12). A malformed value warns and falls through to the
+    derivation instead of being silently ignored."""
     import os
+    import warnings
 
     cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
     env = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
     if env:
         try:
-            return max(1, min(int(env), cur))
+            return max(1, int(env))
         except ValueError:
-            pass  # malformed override falls through to the derivation
+            warnings.warn(
+                "SPARK_GRAFT_STREAM_STATE_PARTITIONS="
+                f"{env!r} is not an integer — override ignored, "
+                "deriving state partitions from source bytes",
+                stacklevel=2,
+            )
     total = 0
     for root, _dirs, files in os.walk(source_dir, followlinks=True):
         for f in files:
@@ -187,6 +198,26 @@ def derived_state_partitions(spark: SparkSession, source_dir: str) -> int:
             except OSError:
                 pass
     return max(1, min(cur, -(-total // (32 << 20))))
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def scoped_state_partitions(spark: SparkSession, state_partitions: int):
+    """Pin ``spark.sql.shuffle.partitions`` (the state-store instance
+    count a streaming checkpoint freezes in) around a SYNCHRONOUS
+    availableNow drain, restoring the previous value after — the same
+    scoping ``run_to_memory_sink(state_partitions=...)`` applies, for
+    drains that own their ``writeStream`` (multi-batch variants that
+    must count batches on the live query handle). Same single-threaded
+    session contract as run_to_memory_sink (see its docstring)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def run_to_memory_sink(
@@ -204,7 +235,19 @@ def run_to_memory_sink(
     ``state_partitions`` (usually ``derived_state_partitions``) pins
     ``spark.sql.shuffle.partitions`` for THIS drain only — the value is
     read at micro-batch planning, so setting it around the synchronous
-    availableNow drain scopes it exactly; restored afterwards."""
+    availableNow drain scopes it exactly; restored afterwards.
+
+    Concurrency contract (ADVICE r12): the override mutates the
+    SESSION-global ``spark.sql.shuffle.partitions`` for the duration of
+    the drain, so any query planned CONCURRENTLY on the same
+    SparkSession (another driver thread during awaitTermination) would
+    inherit the reduced value. This engine's query layer is
+    single-threaded per session (registry queries run sequentially;
+    the bench and sweep harnesses are one-query-at-a-time), which is
+    what makes the scoped set/restore exact. A caller that runs
+    drains concurrently with batch queries must isolate the drain on
+    ``spark.newSession()`` (shares the SparkContext, owns its conf)
+    instead of passing ``state_partitions`` here."""
     spark = agg.sparkSession
     prev = (
         spark.conf.get("spark.sql.shuffle.partitions")

@@ -38,12 +38,17 @@ def main() -> None:
     out_dir.mkdir(parents=True, exist_ok=True)
     spark = get_spark(app_name="dump-plans")
     queries = registry.all_queries()
+    import contextlib
+    import io
+
     for name in names:
         try:
             df = queries[name](spark, sf_dir)
-            text = df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            )
+            # public API only (ADVICE r12): df.explain prints to stdout
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            text = buf.getvalue()
         except Exception as exc:  # noqa: BLE001
             text = f"ERROR building/explaining {name}: {exc}\n"
         (out_dir / f"{name}_{suffix}.txt").write_text(text)

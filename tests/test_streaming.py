@@ -144,3 +144,34 @@ def test_tws_operator_gated_without_protobuf(spark):
     else:
         with pytest.raises(NotImplementedError):
             stream_tws_user_totals(spark, SF_DIR)
+
+
+def test_state_partitions_override_semantics(spark, monkeypatch):
+    """ADVICE r12: an explicit SPARK_GRAFT_STREAM_STATE_PARTITIONS
+    override is honored verbatim — including ABOVE the session's
+    shuffle-partition count (the operator is sizing for a target
+    cluster, not this session) — and a malformed value warns and falls
+    back to the source-bytes derivation instead of being silently
+    swallowed."""
+    import warnings
+
+    from end_to_end_data_engineering_job_listings_etl_spark.streaming.watermark import (
+        derived_state_partitions,
+    )
+
+    d = events_stream_dir(SF_DIR)
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_STATE_PARTITIONS", str(cur + 7))
+    assert derived_state_partitions(spark, d) == cur + 7
+
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "0")
+    assert derived_state_partitions(spark, d) == 1  # floor, not ignore
+
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "not-an-int")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        derived = derived_state_partitions(spark, d)
+    assert any("override ignored" in str(w.message) for w in caught)
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+    assert derived == derived_state_partitions(spark, d)  # the derivation
