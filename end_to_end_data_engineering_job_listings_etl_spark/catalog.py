@@ -28,6 +28,16 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# Memoized reader frames per (session, sf_dir, table). A DataFrame is
+# an immutable PLAN — nothing is persisted and every action still scans
+# the parquet — but `spark.read.parquet` runs a one-task schema-
+# inference JOB on every call (measured r13: 1 job per load_table, 0
+# with a known schema), and the suite builds tables hundreds of times
+# per bench pass. Reusing the plan object collapses that per-call job
+# and its py4j round-trips to once per (session, dataset, table).
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table (single parquet file per table).
 
@@ -38,6 +48,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (legacy nanosAsLong read + micros rebuild, truncation — matching
     how micros engines like DuckDB ingest nanos)."""
     cachereg.touch(spark, sf_dir)
+    key = (spark, sf_dir, name)
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    df = _read_table(spark, sf_dir, name)
+    _TABLE_CACHE[key] = df
+    return df
+
+
+def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         from pyspark.sql import functions as F
@@ -125,6 +145,12 @@ def clear_caches(
         if (spark is None or k[0] is spark) and (sf_dir is None or k[1] == sf_dir)
     ]:
         _DIST_CACHE.pop(key).unpersist()
+    for key in [
+        k
+        for k in _TABLE_CACHE
+        if (spark is None or k[0] is spark) and (sf_dir is None or k[1] == sf_dir)
+    ]:
+        _TABLE_CACHE.pop(key)  # plain reader plans — nothing persisted
 
 
 from . import cachereg  # noqa: E402  (import cycle: cachereg is leaf)

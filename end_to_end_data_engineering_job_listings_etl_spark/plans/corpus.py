@@ -213,7 +213,6 @@ def dd_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    _repin(spark, sf_dir, [reps, sigs, fp_pairs])
     # Exact-Jaccard machinery runs ONLY over fingerprints that appear
     # in a distinct-fp candidate pair: at scale |candidates| ≪
     # |corpus|, so the shingle inverted-index join is bounded by the
@@ -223,10 +222,23 @@ def dd_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(fp_pairs.select(F.col("fp_b").alias("fp")))
         .distinct()
     )
-    sh = reps.join(cand_fps, "fp", "left_semi").select(
-        "fp", F.explode(word_shingles("text", _SHINGLE_K)).alias("sh")
+    # The candidate shingle frame feeds FOUR consumers (both sides of
+    # the intersection self-join + the sz_a/sz_b size lookups). r12's
+    # before-plan showed the semi-join + explode re-planned per
+    # consumer (4 explodes, 8 fp_pairs scans); both frames are
+    # candidate-bounded (≪ corpus), so pin them once like fp_pairs
+    # (r13, VERDICT r12 ask #3): one explode, one sizes aggregate.
+    sh = (
+        reps.join(cand_fps, "fp", "left_semi")
+        .select("fp", F.explode(word_shingles("text", _SHINGLE_K)).alias("sh"))
+        .localCheckpoint(eager=False)
     )
-    sizes = sh.groupBy("fp").agg(F.count("*").alias("sz"))
+    sizes = (
+        sh.groupBy("fp")
+        .agg(F.count("*").alias("sz"))
+        .localCheckpoint(eager=False)
+    )
+    _repin(spark, sf_dir, [reps, sigs, fp_pairs, sh, sizes])
     a = sh.select(F.col("fp").alias("fp_a"), "sh")
     b = sh.select(F.col("fp").alias("fp_b"), "sh")
     inter = (

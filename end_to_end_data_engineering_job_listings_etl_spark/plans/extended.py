@@ -426,10 +426,25 @@ def er_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_b", "id_a", F.levenshtein("name_a", "name_b").alias("lev"))
         .filter(F.col("lev") <= _ER_MAX_LEV)
     )
+    # min over the (lev, id_a) lexicographic order, encoded into ONE
+    # long (lev·2⁴⁴ + id_a — exact while id_a < 2⁴⁴ ≈ 1.8e13, far
+    # above the 15B customers of a 100 TB run, and lev ≤ 2): a STRUCT
+    # min plans as Sort + SortAggregate on the candidate-pair frame,
+    # the long min is a plain HashAggregate with map-side partials —
+    # no per-partition sort of the widest frame in the query (r13,
+    # guide §2.3/§1.2). Values identical: the encoding is strictly
+    # monotone in the lexicographic order.
+    enc = (F.col("lev").cast("long") * F.lit(1 << 44).cast("long")) + F.col(
+        "id_a"
+    )
     return (
         pairs.groupBy("id_b")
-        .agg(F.min(F.struct("lev", "id_a")).alias("m"))
-        .select("id_b", F.col("m.id_a").alias("id_a"), F.col("m.lev").alias("lev"))
+        .agg(F.min(enc).alias("m"))
+        .select(
+            "id_b",
+            (F.col("m") % F.lit(1 << 44).cast("long")).alias("id_a"),
+            F.shiftright("m", 44).cast("int").alias("lev"),
+        )
     )
 
 

@@ -93,8 +93,18 @@ def q2_min_balance_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partkey, suppkey) projection of lineitem; min supplycost →
     min acctbal, ties broken by suppkey).
 
-    Argmin is one grouped ``min(struct(bal, suppkey, name))`` — no
-    join-back against a min subquery, no window over the fact."""
+    Argmin is one grouped ``min`` over the (bal, suppkey) order
+    ENCODED into a single long — a struct min plans as Sort +
+    SortAggregate over the candidate frame (the widest thing in the
+    query), the long min is a plain HashAggregate with map-side
+    partials (r13, same rewrite as er_best_match). Encoding is exact:
+    bal_cents ∈ [−10⁵, 10⁶] (TPC-H acctbal bounds) offset to
+    non-negative, suppkey < 2⁴⁰ ≈ 1.1e12 ≫ any shipped supplier
+    population; lexicographic (bal, suppkey) == numeric order of
+    (bal+off)·2⁴⁰ + suppkey. The winner's name is attached after the
+    aggregate by re-joining the broadcast EU-supplier dim on the
+    winning suppkey — a ≤|winning parts| row probe against a dim the
+    plan already broadcasts, not a min subquery over the fact."""
     part = (
         load_table(spark, sf_dir, "part")
         .filter((F.col("p_type") == "LARGE") & (F.col("p_size") <= 10))
@@ -122,16 +132,24 @@ def q2_min_balance_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = pairs.join(
         F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
     ).join(F.broadcast(supp_eu), F.col("l_suppkey") == F.col("s_suppkey"))
-    best = cand.groupBy("p_partkey", "p_name").agg(
-        F.min(F.struct("bal_cents", "s_suppkey", "s_name")).alias("m")
+    _off = F.lit(1 << 21).cast("long")  # bal_cents ≥ −2²¹ by schema bounds
+    enc = (F.col("bal_cents") + _off) * F.lit(1 << 40).cast("long") + F.col(
+        "s_suppkey"
     )
-    return best.select(
+    best = cand.groupBy("p_partkey", "p_name").agg(F.min(enc).alias("m"))
+    win = best.select(
         "p_partkey",
         "p_name",
-        F.col("m.s_suppkey").alias("s_suppkey"),
-        F.col("m.s_name").alias("s_name"),
-        F.col("m.bal_cents").alias("bal_cents"),
-    ).orderBy(F.col("bal_cents").desc(), "p_partkey")
+        (F.col("m") % F.lit(1 << 40).cast("long")).alias("s_suppkey"),
+        (F.shiftright("m", 40) - _off).alias("bal_cents"),
+    )
+    return (
+        win.join(
+            F.broadcast(supp_eu.select("s_suppkey", "s_name")), "s_suppkey"
+        )
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "bal_cents")
+        .orderBy(F.col("bal_cents").desc(), "p_partkey")
+    )
 
 
 def q11_nation_stock_share(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -183,9 +183,14 @@ def test_cdc_chunker_localizes_an_insertion(toks, idx, ins):
     """Content-defined chunking's load-bearing property on ARBITRARY
     token streams: inserting one token anywhere changes only the
     chunk(s) overlapping the 3-token re-sync window around the edit —
-    every other chunk fingerprint survives verbatim. (A boundary inside
-    the window can vanish, merging two old chunks → at most 2 base
-    fingerprints may disappear.)"""
+    every other chunk fingerprint survives verbatim. The window spans
+    TWO trailing-gram positions of the base document (the grams ending
+    at the edit index and one past it), so up to two base boundaries
+    can vanish at once, merging THREE old chunks → at most 3 base
+    fingerprints may disappear. (r13: hypothesis found the two-
+    boundary case on a low-entropy repeated-token stream — the old ≤2
+    bound assumed at most one vanishing boundary, which the gram
+    geometry never guaranteed.)"""
     from end_to_end_data_engineering_job_listings_etl_spark.plans.sketch import cdc_chunk_tokens
     from end_to_end_data_engineering_job_listings_etl_spark.session import get_spark
 
@@ -203,9 +208,10 @@ def test_cdc_chunker_localizes_an_insertion(toks, idx, ins):
     )
     base = [r["fp"] for r in fps if r["doc_id"] == 1]
     edit = {r["fp"] for r in fps if r["doc_id"] == 2}
-    # multiset-ish check on the set level: at most 2 base chunks vanish
+    # multiset-ish check on the set level: at most 3 base chunks vanish
+    # (two re-sync-window boundaries gone → three chunks merge)
     missing = [fp for fp in set(base) if fp not in edit]
-    assert len(missing) <= 2, (toks, idx, ins, missing)
+    assert len(missing) <= 3, (toks, idx, ins, missing)
 
 
 @settings(max_examples=6, deadline=None)
